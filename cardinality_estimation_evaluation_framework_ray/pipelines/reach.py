@@ -1,0 +1,74 @@
+"""Flagship pipeline: per-source + union reach (cardinality/frequency) report.
+
+The Dataset-granularity analog of the reference's library-direct usage
+(``tests/interoperability_test.py:225-235``: build one sketch per set, union,
+estimate) and of the simulator's prefix-union sweep
+(``src/simulations/simulator.py:182-201``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+import ray.data
+
+from ..stages.build import (
+    build_sketch_states,
+    collect_states,
+    union_across_keys,
+)
+from ..state.base import SketchSpec
+
+
+def reach_report(ds: "ray.data.Dataset", specs: dict[str, SketchSpec],
+                 key: str = "source", tokens_col: str = "tokens",
+                 batch_size: int | None = 8192,
+                 tree_width: int = 0,
+                 include_union: bool = True) -> pd.DataFrame:
+    """Build all sketches in one pass; emit per-key and union estimates.
+
+    Output columns: ``{key}``, then one ``est_{name}`` float per sketch (the
+    first histogram entry, i.e. 1+ reach / cardinality).
+    """
+    states_ds = build_sketch_states(ds, specs, key, tokens_col, batch_size, tree_width)
+    per_key = collect_states(states_ds, specs, key)
+    rows = []
+    for k in sorted(per_key):
+        row = {key: k}
+        for name in specs:
+            row[f"est_{name}"] = float(per_key[k][name].estimate()[0])
+        rows.append(row)
+    if include_union:
+        union = union_across_keys(per_key, specs)
+        row = {key: "__union__"}
+        for name in specs:
+            row[f"est_{name}"] = float(union[name].estimate()[0])
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def prefix_union_curve(ds: "ray.data.Dataset", specs: dict[str, SketchSpec],
+                       key: str = "source",
+                       order: Iterable[str] | None = None,
+                       max_freq: int = 1) -> pd.DataFrame:
+    """Reach curve over prefix unions sketches[:i+1] (simulator.py:185-201).
+
+    The cumulative fold runs driver-side over the <= #keys final states — the
+    ordering contract the reference's sequential estimators rely on.
+    """
+    states_ds = build_sketch_states(ds, specs, key)
+    per_key = collect_states(states_ds, specs, key)
+    keys = list(order) if order is not None else sorted(per_key)
+    rows = []
+    acc = {name: spec.new() for name, spec in specs.items()}
+    for i, k in enumerate(keys):
+        row = {"num_sets": i + 1, key: k}
+        for name in specs:
+            acc[name].merge_in(per_key[k][name])
+            hist = acc[name].estimate()
+            for f in range(max_freq):
+                row[f"est_{name}_{f + 1}"] = float(hist[f]) if f < len(hist) else 0.0
+        rows.append(row)
+    return pd.DataFrame(rows)

@@ -1,0 +1,227 @@
+"""Distributed sketch build: map_batches partials -> groupby merge tree.
+
+Physical plan (SURVEY.md §4.2), replacing the reference's per-id Python loop
+and in-process pairwise merges (reference ``src/estimators/any_sketch.py:
+376-381``, ``hyper_log_log.py:217-246``):
+
+    read_parquet(tokens table)                       # Arrow blocks stream
+      └─ map_batches(partial_builder, pyarrow)       # one small state row per
+      │                                              #   (batch, key) — map-side
+      │                                              #   combine, vectorized
+      └─ [optional] groupby(key, salt).map_groups    # intermediate merge level
+      └─ groupby(key).map_groups(merge)              # the only wide shuffle —
+      │                                              #   moves only KB states
+      └─ driver: cross-key union / estimate          # tiny
+
+Only serialized sketch states (KBs) ever cross the shuffle; token data never
+leaves the map stage.  All merges on this path must be associative +
+commutative (enforced via ``SketchSpec.associative``); order-dependent
+estimators (VoC pairwise, ADBF intersection, stratified convolution) operate
+driver-side on the <= #keys final states.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterable
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..state.base import Sketch, SketchSpec, merge_many
+
+GLOBAL_KEY = "__all__"
+
+
+# ---------------------------------------------------------------------------
+# zero-copy token access
+# ---------------------------------------------------------------------------
+
+def flat_tokens(batch: pa.Table, tokens_col: str = "tokens"):
+    """Return (values, row_lengths) as NumPy views of the list column."""
+    col = batch.column(tokens_col)
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.ChunkedArray):  # zero chunks edge case
+        arr = pa.concat_arrays(arr.chunks) if arr.num_chunks else pa.array([], type=arr.type)
+    offsets = np.asarray(arr.offsets)
+    values = arr.flatten()
+    vals = values.to_numpy(zero_copy_only=False)
+    lengths = np.diff(offsets)
+    return vals, lengths
+
+
+def iter_key_tokens(batch: pa.Table, key: str, tokens_col: str = "tokens"):
+    """Yield (key_value, token_ndarray) per distinct key in the batch.
+
+    Tokens of rows sharing a key are concatenated; grouping is a stable
+    argsort over per-token key codes (no Python per-row loop).
+    """
+    vals, lengths = flat_tokens(batch, tokens_col)
+    keys = batch.column(key).combine_chunks()
+    if isinstance(keys, pa.ChunkedArray):
+        keys = pa.concat_arrays(keys.chunks) if keys.num_chunks else pa.array([], type=keys.type)
+    dict_arr = keys.dictionary_encode()
+    codes = np.asarray(dict_arr.indices)
+    uniques = dict_arr.dictionary.to_pylist()
+    if len(uniques) == 1:
+        yield uniques[0], vals
+        return
+    token_codes = np.repeat(codes, lengths)
+    order = np.argsort(token_codes, kind="stable")
+    sorted_vals = vals[order]
+    sorted_codes = token_codes[order]
+    bounds = np.searchsorted(sorted_codes, np.arange(len(uniques) + 1))
+    for ci, kv in enumerate(uniques):
+        lo, hi = bounds[ci], bounds[ci + 1]
+        if hi > lo:
+            yield kv, sorted_vals[lo:hi]
+        else:
+            yield kv, sorted_vals[lo:lo]
+
+
+# ---------------------------------------------------------------------------
+# partial build (map side)
+# ---------------------------------------------------------------------------
+
+def state_col(name: str) -> str:
+    return f"state_{name}"
+
+
+def make_partial_builder(specs: dict[str, SketchSpec], key: str = "source",
+                         tokens_col: str = "tokens"):
+    """A map_batches fn: Arrow batch -> one partial-state row per key value.
+
+    Emitting per-batch partials (instead of carrying actor state) keeps the
+    stage stateless & retryable; the merge tree absorbs the extra partials —
+    a 16 KB HLL per (batch, key) is noise next to the token payload.
+    """
+
+    def build(batch: pa.Table) -> pa.Table:
+        rows_per_key: dict = {}
+        for kv, toks in iter_key_tokens(batch, key, tokens_col):
+            states = {}
+            for name, spec in specs.items():
+                sk = spec.new()
+                sk.update_tokens(toks)
+                states[name] = sk.to_bytes()
+            rows_per_key[kv] = (states, len(toks))
+        n_rows_per_key = {}
+        keys_np = batch.column(key).to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(keys_np, return_counts=True)
+        n_rows_per_key = dict(zip(uk.tolist(), cnt.tolist()))
+        out = {
+            key: list(rows_per_key.keys()),
+            "n_rows": [n_rows_per_key.get(k, 0) for k in rows_per_key],
+            "n_tokens": [v[1] for v in rows_per_key.values()],
+            "salt": [int.from_bytes(os.urandom(4), "little") for _ in rows_per_key],
+        }
+        for name in specs:
+            out[state_col(name)] = [v[0][name] for v in rows_per_key.values()]
+        return pa.table(out)
+
+    return build
+
+
+def build_partials(ds: "ray.data.Dataset", specs: dict[str, SketchSpec],
+                   key: str = "source", tokens_col: str = "tokens",
+                   batch_size: int | None = 8192) -> "ray.data.Dataset":
+    needed = [key, tokens_col]
+    if set(needed) != set(ds.schema().names):
+        ds = ds.select_columns(needed)
+    return ds.map_batches(
+        make_partial_builder(specs, key, tokens_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# merge tree (reduce side)
+# ---------------------------------------------------------------------------
+
+def _make_group_merger(specs: dict[str, SketchSpec], key: str):
+    def merge_group(tbl: pa.Table) -> pa.Table:
+        out = {
+            key: [tbl.column(key)[0].as_py()],
+            "n_rows": [int(np.sum(tbl.column("n_rows").to_numpy()))],
+            "n_tokens": [int(np.sum(tbl.column("n_tokens").to_numpy()))],
+            "salt": [0],
+        }
+        for name, spec in specs.items():
+            blobs = tbl.column(state_col(name)).to_pylist()
+            out[state_col(name)] = [merge_many(spec, blobs).to_bytes()]
+        return pa.table(out)
+
+    return merge_group
+
+
+def merge_partials(partials: "ray.data.Dataset", specs: dict[str, SketchSpec],
+                   key: str = "source", tree_width: int = 0) -> "ray.data.Dataset":
+    """Reduce partial states to one state row per key.
+
+    ``tree_width > 0`` inserts an intermediate merge level keyed by
+    ``(key, salt % tree_width)`` — the skew guard for hot keys with very many
+    partials (north-rule requirement): the second level then merges only
+    ``tree_width`` pre-merged states per key.
+    """
+    merger = _make_group_merger(specs, key)
+    if tree_width > 0:
+        def add_bucket(tbl: pa.Table) -> pa.Table:
+            b = (tbl.column("salt").to_numpy(zero_copy_only=False) % tree_width).astype(np.int32)
+            return tbl.append_column("bucket", pa.array(b))
+
+        level1 = (
+            partials.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby([key, "bucket"])
+            .map_groups(lambda t: _make_group_merger(specs, key)(t.drop_columns(["bucket"])),
+                        batch_format="pyarrow")
+        )
+        return level1.groupby(key).map_groups(merger, batch_format="pyarrow")
+    return partials.groupby(key).map_groups(merger, batch_format="pyarrow")
+
+
+def build_sketch_states(ds: "ray.data.Dataset", specs: dict[str, SketchSpec],
+                        key: str = "source", tokens_col: str = "tokens",
+                        batch_size: int | None = 8192,
+                        tree_width: int = 0) -> "ray.data.Dataset":
+    """read -> partials -> merged per-key states (one row per key value)."""
+    partials = build_partials(ds, specs, key, tokens_col, batch_size)
+    return merge_partials(partials, specs, key, tree_width)
+
+
+# ---------------------------------------------------------------------------
+# driver-side finalize (small data only)
+# ---------------------------------------------------------------------------
+
+def collect_states(states_ds: "ray.data.Dataset", specs: dict[str, SketchSpec],
+                   key: str = "source") -> dict[str, dict[str, Sketch]]:
+    """Materialize the per-key state table (<= #keys rows) into sketches."""
+    out: dict[str, dict[str, Sketch]] = {}
+    for row in states_ds.take_all():
+        out[row[key]] = {
+            name: Sketch.from_bytes(spec, row[state_col(name)])
+            for name, spec in specs.items()
+        }
+    return out
+
+
+def union_across_keys(per_key: dict[str, dict[str, Sketch]],
+                      specs: dict[str, SketchSpec],
+                      order: Iterable[str] | None = None) -> dict[str, Sketch]:
+    """Merge each sketch across all keys (the reference's estimator union).
+
+    ``order`` fixes the fold order for documentation/reproducibility; for
+    associative sketches the result is order-independent.
+    """
+    keys = list(order) if order is not None else sorted(per_key)
+    out: dict[str, Sketch] = {}
+    for name, spec in specs.items():
+        acc = spec.new()
+        for k in keys:
+            acc.merge_in(per_key[k][name])
+        out[name] = acc
+    return out

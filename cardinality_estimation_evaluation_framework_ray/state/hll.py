@@ -1,0 +1,135 @@
+"""HyperLogLog++ as a mergeable, vectorized UDAF state.
+
+Semantics mirror the reference ``src/estimators/hyper_log_log.py:67-246``
+(which itself follows Heule, Nunkesser & Hall, "HyperLogLog in Practice",
+EDBT 2013): 64-bit hash, top-p bits pick the register, rho = leading zeros of
+the remaining 64-p bits + 1, register = max; alpha constants and the
+linear-counting threshold table are the paper's.  Differences, by design:
+
+  * the per-id Python loop (reference ``hyper_log_log.py:157-175``) becomes a
+    single vectorized pass over a whole token array;
+  * the reference's "simplified sparse mode" (a Python set kept until
+    |set| > 6m, ``hyper_log_log.py:126-128,159-164``) becomes a sorted unique
+    int64 array with the same 6m promotion rule, applied at update AND merge
+    time (as the reference does at ``hyper_log_log.py:234-242``).  While in
+    sparse mode the estimate is exact, matching reference behavior
+    (``hyper_log_log.py:194-195``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import ClassVar
+
+import numpy as np
+
+from ..functions.hashing import bit_length_u64, hash64
+from .base import Sketch, SketchSpec, register_spec
+
+# reference hyper_log_log.py:41-57
+_THRESHOLD = {4: 10, 5: 20, 6: 40, 7: 80, 8: 220, 9: 400, 10: 900, 11: 1800,
+              12: 3100, 13: 6500, 14: 11500, 15: 20000, 16: 50000, 17: 120000,
+              18: 350000}
+
+
+def _alpha(m: int) -> float:
+    # reference hyper_log_log.py:93-102
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+@register_spec
+@dataclasses.dataclass(frozen=True)
+class HllSpec(SketchSpec):
+    kind: ClassVar[str] = "hll"
+    p: int = 14
+    seed: int = 1
+    sparse: bool = True  # keep the exact small-cardinality path
+
+    def __post_init__(self):
+        if not (3 < self.p < 17):
+            raise ValueError(f"HLL precision must be in (3,17), got {self.p}")
+
+    @property
+    def m(self) -> int:
+        return 1 << self.p
+
+    def new(self) -> "HllSketch":
+        return HllSketch(self)
+
+    def rel_std_error(self) -> float:
+        return 1.04 / math.sqrt(self.m)
+
+
+class HllSketch(Sketch):
+    def __init__(self, spec: HllSpec):
+        self.spec = spec
+        self.buckets = np.zeros(spec.m, dtype=np.uint8)
+        # sparse exact path: sorted unique tokens, or None once promoted dense
+        self.sparse_tokens: np.ndarray | None = (
+            np.empty(0, dtype=np.int64) if spec.sparse else None
+        )
+
+    # -- update -------------------------------------------------------------
+    def update_tokens(self, tokens: np.ndarray) -> None:
+        if len(tokens) == 0:
+            return
+        tokens = np.asarray(tokens)
+        p = self.spec.p
+        q = 64 - p
+        h = hash64(tokens, self.spec.seed)
+        idx = (h >> np.uint64(q)).astype(np.int64)
+        w = h & np.uint64((1 << q) - 1)
+        rho = np.where(w == 0, q + 1, q - bit_length_u64(w) + 1).astype(np.uint8)
+        np.maximum.at(self.buckets, idx, rho)
+        if self.sparse_tokens is not None:
+            uniq = np.unique(tokens.astype(np.int64, copy=False))
+            self.sparse_tokens = np.union1d(self.sparse_tokens, uniq)
+            self._maybe_promote()
+
+    def _maybe_promote(self) -> None:
+        # 6m rule: reference hyper_log_log.py:159-164
+        if self.sparse_tokens is not None and len(self.sparse_tokens) > 6 * self.spec.m:
+            self.sparse_tokens = None
+
+    # -- merge (associative + commutative: elementwise max / set union) -----
+    def merge_in(self, other: "HllSketch") -> None:
+        assert self.spec == other.spec, "incompatible HLL specs"
+        np.maximum(self.buckets, other.buckets, out=self.buckets)
+        if self.sparse_tokens is not None and other.sparse_tokens is not None:
+            self.sparse_tokens = np.union1d(self.sparse_tokens, other.sparse_tokens)
+            self._maybe_promote()  # reference merge demotion: hyper_log_log.py:234-242
+        else:
+            self.sparse_tokens = None
+
+    # -- estimate (reference hyper_log_log.py:177-215) ----------------------
+    def estimate(self) -> list[float]:
+        return [self.estimate_cardinality()]
+
+    def estimate_cardinality(self) -> float:
+        if self.sparse_tokens is not None:
+            return float(len(self.sparse_tokens))
+        m = self.spec.m
+        raw = _alpha(m) * m * m / np.sum(np.exp2(-self.buckets.astype(np.float64)))
+        zeros = int(np.sum(self.buckets == 0))
+        if zeros != 0:
+            candidate = m * math.log(m / zeros)
+        else:
+            candidate = raw
+        if candidate <= _THRESHOLD[self.spec.p]:
+            return float(candidate)
+        return float(raw)
+
+    # -- serialization ------------------------------------------------------
+    def state_dict(self):
+        return {"b": self.buckets, "s": self.sparse_tokens}
+
+    def load_state(self, d):
+        self.buckets = d["b"]
+        self.sparse_tokens = d["s"]

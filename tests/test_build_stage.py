@@ -1,0 +1,81 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from cardinality_estimation_evaluation_framework_ray.sources.datagen import (
+    TokensTableSpec,
+    _gen_batch,
+    tokens_dataset,
+)
+from cardinality_estimation_evaluation_framework_ray.stages.build import (
+    build_sketch_states,
+    collect_states,
+    iter_key_tokens,
+    union_across_keys,
+)
+from cardinality_estimation_evaluation_framework_ray.state import (
+    ExactMultiSetSpec,
+    HllSpec,
+)
+
+TINY = TokensTableSpec(num_sources=4, rows_per_source=250, min_tok=1, max_tok=64,
+                       universe_size=20_000, seed=42)
+
+
+def _truth(spec):
+    tbl = _gen_batch(np.arange(spec.total_rows, dtype=np.int64), spec)
+    per = {}
+    glob = set()
+    for s, t in zip(tbl.column("source").to_pylist(), tbl.column("tokens").to_pylist()):
+        per.setdefault(s, set()).update(t)
+        glob.update(t)
+    return {k: len(v) for k, v in per.items()}, len(glob)
+
+
+def test_iter_key_tokens_groups_correctly():
+    tbl = pa.table({
+        "source": ["a", "b", "a", "b"],
+        "tokens": [[1, 2], [3], [2, 5], [7, 8, 9]],
+    })
+    got = {k: sorted(v.tolist()) for k, v in iter_key_tokens(tbl, "source")}
+    assert got == {"a": [1, 2, 2, 5], "b": [3, 7, 8, 9]}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_build_merge_estimate_vs_truth():
+    specs = {"hll": HllSpec(p=11, seed=7), "exact": ExactMultiSetSpec()}
+    states = build_sketch_states(tokens_dataset(TINY), specs)
+    per_key = collect_states(states, specs)
+    true_per, true_glob = _truth(TINY)
+    assert set(per_key) == set(true_per)
+    for k, truth in true_per.items():
+        # sparse-exact at this scale
+        assert per_key[k]["exact"].cardinality() == truth
+        assert per_key[k]["hll"].estimate() == [float(truth)]
+    union = union_across_keys(per_key, specs)
+    assert union["exact"].cardinality() == true_glob
+    err = abs(union["hll"].estimate()[0] - true_glob) / true_glob
+    assert err < 3 * specs["hll"].rel_std_error() + 0.01
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partition_invariance():
+    specs = {"hll": HllSpec(p=9, seed=3)}
+    outs = []
+    for blocks in (1, 5, 17):
+        states = build_sketch_states(tokens_dataset(TINY, override_num_blocks=blocks), specs)
+        per_key = collect_states(states, specs)
+        u = union_across_keys(per_key, specs)
+        outs.append((sorted((k, v["hll"].estimate()[0]) for k, v in per_key.items()),
+                     u["hll"].estimate()[0]))
+    assert outs[0] == outs[1] == outs[2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tree_merge_matches_flat():
+    specs = {"hll": HllSpec(p=9, seed=3)}
+    flat = collect_states(build_sketch_states(tokens_dataset(TINY), specs), specs)
+    tree = collect_states(
+        build_sketch_states(tokens_dataset(TINY), specs, tree_width=4), specs)
+    for k in flat:
+        assert np.array_equal(flat[k]["hll"].buckets, tree[k]["hll"].buckets)
