@@ -1,0 +1,199 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ..., "num_cpus": N, ...}
+
+--scaling runs the headline pipeline in two fresh processes (8 and 32 CPUs by
+default) on the same input and reports both throughputs + scaling efficiency
+(the sandbox evidence for the north rule's two-cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE_ROOT = os.environ.get("GRAFT_BENCH_CACHE", "/tmp/ceef_bench")
+
+
+def _sf_tag() -> str:
+    return os.path.basename(SF_DIR.rstrip("/")) or "sf"
+
+
+def bench_tokens_spec():
+    from cardinality_estimation_evaluation_framework_ray.sources.datagen import (
+        TokensTableSpec,
+    )
+
+    # bench tier (FIXTURES.md F1): zipf-skewed rows/source, hot source guard
+    rows = {"sf0.001": 4_000, "sf0.01": 40_000}.get(_sf_tag(), 400_000)
+    return TokensTableSpec(num_sources=20, rows_per_source=rows, min_tok=16,
+                           max_tok=256, universe_size=2_000_000,
+                           zipf_sources=True, seed=42)
+
+
+def ensure_tokens_table() -> str:
+    """Generate (once) and cache the synthetic bench tokens table."""
+    import hashlib
+
+    spec = bench_tokens_spec()
+    tag = hashlib.sha1(repr(spec).encode()).hexdigest()[:10]  # process-stable
+    out = os.path.join(CACHE_ROOT, f"tokens_{_sf_tag()}_{tag}")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        from cardinality_estimation_evaluation_framework_ray.sources.datagen import (
+            write_tokens_table,
+        )
+
+        write_tokens_table(spec, out, override_num_blocks=64)
+        open(marker, "w").close()
+    return out
+
+
+def q_build_hll(tokens_dir: str) -> dict:
+    """Headline: multi-source HLL++ build + merge tree + union estimate."""
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.pipelines.reach import (
+        reach_report,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import HllSpec
+
+    ds = ray.data.read_parquet(tokens_dir, columns=["tokens", "source"])
+    df = reach_report(ds, {"hll": HllSpec(p=14, seed=42, sparse=False)},
+                      batch_size=16384, tree_width=8)
+    return {"rows": len(df)}
+
+
+def q_build_multi(tokens_dir: str) -> dict:
+    """One read feeding several sketch families at once."""
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.pipelines.reach import (
+        reach_report,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import HllSpec
+
+    specs = {"hll": HllSpec(p=14, seed=42, sparse=False)}
+    try:
+        from cardinality_estimation_evaluation_framework_ray.state import (
+            CountMinSpec,
+            KllSpec,
+        )
+
+        specs["cm"] = CountMinSpec(depth=5, width=16384, seed=42)
+        specs["kll"] = KllSpec(k=200, seed=42)
+    except ImportError:
+        pass
+    try:
+        from cardinality_estimation_evaluation_framework_ray.state import BloomSpec
+
+        specs["exp_adbf"] = BloomSpec(length=100_000, distribution="exp",
+                                      decay_rate=10.0, seed=42)
+    except ImportError:
+        pass
+    ds = ray.data.read_parquet(tokens_dir, columns=["tokens", "source"])
+    df = reach_report(ds, specs, batch_size=16384, tree_width=8)
+    return {"rows": len(df), "sketches": len(specs)}
+
+
+def q_tokenize(_: str) -> dict:
+    """Documents -> canonical tokens table -> token totals."""
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        tokenize_documents,
+    )
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    toks = tokenize_documents(docs)
+    out = toks.groupby("source").aggregate(Sum("n_tok", alias_name="total_tokens"))
+    return {"rows": out.count()}
+
+
+QUERIES = {
+    "build_hll": q_build_hll,
+    "build_multi": q_build_multi,
+    "tokenize": q_tokenize,
+}
+HEADLINE = "build_multi"
+
+
+def total_tokens_in(tokens_dir: str) -> int:
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+
+    d = pads.dataset(tokens_dir, format="parquet")
+    return int(d.to_table(columns=["n_tok"]).column("n_tok").cast("int64").combine_chunks().to_pandas().sum())
+
+
+def run_once() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    tokens_dir = ensure_tokens_table()
+    n_tokens = total_tokens_in(tokens_dir)
+
+    times: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        fn(tokens_dir)
+        times[name] = round(time.perf_counter() - t0, 3)
+    ray.shutdown()
+
+    headline = times[HEADLINE]
+    return {
+        "metric": "multi_sketch_build_wall_sec",
+        "value": headline,
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_tag(),
+        "num_cpus": NUM_CPUS,
+        "corpus_tokens": n_tokens,
+        "tokens_per_sec": round(n_tokens / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+    results = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True)
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[n] = json.loads(line)
+    thr_lo = results[lo]["tokens_per_sec"]
+    thr_hi = results[hi]["tokens_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus": [lo, hi],
+        "tokens_per_sec": {str(lo): thr_lo, str(hi): thr_hi},
+        "wall_sec": {str(lo): results[lo]["value"], str(hi): results[hi]["value"]},
+        "sf": _sf_tag(),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

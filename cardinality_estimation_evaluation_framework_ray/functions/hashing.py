@@ -63,18 +63,18 @@ def uniform01(values: np.ndarray, seed: int) -> np.ndarray:
 def bit_length_u64(w: np.ndarray) -> np.ndarray:
     """Exact bit length of each element of a uint64 array (0 for 0).
 
-    Branch-free binary search; avoids float rounding that an np.log2-based
-    version would hit for values with >53 significant bits.
+    frexp on the float64 cast gives the exponent = bit length, except when the
+    cast rounds a >53-bit value UP across a power-of-2 boundary — corrected by
+    comparing against 2^(e-1) in integer space.  ~6 vectorized ops total.
     """
-    w = w.copy()
-    out = np.zeros(w.shape, dtype=np.int64)
-    for shift in (32, 16, 8, 4, 2, 1):
-        s = np.uint64(shift)
-        big = (w >> s) > 0
-        out[big] += shift
-        w[big] >>= s
-    out[w > 0] += 1
-    return out
+    w = np.asarray(w, dtype=np.uint64)
+    _, e = np.frexp(w.astype(np.float64))
+    e = e.astype(np.int64)
+    # rounding-up correction: if w < 2^(e-1) the exponent overshot by 1
+    shift = np.clip(e - 1, 0, 63).astype(np.uint64)
+    pow_lo = np.uint64(1) << shift
+    over = (w < pow_lo) & (e > 0)
+    return np.minimum(e - over, 64)  # values near 2^64 round up to e=65
 
 
 def hash_strings(values, seed: int) -> np.ndarray:
