@@ -41,11 +41,19 @@ GLOBAL_KEY = "__all__"
 # ---------------------------------------------------------------------------
 
 def flat_tokens(batch: pa.Table, tokens_col: str = "tokens"):
-    """Return (values, row_lengths) as NumPy views of the list column."""
+    """Return (values, row_lengths) as NumPy views of the token column.
+
+    Accepts either a ``list<int>`` column (canonical tokens table) or a plain
+    integer column (e.g. the per-(key, token) output of the exact-dedup
+    stage feeding VectorOfCounts).
+    """
     col = batch.column(tokens_col)
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if isinstance(arr, pa.ChunkedArray):  # zero chunks edge case
         arr = pa.concat_arrays(arr.chunks) if arr.num_chunks else pa.array([], type=arr.type)
+    if not pa.types.is_list(arr.type) and not pa.types.is_large_list(arr.type):
+        vals = arr.to_numpy(zero_copy_only=False)
+        return vals, np.ones(len(vals), dtype=np.int64)
     offsets = np.asarray(arr.offsets)
     values = arr.flatten()
     vals = values.to_numpy(zero_copy_only=False)

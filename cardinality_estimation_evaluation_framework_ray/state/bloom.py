@@ -1,0 +1,409 @@
+"""Bloom filters / Any-Distribution Bloom Filters (ADBF) as mergeable UDAFs.
+
+Covers the reference's AnySketch-based Bloom family and its estimators
+(``src/estimators/any_sketch.py:125-283``, ``bloom_filters.py:56-484``,
+``bloom_filter_sketch_operators.py``):
+
+  * register distributions: uniform, truncated-geometric, logarithmic,
+    exponential ("Liquid-Legions-distributed" ADBF) — implemented as
+    precomputed ``register_bounds`` + one vectorized ``searchsorted`` per
+    batch instead of a per-id ``get_index`` call;
+  * plain BF (k hashes, OR), uniform/geo/log/exp ADBF (1 hash, OR), and the
+    counting BF (SumFunction);
+  * UnionEstimator and FirstMomentEstimator (uniform / log / exp / geo / any
+    methods, incl. the ``expi``-based Liquid-Legions expectation inversion);
+  * Bayesian / Expectation intersection+difference sketch operators
+    (pairwise, NOT associative — driver-side only).
+
+Raw register merges (OR == max for bits; + for counts) are associative and
+commutative, so raw sketches ride the distributed merge tree; denoised
+(float) sketches combine via the soft union 1-(1-a)(1-b), also associative.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import ClassVar
+
+import numpy as np
+
+from ..functions.hashing import expi_negative, hash64, invert_monotonic
+from .base import Sketch, SketchSpec, register_spec
+
+
+# ---------------------------------------------------------------------------
+# register distributions (any_sketch.py:125-283 semantics)
+# ---------------------------------------------------------------------------
+
+def _geometric_probs(m: int, p: float) -> np.ndarray:
+    k = np.arange(1, m + 1, dtype=np.float64)
+    probs = p * np.power(1.0 - p, k - 1)  # geom.pmf
+    return probs / probs.sum()
+
+
+def _geometric_bounds(m: int, p: float) -> np.ndarray:
+    k = np.arange(1, m + 1, dtype=np.float64)
+    cdf = 1.0 - np.power(1.0 - p, k)  # geom.cdf
+    return cdf / cdf[-1]
+
+
+def _log_probs(m: int) -> np.ndarray:
+    probs = -np.log((np.arange(m) + 1) / (m + 1))
+    return probs / probs.sum()
+
+
+def _exp_probs(m: int, decay_rate: float) -> np.ndarray:
+    probs = np.exp(-decay_rate * (np.arange(m) + 1) / (m + 1))
+    return probs / probs.sum()
+
+
+@functools.lru_cache(maxsize=64)
+def _dist_tables(distribution: str, length: int, probability: float,
+                 decay_rate: float):
+    """(register_probs, register_bounds or None) per distribution config."""
+    if distribution == "uniform":
+        return np.full(length, 1.0 / length), None
+    if distribution == "geo":
+        return _geometric_probs(length, probability), _geometric_bounds(length, probability)
+    if distribution == "log":
+        p = _log_probs(length)
+        return p, np.cumsum(p)
+    if distribution == "exp":
+        p = _exp_probs(length, decay_rate)
+        return p, np.cumsum(p)
+    raise ValueError(f"unknown distribution {distribution!r}")
+
+
+@register_spec
+@dataclasses.dataclass(frozen=True)
+class BloomSpec(SketchSpec):
+    kind: ClassVar[str] = "bloom"
+    length: int = 100_000
+    distribution: str = "uniform"  # uniform | geo | log | exp
+    num_hashes: int = 1            # >1 only supported for uniform
+    probability: float = 0.08      # geo parameter
+    decay_rate: float = 10.0       # exp parameter
+    counting: bool = False         # SumFunction instead of BitwiseOr
+    seed: int = 1
+
+    def __post_init__(self):
+        if self.num_hashes > 1 and self.distribution != "uniform":
+            raise ValueError("num_hashes > 1 only supported for uniform BF")
+        if self.counting and self.distribution != "uniform":
+            raise ValueError("counting BF is uniform-only in this engine")
+
+    def tables(self):
+        return _dist_tables(self.distribution, self.length,
+                            self.probability, self.decay_rate)
+
+    @property
+    def register_probs(self) -> np.ndarray:
+        return self.tables()[0]
+
+    def new(self) -> "BloomSketch":
+        return BloomSketch(self)
+
+
+class BloomSketch(Sketch):
+    """Raw register sketch: uint8 bits or int64 counts."""
+
+    def __init__(self, spec: BloomSpec):
+        self.spec = spec
+        dtype = np.int64 if spec.counting else np.uint8
+        self.registers = np.zeros(spec.length, dtype=dtype)
+
+    # -- update -------------------------------------------------------------
+    def _indexes(self, tokens: np.ndarray, hash_no: int) -> np.ndarray:
+        h = hash64(tokens, self.spec.seed + 1000003 * hash_no)
+        _, bounds = self.spec.tables()
+        if bounds is None:
+            return (h % np.uint64(self.spec.length)).astype(np.int64)
+        u = h.astype(np.float64) / float(2.0**64)
+        return np.searchsorted(bounds, u)
+
+    def update_tokens(self, tokens: np.ndarray) -> None:
+        if len(tokens) == 0:
+            return
+        tokens = np.asarray(tokens)
+        for i in range(self.spec.num_hashes):
+            idx = self._indexes(tokens, i)
+            if self.spec.counting:
+                np.add.at(self.registers, idx, 1)
+            else:
+                self.registers[idx] = 1
+
+    # -- merge --------------------------------------------------------------
+    def merge_in(self, other: "BloomSketch") -> None:
+        assert self.spec == other.spec, "incompatible Bloom specs"
+        if self.spec.counting:
+            self.registers += other.registers
+        else:
+            np.maximum(self.registers, other.registers, out=self.registers)
+
+    # -- estimate -----------------------------------------------------------
+    def estimate(self) -> list[float]:
+        method = {"uniform": "uniform", "geo": "geo", "log": "log",
+                  "exp": "exp"}[self.spec.distribution]
+        if self.spec.num_hashes > 1:
+            return [union_bloom_estimate(self.spec, self.registers.astype(np.float64))]
+        return [FirstMomentEstimator(method)([self])]
+
+    def float_registers(self) -> np.ndarray:
+        return self.registers.astype(np.float64)
+
+    def state_dict(self):
+        return {"r": self.registers}
+
+    def load_state(self, d):
+        self.registers = d["r"]
+
+
+# ---------------------------------------------------------------------------
+# estimators (driver-side; operate on <= #keys final sketches)
+# ---------------------------------------------------------------------------
+
+def soft_union(arrays) -> np.ndarray:
+    """1 - prod(1 - a_i): OR generalized to denoised float bits
+    (bloom_filters.py:281-288,373-380). Associative + commutative."""
+    it = iter(arrays)
+    acc = np.array(next(it), dtype=np.float64, copy=True)
+    for a in it:
+        acc = 1.0 - (1.0 - acc) * (1.0 - a)
+    return acc
+
+
+def union_bloom_estimate(spec: BloomSpec, registers: np.ndarray) -> float:
+    """Uniform BF with k hashes: |m/k * ln(1 - x/m)| (bloom_filters.py:290-303)."""
+    x = float(np.sum(registers))
+    k = float(spec.num_hashes)
+    m = float(spec.length)
+    if x >= m:
+        raise ValueError("The BloomFilter is full; increase length or use exp/log ADBF.")
+    return float(int(math.fabs(m / k * math.log(1 - x / m))))
+
+
+class UnionEstimator:
+    """Unions uniform BFs and estimates cardinality (bloom_filters.py:264-311)."""
+
+    def __init__(self, denoiser=None):
+        self._denoiser = denoiser
+
+    def __call__(self, sketch_list) -> list[float]:
+        if not sketch_list:
+            return [0.0]
+        spec = sketch_list[0].spec
+        arrays = [s.float_registers() for s in sketch_list]
+        if self._denoiser is not None:
+            arrays = self._denoiser(arrays)
+        union = soft_union(arrays)
+        return [union_bloom_estimate(spec, union)]
+
+
+class FirstMomentEstimator:
+    """First-moment cardinality estimator for ADBF (bloom_filters.py:314-484).
+
+    method: uniform | log | exp | geo | any.  ``denoiser`` maps the list of
+    raw float register arrays to denoised ones (local DP); ``noiser`` perturbs
+    the summed bit count (global DP).
+    """
+
+    def __init__(self, method: str, denoiser=None, noiser=None, weights=None):
+        assert method in ("uniform", "log", "exp", "geo", "any")
+        if method == "any" and noiser is not None:
+            raise ValueError("METHOD_ANY is incompatible with a noiser.")
+        self._method = method
+        self._denoiser = denoiser
+        self._noiser = noiser if noiser is not None else (lambda x: x)
+        self._weights = weights
+
+    def union_registers(self, sketch_list) -> np.ndarray:
+        arrays = [s.float_registers() if hasattr(s, "float_registers")
+                  else np.asarray(s, dtype=np.float64)
+                  for s in sketch_list]
+        if self._denoiser is not None:
+            arrays = self._denoiser(arrays)
+        return soft_union(arrays)
+
+    @staticmethod
+    def _estimate_uniform(regs: np.ndarray, noiser) -> float:
+        x = noiser(float(np.sum(regs)))
+        m = len(regs)
+        if x >= m or x < 0:
+            return float("nan")
+        return -m * math.log(1 - x / m)
+
+    @staticmethod
+    def _estimate_log(regs: np.ndarray, noiser) -> float:
+        x = int(noiser(float(np.sum(regs))))
+        m = len(regs)
+        return x / (1 - x / m)
+
+    @staticmethod
+    def _estimate_exp(regs: np.ndarray, noiser, decay_rate: float) -> float:
+        # Liquid-Legions expectation: E[bits](reach) via expi, inverted by
+        # monotone bisection (bloom_filters.py:398-424).
+        a = decay_rate
+
+        def expected_num_bits(reach):
+            if reach <= 0:
+                return 0.0
+            c = math.exp(a) - 1
+            return 1 - (-expi_negative(-a * reach / c)
+                        + expi_negative(-a * math.exp(a) * reach / c)) / a
+
+        x = int(noiser(float(np.sum(regs))))
+        m = len(regs)
+        p = min(max(x / m, 0.0), 1.0)
+        result = invert_monotonic(expected_num_bits, epsilon=1e-7)(p) * m
+        assert result >= 0, "Negative estimate should never happen."
+        return result
+
+    @staticmethod
+    def _estimate_geo(regs: np.ndarray, register_probs: np.ndarray, noiser) -> float:
+        n_sum = noiser(float(np.sum(regs)))
+        n = n_sum / len(regs)
+        if n >= 1:
+            return 0.0
+
+        def first_moment(u):
+            return float(np.sum(1 - np.power(1 - register_probs, u)) - n_sum)
+
+        lower = math.log(1 - n) / math.log(1 - float(np.mean(register_probs)))
+        if first_moment(lower) > 0:
+            return lower
+        return invert_monotonic(first_moment, lower)(0)
+
+    @staticmethod
+    def _estimate_any(regs: np.ndarray, register_probs: np.ndarray, weights) -> float:
+        m = len(regs)
+        w = np.ones(m) if weights is None else np.asarray(weights, dtype=np.float64)
+        assert len(w) == m
+
+        def first_moment(u):
+            return float(np.dot(w, 1 - np.power(1 - register_probs, u) - regs))
+
+        lower = (math.log(1 - float(np.average(regs, weights=w)))
+                 / math.log(1 - float(np.mean(register_probs))))
+        return invert_monotonic(first_moment, lower)(0)
+
+    def __call__(self, sketch_list) -> float:
+        if not sketch_list:
+            return 0.0
+        spec: BloomSpec = sketch_list[0].spec
+        regs = self.union_registers(sketch_list)
+        if self._method == "uniform":
+            return self._estimate_uniform(regs, self._noiser)
+        if self._method == "log":
+            return self._estimate_log(regs, self._noiser)
+        if self._method == "exp":
+            return self._estimate_exp(regs, self._noiser, spec.decay_rate)
+        if self._method == "geo":
+            return self._estimate_geo(regs, spec.register_probs, self._noiser)
+        return self._estimate_any(regs, spec.register_probs, self._weights)
+
+
+# ---------------------------------------------------------------------------
+# pairwise sketch operators (NOT associative -> driver-side folds only;
+# bloom_filter_sketch_operators.py:25-227)
+# ---------------------------------------------------------------------------
+
+def _predict_registers(register_probs: np.ndarray, cardinality: float) -> np.ndarray:
+    return 1 - np.power(1 - register_probs, cardinality)
+
+
+class SketchOperator:
+    """Union / intersection / difference over (possibly denoised) ADBF
+    register arrays.  Operands and results are (spec, float_registers)."""
+
+    def __init__(self, estimation_method: str, threshold: float = 1e-6):
+        self._estimator = FirstMomentEstimator(estimation_method)
+        self._threshold = threshold
+
+    def _card(self, spec, regs) -> float:
+        sk = _FloatView(spec, regs)
+        return self._estimator([sk])
+
+    def union(self, spec, this, that):
+        if this is None:
+            return None if that is None else np.array(that, copy=True)
+        if that is None:
+            return np.array(this, copy=True)
+        return soft_union([this, that])
+
+    def _venn(self, spec, this, that):
+        this_card = self._card(spec, this)
+        that_card = self._card(spec, that)
+        union_card = self._estimator([_FloatView(spec, this), _FloatView(spec, that)])
+        inter = max(this_card + that_card - union_card, 0.0)
+        return this_card, that_card, inter
+
+
+class _FloatView:
+    """Duck-typed BloomSketch over a float register array."""
+
+    def __init__(self, spec: BloomSpec, regs: np.ndarray):
+        self.spec = spec
+        self._regs = np.asarray(regs, dtype=np.float64)
+
+    def float_registers(self) -> np.ndarray:
+        return self._regs
+
+
+class BayesianApproximationSketchOperator(SketchOperator):
+    """Per-register posterior correction (bloom_filter_sketch_operators.py:80-158)."""
+
+    def intersection(self, spec, this, that):
+        if this is None or that is None:
+            return None
+        probs = spec.register_probs
+        this_card, that_card, inter = self._venn(spec, this, that)
+        hc11 = _predict_registers(probs, inter)
+        hc10 = _predict_registers(probs, this_card - inter)
+        hc01 = _predict_registers(probs, that_card - inter)
+        y = hc11 / np.maximum(self._threshold, hc10 * hc01 * (1 - hc11) + hc11)
+        return this * that * y
+
+    def difference(self, spec, this, that):
+        if this is None:
+            return None
+        if that is None:
+            return np.array(this, copy=True)
+        probs = spec.register_probs
+        this_card, that_card, inter = self._venn(spec, this, that)
+        hc11 = _predict_registers(probs, inter)
+        hc10 = _predict_registers(probs, this_card - inter)
+        hc01 = _predict_registers(probs, that_card - inter)
+        denom = np.maximum(self._threshold, hc10 * hc01 * (1 - hc11) + hc11)
+        numer = (hc10 * hc01 * hc11 + hc10 * (1 - hc01) * hc11
+                 + hc10 * hc01 * (1 - hc11))
+        y = numer / denom
+        return this * (1 - that) + this * that * y
+
+
+class ExpectationApproximationSketchOperator(SketchOperator):
+    """Expectation-normalized variant (bloom_filter_sketch_operators.py:161-226)."""
+
+    def intersection(self, spec, this, that):
+        if this is None or that is None:
+            return None
+        probs = spec.register_probs
+        _, _, inter = self._venn(spec, this, that)
+        x = max(float(np.sum(probs * this * that)), self._threshold,
+                float(np.min(probs)))
+        y = _predict_registers(np.minimum(1, probs / x), inter)
+        return this * that * y
+
+    def difference(self, spec, this, that):
+        if this is None:
+            return None
+        if that is None:
+            return np.array(this, copy=True)
+        probs = spec.register_probs
+        this_card, _, inter = self._venn(spec, this, that)
+        x = max(float(np.sum(probs * this)), self._threshold, float(np.min(probs)))
+        s = this_card - inter - float(np.dot(this, 1 - that))
+        s = max(0.0, min(this_card - inter, s))
+        y = _predict_registers(np.minimum(1, probs / x), s)
+        return this * (1 - that) + this * that * y
