@@ -175,13 +175,214 @@ def _q_hll_synthetic(sf_dir: str):
     return reach_report(ds, {"hll": HllSpec(p=14, seed=42, sparse=False)})
 
 
+def _q_dedup_exact(sf_dir: str):
+    from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
+        dedup_exact_texts,
+    )
+
+    df = dedup_exact_texts(_read(sf_dir, "documents")).to_pandas()
+    df["n_copies"] = df["n_copies"].astype("int64")
+    return df
+
+
+def _q_quality_stats(sf_dir: str):
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        quality_stats,
+    )
+
+    return quality_stats(_read(sf_dir, "documents")).to_pandas()
+
+
+def _q_token_count_per_doc(sf_dir: str):
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        token_counts,
+    )
+
+    return token_counts(_read(sf_dir, "documents")).to_pandas()
+
+
+def _q_median_nchars_by_lang(sf_dir: str):
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_quantile_disc,
+    )
+
+    return grouped_quantile_disc(_read(sf_dir, "documents"), "lang", "n_chars", 0.5)
+
+
+def _q_ann_topk(sf_dir: str):
+    import duckdb
+
+    from cardinality_estimation_evaluation_framework_ray.stages.ann import (
+        brute_force_topk,
+    )
+
+    import numpy as np
+
+    q = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE vec_id IN (0, 7) ORDER BY vec_id").fetchnumpy()["embedding"]
+    qm = np.stack([np.asarray(v, dtype=np.float64) for v in q])
+    res = brute_force_topk(_read(sf_dir, "embeddings"), qm, k=10, dtype=np.float64)
+    return res[["query_id", "rank", "vec_id"]]
+
+
+def _q_word_jaccard_pairs(sf_dir: str):
+    from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    return ngram_jaccard_pairs(_read(sf_dir, "documents"), n=1,
+                               threshold=0.8).to_pandas()
+
+
+def _q_embedding_near_dups(sf_dir: str):
+    from cardinality_estimation_evaluation_framework_ray.stages.ann import (
+        embedding_near_dups,
+    )
+
+    import pandas as pd
+
+    # n_planes=0 => single bucket => exact all-pairs (oracle mode); LSH
+    # bucketing (n_planes>0) is the 100TB path, rows-only checked in tests
+    df = embedding_near_dups(_read(sf_dir, "embeddings"), threshold=0.4,
+                             n_planes=0).to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                           "vec_b": pd.Series(dtype="int64"),
+                           "cosine": pd.Series(dtype="float64")})
+    return df
+
+
+def _q_minhash_near_dups(sf_dir: str):
+    from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
+        minhash_near_dups,
+    )
+
+    return minhash_near_dups(_read(sf_dir, "documents"), threshold=0.5).to_pandas()
+
+
+def _q_simhash_near_dups(sf_dir: str):
+    from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
+        simhash_near_dups,
+    )
+
+    return simhash_near_dups(_read(sf_dir, "documents"), max_hamming=8).to_pandas()
+
+
+def _q_lang_id(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        lang_id,
+    )
+
+    out = lang_id(_read(sf_dir, "documents")).groupby("lang_pred").count()
+    df = out.to_pandas().rename(columns={"count()": "n_docs"})
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return df
+
+
+def _q_doc_fingerprints(sf_dir: str):
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        doc_fingerprints,
+    )
+
+    df = doc_fingerprints(_read(sf_dir, "documents")).to_pandas()
+    return df.groupby("doc_id", as_index=False).agg(n_fingerprints=("fingerprint", "size"))
+
+
+def _q_multi_sketch_synthetic(sf_dir: str):
+    """Rows-only: HLL + count-min + KLL + t-digest + exp-ADBF in ONE pass."""
+    from cardinality_estimation_evaluation_framework_ray.pipelines.reach import (
+        reach_report,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import (
+        BloomSpec,
+        CountMinSpec,
+        HllSpec,
+        KllSpec,
+        TDigestSpec,
+    )
+
+    _, ds = _synthetic_tokens(sf_dir)
+    specs = {
+        "hll": HllSpec(p=14, seed=42, sparse=False),
+        "cm": CountMinSpec(depth=5, width=8192, seed=42),
+        "kll": KllSpec(k=200, seed=42),
+        "td": TDigestSpec(compression=100.0),
+        "exp_adbf": BloomSpec(length=100_000, distribution="exp",
+                              decay_rate=10.0, seed=42),
+    }
+    return reach_report(ds, specs, tree_width=4)
+
+
+def _q_voc_union(sf_dir: str):
+    """Rows-only: VoC with exact-dedup pre-stage + sequential union fold."""
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.build import (
+        build_sketch_states,
+        collect_states,
+    )
+    from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
+        exact_distinct_tokens,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import (
+        VocSequentialEstimator,
+        VocSpec,
+    )
+
+    _, ds = _synthetic_tokens(sf_dir)
+    deduped = exact_distinct_tokens(ds)  # one-shot contract pre-shuffle
+    specs = {"voc": VocSpec(num_buckets=4096, seed=42)}
+    states = build_sketch_states(deduped, specs, tokens_col="token")
+    per_key = collect_states(states, specs)
+    order = sorted(per_key)
+    est = VocSequentialEstimator()([per_key[k]["voc"] for k in order])[0]
+    rows = [{"source": k, "est_voc": per_key[k]["voc"].cardinality()} for k in order]
+    rows.append({"source": "__union__", "est_voc": est})
+    return pd.DataFrame(rows)
+
+
+def _q_reach_curve(sf_dir: str):
+    """Rows-only: prefix-union reach curve (simulator.py:185-201 semantics)."""
+    from cardinality_estimation_evaluation_framework_ray.pipelines.reach import (
+        prefix_union_curve,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import (
+        ExactMultiSetSpec,
+        HllSpec,
+    )
+
+    _, ds = _synthetic_tokens(sf_dir)
+    return prefix_union_curve(ds, {"hll": HllSpec(p=14, seed=42),
+                                   "exact": ExactMultiSetSpec(max_freq=3)},
+                              max_freq=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # oracle-matched
         "reach_hll_words": _q_reach_hll_words,
         "token_stats": _q_token_stats,
         "word_freq_histogram": _q_word_freq_histogram,
         "lineitem_agg": _q_lineitem_agg,
+        "dedup_exact": _q_dedup_exact,
+        "quality_stats": _q_quality_stats,
+        "token_count_per_doc": _q_token_count_per_doc,
+        "median_nchars_by_lang": _q_median_nchars_by_lang,
+        "ann_topk": _q_ann_topk,
+        "word_jaccard_pairs": _q_word_jaccard_pairs,
+        "embedding_near_dups": _q_embedding_near_dups,
+        # rows-only (approximate / non-SQL-expressible; bound-checked in tests/)
         "hll_synthetic": _q_hll_synthetic,
+        "multi_sketch_synthetic": _q_multi_sketch_synthetic,
+        "voc_union": _q_voc_union,
+        "reach_curve": _q_reach_curve,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "lang_id_counts": _q_lang_id,
+        "doc_fingerprints": _q_doc_fingerprints,
     }
 
 
@@ -222,5 +423,80 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS kept_doc_id,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "quality_stats": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS w
+              FROM documents)
+            SELECT d.doc_id,
+                   CAST(len(w.w) AS BIGINT) AS n_words,
+                   CAST(length(d.text) AS BIGINT) AS n_chars_text,
+                   CAST(len(regexp_extract_all(d.text, '[,.!?;:]')) AS BIGINT) AS n_punct,
+                   CAST(len(regexp_extract_all(d.text, '[A-Z]')) AS BIGINT) AS n_upper,
+                   round(CASE WHEN len(w.w) > 0
+                         THEN CAST(list_sum(list_transform(w.w, x -> length(x))) AS DOUBLE) / len(w.w)
+                         ELSE 0 END, 6) AS mean_word_len
+            FROM documents d JOIN words w USING (doc_id)
+        """,
+        "token_count_per_doc": """
+            SELECT doc_id,
+                   CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS BIGINT) AS n_tok
+            FROM documents
+        """,
+        "median_nchars_by_lang": """
+            SELECT lang, percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+                       AS p50_n_chars
+            FROM documents GROUP BY lang
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT CASE vec_id WHEN 0 THEN 0 ELSE 1 END AS query_id, embedding
+              FROM embeddings WHERE vec_id IN (0, 7)),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(e.embedding, q.embedding) AS score
+              FROM embeddings e CROSS JOIN q),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, vec_id) AS rank
+              FROM scored)
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(rank AS BIGINT) AS rank,
+                   CAST(vec_id AS BIGINT) AS vec_id
+            FROM ranked WHERE rank <= 10
+        """,
+        "word_jaccard_pairs": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tok
+              FROM documents),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nc
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT c.doc_a, c.doc_b,
+                   round(CAST(c.nc AS DOUBLE) / (sa.sz + sb.sz - c.nc), 6) AS jaccard
+            FROM common c
+            JOIN sizes sa ON sa.doc_id = c.doc_a
+            JOIN sizes sb ON sb.doc_id = c.doc_b
+            WHERE CAST(c.nc AS DOUBLE) / (sa.sz + sb.sz - c.nc) >= 0.8
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                              AS DOUBLE), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         """,
     }

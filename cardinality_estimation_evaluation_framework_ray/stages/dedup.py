@@ -1,0 +1,374 @@
+"""Deduplication stages: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline operators beyond the reference's scope (the reference
+only dedups ids inside ``ExactMultiSet``, ``src/estimators/exact_set.py:56-58``
+— here dedup is a first-class distributed stage over documents / tokens).
+
+Scale notes (100 TB design point):
+  * every stage dedups map-side within a batch before any shuffle;
+  * the only wide ops are groupbys on content-hash / band-bucket keys, whose
+    shuffled payload is hashes + ids (not documents);
+  * MinHash banding follows Broder (1997) / Leskovec-Rajaraman-Ullman ch.3:
+    with ``num_perm`` permutations split into b bands of r rows, a pair with
+    Jaccard s collides in >= 1 band w.p. 1-(1-s^r)^b;
+  * SimHash follows Charikar (STOC 2002); near-dup candidates via the
+    pigeonhole banding of the 64-bit signature into 4 x 16-bit chunks
+    (guarantees recall for Hamming distance <= 3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..functions.hashing import hash64, seed_offset, _mix
+from .build import iter_key_tokens
+from .text import _split_lists
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_distinct_tokens(ds: "ray.data.Dataset", key: str = "source",
+                          tokens_col: str = "tokens") -> "ray.data.Dataset":
+    """Distinct (key, token) pairs: hash-partition + per-group first.
+
+    Feeds VectorOfCounts (one-shot contract) and the exact oracle. Map-side
+    batch dedup shrinks the shuffle; the groupby is the wide op.
+    """
+
+    def batch_dedup(batch: pa.Table) -> pa.Table:
+        keys, toks = [], []
+        for kv, t in iter_key_tokens(batch, key, tokens_col):
+            u = np.unique(t)
+            keys.append(np.full(len(u), kv, dtype=object))
+            toks.append(u)
+        if not keys:
+            return pa.table({key: pa.array([], pa.string()),
+                             "token": pa.array([], pa.int64())})
+        return pa.table({key: pa.array(np.concatenate(keys).tolist()),
+                         "token": pa.array(np.concatenate(toks).astype(np.int64))})
+
+    dd = ds.map_batches(batch_dedup, batch_format="pyarrow", zero_copy_batch=True)
+    out = dd.groupby([key, "token"]).count()
+    return out.select_columns([key, "token"])
+
+
+def dedup_exact_texts(ds: "ray.data.Dataset", text_col: str = "text",
+                      id_col: str = "doc_id", seed: int = 1291) -> "ray.data.Dataset":
+    """Exact-content dedup: content-hash -> keep min(id), count copies.
+
+    Output: (kept_doc_id, n_copies).  Only 16-byte hash + id cross the
+    shuffle; document bodies never leave the map stage.
+    """
+    from ..functions.hashing import hash_strings
+
+    def to_hashes(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        h = hash_strings(texts, seed).astype(np.int64)
+        return pa.table({"content_hash": pa.array(h),
+                         id_col: batch.column(id_col)})
+
+    hashed = ds.select_columns([id_col, text_col]).map_batches(
+        to_hashes, batch_format="pyarrow", zero_copy_batch=True)
+
+    def keep_first(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({"kept_doc_id": [int(ids.min())],
+                         "n_copies": [len(ids)]})
+
+    return hashed.groupby("content_hash").map_groups(keep_first,
+                                                     batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate detection
+# ---------------------------------------------------------------------------
+
+def _doc_word_hashes(batch: pa.Table, text_col: str, seed: int):
+    """(word-hash values, per-doc lengths) for a documents batch."""
+    values, lengths = _split_lists(batch.column(text_col))
+    dict_arr = values.dictionary_encode()
+    codes = np.asarray(dict_arr.indices) if len(dict_arr) else np.empty(0, np.int64)
+    from ..functions.hashing import hash_strings
+
+    vocab_h = hash_strings(dict_arr.dictionary.to_pylist(), seed) if len(codes) else np.empty(0, np.uint64)
+    return (vocab_h[codes] if len(codes) else np.empty(0, np.uint64)), lengths
+
+
+def _shingle_hashes(word_h: np.ndarray, lengths: np.ndarray, n: int):
+    """Rolling n-gram hashes per doc (combined by mixing shifted word hashes).
+
+    Returns (shingle values, per-doc shingle counts); docs shorter than n
+    contribute their single full-doc hash so they still get a signature.
+    """
+    counts = np.maximum(lengths - n + 1, 1).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
+    out = np.empty(int(counts.sum()), dtype=np.uint64)
+    pos = 0
+    with np.errstate(over="ignore"):
+        for i, L in enumerate(lengths):
+            ws = word_h[offsets[i]:offsets[i + 1]]
+            c = counts[i]
+            if L >= n:
+                acc = ws[0:c].copy()
+                for j in range(1, n):
+                    acc = acc * np.uint64(0x100000001B3) + ws[j:j + c]
+                out[pos:pos + c] = _mix(acc)
+            else:
+                acc = np.uint64(0xCBF29CE484222325)
+                for w in ws:
+                    acc = acc * np.uint64(0x100000001B3) + w
+                out[pos] = _mix(np.array([acc], dtype=np.uint64))[0]
+            pos += c
+    return out, counts
+
+
+class MinHashSignatures:
+    """Actor-pool map_batches stage: documents -> MinHash signatures.
+
+    Permutation seeds are derived once per actor in __init__ (stateful-stage
+    pattern); per batch everything is vectorized: one mix per permutation +
+    segmented minimum (np.minimum.reduceat) over doc boundaries.
+    """
+
+    def __init__(self, num_perm: int = 64, shingle: int = 3, seed: int = 77,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.num_perm = num_perm
+        self.shingle = shingle
+        self.seed = seed
+        self.text_col = text_col
+        self.id_col = id_col
+        self.offsets = np.array([seed_offset(seed + 31 * j) for j in range(num_perm)],
+                                dtype=np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        word_h, lengths = _doc_word_hashes(batch, self.text_col, self.seed)
+        sh, counts = _shingle_hashes(word_h, lengths, self.shingle)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+        sigs = np.empty((len(counts), self.num_perm), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(self.num_perm):
+                hj = _mix(sh + self.offsets[j])
+                sigs[:, j] = np.minimum.reduceat(hj, starts) if len(sh) else 0
+        sig_list = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1).astype(np.int64)), self.num_perm)
+        return pa.table({self.id_col: batch.column(self.id_col),
+                         "minhash": sig_list})
+
+
+def minhash_near_dups(ds: "ray.data.Dataset", *, num_perm: int = 64,
+                      bands: int = 16, threshold: float = 0.7,
+                      shingle: int = 3, seed: int = 77,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      concurrency=None) -> "ray.data.Dataset":
+    """Near-duplicate pairs (doc_a, doc_b, est_jaccard >= threshold).
+
+    documents -> signatures -> per-band bucket keys -> groupby bucket ->
+    in-bucket signature comparison -> distinct pairs.  The shuffle payload is
+    (bucket key, id, signature); signatures are num_perm*8 bytes.
+    """
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+
+    sig_kwargs = dict(num_perm=num_perm, shingle=shingle, seed=seed,
+                      text_col=text_col, id_col=id_col)
+    if concurrency is not None:
+        sigs = ds.map_batches(MinHashSignatures, fn_constructor_kwargs=sig_kwargs,
+                              batch_format="pyarrow", zero_copy_batch=True,
+                              concurrency=concurrency)
+    else:
+        sigs = ds.map_batches(MinHashSignatures(**sig_kwargs),
+                              batch_format="pyarrow", zero_copy_batch=True)
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        sig = np.asarray(batch.column("minhash").combine_chunks().flatten()
+                         .to_numpy(zero_copy_only=False)).reshape(n, num_perm).astype(np.uint64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out_bucket = np.empty(n * bands, dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for b in range(bands):
+                band = sig[:, b * rows:(b + 1) * rows]
+                acc = np.full(n, seed_offset(seed + 7777 * b), dtype=np.uint64)
+                for r in range(rows):
+                    acc = _mix(acc + band[:, r])
+                out_bucket[b::bands] = (acc >> np.uint64(1)).astype(np.int64)
+        rep_ids = np.repeat(ids, bands)
+        rep_sig = np.repeat(sig, bands, axis=0)
+        sig_list = pa.FixedSizeListArray.from_arrays(
+            pa.array(rep_sig.reshape(-1).astype(np.int64)), num_perm)
+        return pa.table({"bucket": pa.array(out_bucket), id_col: pa.array(rep_ids),
+                         "minhash": sig_list})
+
+    buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
+
+    def pairs_in_bucket(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if n < 2:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        sig = np.asarray(tbl.column("minhash").combine_chunks().flatten()
+                         .to_numpy(zero_copy_only=False)).reshape(n, num_perm)
+        order = np.argsort(ids, kind="stable")
+        ids, sig = ids[order], sig[order]
+        a_idx, b_idx = np.triu_indices(n, k=1)
+        est = (sig[a_idx] == sig[b_idx]).mean(axis=1)
+        keep = est >= threshold
+        # drop same-id self pairs that appear when a doc lands twice in a bucket
+        keep &= ids[a_idx] != ids[b_idx]
+        return pa.table({"doc_a": pa.array(ids[a_idx][keep].astype(np.int64)),
+                         "doc_b": pa.array(ids[b_idx][keep].astype(np.int64)),
+                         "est_jaccard": pa.array(est[keep])})
+
+    pairs = buckets.groupby("bucket").map_groups(pairs_in_bucket,
+                                                 batch_format="pyarrow")
+    # a pair can surface from several bands -> dedup on (a, b)
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-duplicate detection
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(ds: "ray.data.Dataset", *, seed: int = 99,
+                       text_col: str = "text", id_col: str = "doc_id") -> "ray.data.Dataset":
+    """64-bit SimHash per document (Charikar 2002), vectorized per batch."""
+
+    def sign(batch: pa.Table) -> pa.Table:
+        word_h, lengths = _doc_word_hashes(batch, text_col, seed)
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
+        starts = np.minimum(starts, max(len(word_h) - 1, 0))  # empty-row guard
+        n_docs = len(lengths)
+        sig = np.zeros(n_docs, dtype=np.uint64)
+        total = np.maximum(lengths, 1)
+        for bit in range(64):
+            bits = ((word_h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+            ones = np.add.reduceat(bits, starts) if len(word_h) else np.zeros(n_docs, np.int64)
+            ones = np.where(lengths > 0, ones, 0)
+            sig |= (np.uint64(1) << np.uint64(bit)) * (2 * ones > total).astype(np.uint64)
+        return pa.table({id_col: batch.column(id_col),
+                         "simhash": pa.array(sig.astype(np.int64))})
+
+    return ds.map_batches(sign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simhash_near_dups(ds: "ray.data.Dataset", *, max_hamming: int = 3,
+                      seed: int = 99, text_col: str = "text",
+                      id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming (<= 3 for full
+    recall with the 4x16-bit pigeonhole banding)."""
+    sigs = simhash_signatures(ds, seed=seed, text_col=text_col, id_col=id_col)
+
+    def to_chunks(batch: pa.Table) -> pa.Table:
+        sig = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out = {"chunk_key": [], id_col: [], "simhash": []}
+        for c in range(4):
+            chunk = ((sig >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            out["chunk_key"].append(chunk + (c << 32))
+            out[id_col].append(ids)
+            out["simhash"].append(sig.astype(np.int64))
+        return pa.table({k: pa.array(np.concatenate(v)) for k, v in out.items()})
+
+    chunked = sigs.map_batches(to_chunks, batch_format="pyarrow")
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        sig = tbl.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, sig = ids[order], sig[order]
+        a, b = np.triu_indices(n, k=1)
+        x = sig[a] ^ sig[b]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):  # popcount via Kernighan would loop data-dependent; do bit loop
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = (ham <= max_hamming) & (ids[a] != ids[b])
+        return pa.table({"doc_a": pa.array(ids[a][keep].astype(np.int64)),
+                         "doc_b": pa.array(ids[b][keep].astype(np.int64)),
+                         "hamming": pa.array(ham[keep])})
+
+    allpairs = chunked.groupby("chunk_key").map_groups(pairs, batch_format="pyarrow")
+    from ray.data.aggregate import Min
+
+    return allpairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (posting-list join; test-scale verifier for LSH)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(ds: "ray.data.Dataset", *, n: int = 1,
+                        threshold: float = 0.5, seed: int = 55,
+                        text_col: str = "text", id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Exact Jaccard over word n-gram SETS via a posting-list self-join.
+
+    Shuffle key = shingle hash; each group emits co-occurrence counts, a
+    second groupby sums them, and |A u B| = |A| + |B| - |A n B| closes the
+    formula.  At 100 TB this is gated behind LSH candidates; exact mode is
+    the oracle/test path.
+    """
+
+    def doc_shingles(batch: pa.Table) -> pa.Table:
+        word_h, lengths = _doc_word_hashes(batch, text_col, seed)
+        sh, counts = _shingle_hashes(word_h, lengths, n)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        # per-doc set semantics: dedup (doc, shingle)
+        key = np.stack([doc_of, sh.astype(np.int64)], axis=1)
+        _, first = np.unique(key, axis=0, return_index=True)
+        return pa.table({id_col: pa.array(ids[doc_of[first]]),
+                         "shingle": pa.array(sh.astype(np.int64)[first])})
+
+    postings = ds.map_batches(doc_shingles, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # set sizes per doc
+    from ray.data.aggregate import Count, Sum
+
+    sizes = postings.groupby(id_col).count()  # (doc_id, count())
+    size_map = {r[id_col]: r["count()"] for r in sizes.take_all()}
+
+    def cooccur(tbl: pa.Table) -> pa.Table:
+        ids = np.unique(tbl.column(id_col).to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "n_common": pa.array([], pa.int64())})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pa.table({"doc_a": pa.array(ids[a].astype(np.int64)),
+                         "doc_b": pa.array(ids[b].astype(np.int64)),
+                         "n_common": pa.array(np.ones(len(a), dtype=np.int64))})
+
+    co = postings.groupby("shingle").map_groups(cooccur, batch_format="pyarrow")
+    common = co.groupby(["doc_a", "doc_b"]).aggregate(Sum("n_common", alias_name="n_common"))
+
+    def jaccard(batch: pa.Table) -> pa.Table:
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        nc = batch.column("n_common").to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = np.array([size_map[d] for d in da], dtype=np.float64)
+        sb = np.array([size_map[d] for d in db], dtype=np.float64)
+        j = nc / (sa + sb - nc)
+        keep = j >= threshold
+        return pa.table({"doc_a": pa.array(da[keep]), "doc_b": pa.array(db[keep]),
+                         "jaccard": pa.array(np.round(j[keep], 6))})
+
+    return common.map_batches(jaccard, batch_format="pyarrow")

@@ -100,3 +100,143 @@ def tokenize_documents(ds: "ray.data.Dataset", text_col: str = "text",
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# text analysis operators (training-data-pipeline additions)
+# ---------------------------------------------------------------------------
+
+def quality_stats(ds: "ray.data.Dataset", text_col: str = "text",
+                  id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Per-doc quality signals: word/char counts, punctuation count, mean word
+    length, uppercase ratio.  Pure Arrow kernels; SQL-reproducible."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        values, lengths = _split_lists(texts)
+        word_chars = pc.utf8_length(values).to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
+        # clip starts for zero-length rows (reduceat rejects start == len)
+        safe_starts = np.minimum(starts, max(len(word_chars) - 1, 0))
+        sum_word_chars = (np.add.reduceat(word_chars, safe_starts)
+                          if len(word_chars) else np.zeros(len(lengths), np.int64))
+        sum_word_chars = np.where(lengths > 0, sum_word_chars, 0)
+        n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+        punct = pc.count_substring_regex(texts, r"[,.!?;:]").to_numpy(zero_copy_only=False)
+        upper = pc.count_substring_regex(texts, r"[A-Z]").to_numpy(zero_copy_only=False)
+        mean_wl = np.where(lengths > 0, sum_word_chars / np.maximum(lengths, 1), 0.0)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_words": pa.array(lengths.astype(np.int64)),
+            "n_chars_text": pa.array(n_chars.astype(np.int64)),
+            "n_punct": pa.array(punct.astype(np.int64)),
+            "n_upper": pa.array(upper.astype(np.int64)),
+            "mean_word_len": pa.array(np.round(mean_wl, 6)),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "ich"},
+    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "pour", "que"},
+    "es": {"el", "la", "los", "las", "y", "de", "un", "una", "es", "que"},
+    "zh": set(),  # CJK detected by codepoint range, not stopwords
+}
+
+
+class LangId:
+    """Heuristic language id: CJK codepoint ratio + stopword-profile votes.
+
+    Stateful stage: profiles compiled once per actor.  A real system drops in
+    fastText/CLD3 here; the Ray plumbing is identical.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def _classify(self, text: str) -> str:
+        if not text:
+            return "und"
+        cjk = sum(1 for ch in text[:400] if "一" <= ch <= "鿿")
+        if cjk > 0.05 * min(len(text), 400):
+            return "zh"
+        words = text.lower().split()[:200]
+        best, best_hits = "und", 0
+        for lang, prof in self.profiles.items():
+            hits = sum(1 for w in words if w in prof)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        langs = [self._classify(t) for t in texts]
+        return pa.table({self.id_col: batch.column(self.id_col),
+                         "lang_pred": pa.array(langs)})
+
+
+def lang_id(ds: "ray.data.Dataset", text_col: str = "text",
+            id_col: str = "doc_id", concurrency=None) -> "ray.data.Dataset":
+    ds = ds.select_columns([id_col, text_col])
+    if concurrency is not None:
+        return ds.map_batches(LangId,
+                              fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+                              batch_format="pyarrow", zero_copy_batch=True,
+                              concurrency=concurrency)
+    return ds.map_batches(LangId(text_col, id_col), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def doc_fingerprints(ds: "ray.data.Dataset", *, k: int = 5, window: int = 8,
+                     seed: int = 71, text_col: str = "text",
+                     id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
+    rolling k-gram hashes, minimum per sliding window, deduped.
+
+    Output: (doc_id, fingerprint) rows — the index for copy detection."""
+    from ..functions.hashing import hash_strings
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        out_ids, out_fp = [], []
+        for i, t in enumerate(texts):
+            t = (t or "").lower()
+            if len(t) < k:
+                grams = [t]
+            else:
+                grams = [t[j:j + k] for j in range(len(t) - k + 1)]
+            h = hash_strings(grams, seed).astype(np.int64)
+            if len(h) >= window:
+                # sliding-window minimum via stride trick
+                sw = np.lib.stride_tricks.sliding_window_view(h, window)
+                mins = sw.min(axis=1)
+            else:
+                mins = np.array([h.min()])
+            fps = np.unique(mins)
+            out_ids.append(np.full(len(fps), ids[i]))
+            out_fp.append(fps)
+        return pa.table({id_col: pa.array(np.concatenate(out_ids).astype(np.int64)),
+                         "fingerprint": pa.array(np.concatenate(out_fp))})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_counts(ds: "ray.data.Dataset", text_col: str = "text",
+                 id_col: str = "doc_id") -> "ray.data.Dataset":
+    """(doc_id, n_tok): whitespace+punct tokenization count per doc."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        _, lengths = _split_lists(batch.column(text_col))
+        return pa.table({id_col: batch.column(id_col),
+                         "n_tok": pa.array(lengths.astype(np.int64))})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        count, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,58 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from cardinality_estimation_evaluation_framework_ray.stages.ann import (
+    brute_force_topk,
+    embedding_near_dups,
+    lsh_topk,
+)
+
+
+def _emb_table(n=400, dim=16, seed=0):
+    rs = np.random.RandomState(seed)
+    m = rs.normal(size=(n, dim)).astype(np.float32)
+    # plant near-duplicates: vec 1 = vec 0 + tiny noise
+    m[1] = m[0] + rs.normal(scale=1e-3, size=dim).astype(np.float32)
+    arr = pa.FixedSizeListArray.from_arrays(pa.array(m.reshape(-1)), dim)
+    return m, pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                        "embedding": arr})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_brute_force_topk_matches_numpy():
+    m, tbl = _emb_table()
+    ds = ray.data.from_arrow(tbl)
+    q = m[[0, 7]]
+    res = brute_force_topk(ds, q, k=5)
+    mm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qq = q / np.linalg.norm(q, axis=1, keepdims=True)
+    truth = (mm @ qq.T)
+    for qid in (0, 1):
+        expect = set(np.argsort(-truth[:, qid])[:5].tolist())
+        got = set(res[res.query_id == qid].vec_id.tolist())
+        assert got == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_topk_recall():
+    m, tbl = _emb_table(n=1000)
+    ds = ray.data.from_arrow(tbl)
+    q = m[[0]]
+    res = lsh_topk(ds, q, k=5, n_planes=8, multiprobe=1)
+    # the query vector itself and its planted twin must be found
+    got = set(res.vec_id.tolist())
+    assert 0 in got and 1 in got
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_near_dups():
+    m, tbl = _emb_table(n=300)
+    ds = ray.data.from_arrow(tbl)
+    pairs = embedding_near_dups(ds, threshold=0.99).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs.vec_a, pairs.vec_b)}
+    assert (0, 1) in got
+    # random gaussian vectors almost never hit cosine 0.99
+    assert len(got) < 5

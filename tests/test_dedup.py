@@ -1,0 +1,91 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
+    dedup_exact_texts,
+    exact_distinct_tokens,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep green forest while birds sing loudly above the trees")
+
+
+def _docs_table():
+    texts = [
+        BASE,                                   # 0
+        BASE,                                   # 1 exact dup of 0
+        BASE.replace("quick", "rapid"),         # 2 near dup of 0
+        "completely different content about database query engines and vectorized executors running on clusters",  # 3
+        "yet another unrelated string talking about sketches cardinality and frequency estimation at scale",       # 4
+        BASE + " extra tail words appended here",  # 5 near dup of 0
+    ]
+    return pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+        "source": pa.array(["s0", "s0", "s1", "s1", "s2", "s2"]),
+    })
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_exact_texts():
+    ds = ray.data.from_arrow(_docs_table())
+    out = dedup_exact_texts(ds).to_pandas().sort_values("kept_doc_id")
+    # docs 0 and 1 identical -> kept 0 with 2 copies; others singletons
+    kept = dict(zip(out.kept_doc_id, out.n_copies))
+    assert kept[0] == 2
+    assert 1 not in kept
+    assert all(kept[d] == 1 for d in (2, 3, 4, 5))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_near_dups_finds_planted_pairs():
+    ds = ray.data.from_arrow(_docs_table())
+    pairs = minhash_near_dups(ds, num_perm=64, bands=16, threshold=0.5,
+                              shingle=3).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert (0, 1) in got          # identical
+    assert (0, 2) in got or (1, 2) in got  # near dup
+    # unrelated docs must not pair with the base family
+    for bad in ((0, 3), (0, 4), (3, 4)):
+        assert bad not in got
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_near_dups():
+    ds = ray.data.from_arrow(_docs_table())
+    pairs = simhash_near_dups(ds, max_hamming=3).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert (0, 1) in got
+    assert (0, 3) not in got and (0, 4) not in got
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_jaccard_exact():
+    ds = ray.data.from_arrow(_docs_table())
+    pairs = ngram_jaccard_pairs(ds, n=1, threshold=0.9).to_pandas()
+    got = {tuple(sorted((a, b))): j
+           for a, b, j in zip(pairs.doc_a, pairs.doc_b, pairs.jaccard)}
+    assert got[(0, 1)] == 1.0  # identical word sets
+    # replacing one distinct word of 22: J = 21/23
+    pairs2 = ngram_jaccard_pairs(ds, n=1, threshold=0.5).to_pandas()
+    got2 = {tuple(sorted((a, b))): j
+            for a, b, j in zip(pairs2.doc_a, pairs2.doc_b, pairs2.jaccard)}
+    assert (0, 2) in got2 and 0.8 < got2[(0, 2)] < 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_distinct_tokens_matches_truth():
+    tbl = pa.table({
+        "source": ["a", "a", "b"],
+        "tokens": [[1, 2, 2, 3], [3, 4], [1, 1]],
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = exact_distinct_tokens(ds).to_pandas()
+    got = {(r.source, r.token) for r in out.itertuples()}
+    assert got == {("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 1)}
