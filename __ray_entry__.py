@@ -360,6 +360,94 @@ def _q_reach_curve(sf_dir: str):
                               max_freq=3)
 
 
+def _freq_tokens(sf_dir: str):
+    """Synthetic constant-frequency-3 tokens table (FIXTURES F3)."""
+    from cardinality_estimation_evaluation_framework_ray.sources.datagen import (
+        TokensTableSpec,
+        tokens_dataset,
+    )
+
+    spec = TokensTableSpec(num_sources=6, rows_per_source=400, min_tok=30,
+                           max_tok=30, universe_size=10**8,
+                           frequency="constant:3", seed=43)
+    return tokens_dataset(spec)
+
+
+def _q_freq_sketches(sf_dir: str):
+    """Rows-only: FLL + SKA + stratified-exact k+ histograms, one pass."""
+    from cardinality_estimation_evaluation_framework_ray.pipelines.reach import (
+        freq_report,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import (
+        ExactMultiSetSpec,
+        FllSpec,
+        SkaSpec,
+    )
+
+    specs = {
+        "fll": FllSpec(p=12, seed=42),
+        "ska": SkaSpec(length=50_000, decay_rate=10.0, seed=42),
+        "exact": ExactMultiSetSpec(max_freq=5),
+    }
+    return freq_report(_freq_tokens(sf_dir), specs, max_freq=5)
+
+
+def _q_legions_reach(sf_dir: str):
+    """Rows-only: cascading + liquid legions per-source and union reach."""
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.build import (
+        build_sketch_states,
+        collect_states,
+        union_across_keys,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import (
+        CascadingLegionsSpec,
+        LiquidLegionsSpec,
+    )
+
+    _, ds = _synthetic_tokens(sf_dir)
+    specs = {
+        "cl": CascadingLegionsSpec(l=24, m=5000, seed=42),
+        "ll": LiquidLegionsSpec(a=10.0, m=50_000, seed=42),
+    }
+    per_key = collect_states(build_sketch_states(ds, specs), specs)
+    rows = [{"source": k,
+             "est_cl": per_key[k]["cl"].get_cardinality(),
+             "est_ll": per_key[k]["ll"].get_cardinality()}
+            for k in sorted(per_key)]
+    union = union_across_keys(per_key, specs)
+    rows.append({"source": "__union__",
+                 "est_cl": union["cl"].get_cardinality(),
+                 "est_ll": union["ll"].get_cardinality()})
+    return pd.DataFrame(rows)
+
+
+def _q_stratified_union(sf_dir: str):
+    """Rows-only: stratified-sketch sequential (convolution) union histogram."""
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.build import (
+        build_sketch_states,
+        collect_states,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import (
+        ExactSetOperator,
+        StratifiedSequentialEstimator,
+        StratifiedSpec,
+    )
+
+    specs = {"strat": StratifiedSpec(max_freq=3)}
+    per_key = collect_states(build_sketch_states(_freq_tokens(sf_dir), specs),
+                             specs)
+    order = sorted(per_key)
+    est = StratifiedSequentialEstimator(
+        ExactSetOperator, lambda sl: [sl[0].cardinality()])(
+        [per_key[k]["strat"] for k in order])
+    return pd.DataFrame({"freq_level": list(range(1, len(est) + 1)),
+                         "k_plus_reach": [float(x) for x in est]})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # oracle-matched
@@ -383,6 +471,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "lang_id_counts": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
+        "freq_sketches": _q_freq_sketches,
+        "legions_reach": _q_legions_reach,
+        "stratified_union": _q_stratified_union,
     }
 
 

@@ -49,6 +49,29 @@ def reach_report(ds: "ray.data.Dataset", specs: dict[str, SketchSpec],
     return pd.DataFrame(rows)
 
 
+def freq_report(ds: "ray.data.Dataset", specs: dict[str, SketchSpec],
+                key: str = "source", max_freq: int = 3,
+                tree_width: int = 0) -> pd.DataFrame:
+    """Per-key + union k+ frequency histograms (columns est_{name}_{k})."""
+    states_ds = build_sketch_states(ds, specs, key, tree_width=tree_width)
+    per_key = collect_states(states_ds, specs, key)
+    rows = []
+
+    def hist_row(label, sketches):
+        row = {key: label}
+        for name in specs:
+            hist = sketches[name].estimate()
+            for f in range(max_freq):
+                row[f"est_{name}_{f + 1}"] = float(hist[f]) if f < len(hist) else 0.0
+        return row
+
+    for k in sorted(per_key):
+        rows.append(hist_row(k, per_key[k]))
+    union = union_across_keys(per_key, specs)
+    rows.append(hist_row("__union__", union))
+    return pd.DataFrame(rows)
+
+
 def prefix_union_curve(ds: "ray.data.Dataset", specs: dict[str, SketchSpec],
                        key: str = "source",
                        order: Iterable[str] | None = None,

@@ -14,9 +14,33 @@ from .bloom import (  # noqa: F401
     UnionEstimator,
     soft_union,
 )
+from .composite import (  # noqa: F401
+    IndependentSetEstimator,
+    MetaVectorOfCountsEstimator,
+)
 from .countmin import CountMinSketch, CountMinSpec  # noqa: F401
 from .exact import ExactMultiSetSketch, ExactMultiSetSpec  # noqa: F401
+from .fll import FllSketch, FllSpec  # noqa: F401
 from .hll import HllSketch, HllSpec  # noqa: F401
+from .legions import (  # noqa: F401
+    CascadingLegionsEstimator,
+    CascadingLegionsSketch,
+    CascadingLegionsSpec,
+    LiquidLegionsEstimator,
+    LiquidLegionsSketch,
+    LiquidLegionsSpec,
+    LiquidSampler,
+    LiquidSequentialEstimator,
+    VennEstimator,
+)
+from .ska import SkaSketch, SkaSpec, StandardizedHistogramEstimator  # noqa: F401
+from .stratified import (  # noqa: F401
+    ExactSetOperator,
+    StratifiedSketch,
+    StratifiedSpec,
+    PairwiseEstimator as StratifiedPairwiseEstimator,
+    SequentialEstimator as StratifiedSequentialEstimator,
+)
 from .quantiles import KllSketch, KllSpec, TDigestSketch, TDigestSpec  # noqa: F401
 from .voc import (  # noqa: F401
     PairwiseEstimator as VocPairwiseEstimator,
