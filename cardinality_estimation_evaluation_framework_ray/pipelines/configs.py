@@ -1,0 +1,105 @@
+"""Named evaluation / estimator configs mirroring the reference's registry.
+
+Mirrors ``src/evaluations/data/evaluation_configs.py``: the ``smoke_test``
+evaluation (5 scenarios: independent, remarketing, fully-overlapping,
+sequentially-correlated, subset — evaluation_configs.py:134-195) expressed as
+TokensTableSpec overlays, and a name -> SketchEstimatorConfig registry
+(evaluation_configs.py:1730-1762 shape) over this engine's sketches.
+"""
+
+from __future__ import annotations
+
+from ..sources.datagen import TokensTableSpec
+from ..state import (
+    BloomSpec,
+    CountMinSpec,
+    ExactMultiSetSpec,
+    FllSpec,
+    HllSpec,
+    KllSpec,
+    LiquidLegionsSpec,
+    SkaSpec,
+    StratifiedSpec,
+    TDigestSpec,
+    VocSpec,
+)
+from ..state.bloom import FirstMomentEstimator
+from ..state.ska import StandardizedHistogramEstimator
+from ..state.voc import SequentialEstimator as VocSequentialEstimator
+from .evaluator import EvaluationConfig, ScenarioConfig
+from .simulator import MergingEstimator, SketchEstimatorConfig
+
+
+def smoke_test_scenarios(universe_size: int = 200_000, num_sources: int = 10,
+                         rows_per_source: int = 400) -> list[ScenarioConfig]:
+    base = dict(num_sources=num_sources, rows_per_source=rows_per_source,
+                min_tok=16, max_tok=128, universe_size=universe_size, seed=42)
+    return [
+        ScenarioConfig("independent", TokensTableSpec(**base)),
+        ScenarioConfig("remarketing",
+                       TokensTableSpec(scenario="remarketing", **base)),
+        ScenarioConfig("fully_overlapping",
+                       TokensTableSpec(scenario="fully_overlapping",
+                                       window_frac=0.25, **base)),
+        ScenarioConfig("sequentially_correlated",
+                       TokensTableSpec(scenario="sequential", shared_prop=0.5,
+                                       window_frac=0.2, **base)),
+        ScenarioConfig("subset",
+                       TokensTableSpec(scenario="subset", window_frac=0.3, **base)),
+    ]
+
+
+def smoke_test_evaluation(num_runs: int = 3, **kwargs) -> EvaluationConfig:
+    return EvaluationConfig(name="smoke_test", num_runs=num_runs,
+                            scenarios=smoke_test_scenarios(**kwargs))
+
+
+class _BloomFirstMoment:
+    def __init__(self, method: str):
+        self._est = FirstMomentEstimator(method)
+
+    def __call__(self, sketch_list):
+        return [self._est(sketch_list)]
+
+
+def get_estimator_configs(names: list[str] | None = None,
+                          seed: int = 1) -> list[SketchEstimatorConfig]:
+    """Name -> config registry (the reference's estimator catalog shape)."""
+    registry = {
+        "hll-p14": SketchEstimatorConfig(
+            name="hll-p14", spec=HllSpec(p=14, seed=seed)),
+        "exact": SketchEstimatorConfig(
+            name="exact", spec=ExactMultiSetSpec()),
+        "exp_bloom_filter-1e5_10-first_moment_exp": SketchEstimatorConfig(
+            name="exp_bloom_filter-1e5_10-first_moment_exp",
+            spec=BloomSpec(length=100_000, distribution="exp", decay_rate=10.0,
+                           seed=seed),
+            estimator=_BloomFirstMoment("exp")),
+        "log_bloom_filter-1e5-first_moment_log": SketchEstimatorConfig(
+            name="log_bloom_filter-1e5-first_moment_log",
+            spec=BloomSpec(length=100_000, distribution="log", seed=seed),
+            estimator=_BloomFirstMoment("log")),
+        "geo_bloom_filter-1e4_0.0012-first_moment_geo": SketchEstimatorConfig(
+            name="geo_bloom_filter-1e4_0.0012-first_moment_geo",
+            spec=BloomSpec(length=10_000, distribution="geo",
+                           probability=0.0012, seed=seed),
+            estimator=_BloomFirstMoment("geo")),
+        "vector_of_counts-4096-sequential": SketchEstimatorConfig(
+            name="vector_of_counts-4096-sequential",
+            spec=VocSpec(num_buckets=4096, seed=seed),
+            estimator=VocSequentialEstimator(),
+            dedup_input=True),
+        "fll-p14": SketchEstimatorConfig(
+            name="fll-p14", spec=FllSpec(p=14, seed=seed), max_frequency=5),
+        "liquid_legions-10_1e5": SketchEstimatorConfig(
+            name="liquid_legions-10_1e5",
+            spec=LiquidLegionsSpec(a=10.0, m=100_000, seed=seed)),
+        "same_key_aggregator-1e5_10": SketchEstimatorConfig(
+            name="same_key_aggregator-1e5_10",
+            spec=SkaSpec(length=100_000, decay_rate=10.0, seed=seed),
+            estimator=StandardizedHistogramEstimator(max_freq=5),
+            max_frequency=5),
+    }
+    if names is None:
+        return list(registry.values())
+    return [registry[n] for n in names]

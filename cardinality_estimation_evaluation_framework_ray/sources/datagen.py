@@ -179,7 +179,12 @@ def tokens_dataset(spec: TokensTableSpec, *, override_num_blocks: int | None = N
 
 def write_tokens_table(spec: TokensTableSpec, out_dir: str,
                        override_num_blocks: int | None = None) -> str:
-    tokens_dataset(spec, override_num_blocks=override_num_blocks).write_parquet(out_dir)
+    ds = tokens_dataset(spec, override_num_blocks=override_num_blocks)
+    if override_num_blocks:
+        # keep one output file per block: predictable partitioned layout for
+        # the resumable/checkpointed build (stages/checkpoint.py)
+        ds = ds.repartition(override_num_blocks)
+    ds.write_parquet(out_dir)
     return out_dir
 
 

@@ -1,0 +1,72 @@
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import ray.data
+
+from cardinality_estimation_evaluation_framework_ray.sources.datagen import (
+    TokensTableSpec,
+    write_tokens_table,
+)
+from cardinality_estimation_evaluation_framework_ray.stages.build import (
+    build_sketch_states,
+    collect_states,
+)
+from cardinality_estimation_evaluation_framework_ray.stages.checkpoint import (
+    build_sketch_states_resumable,
+    checkpoint_progress,
+    partition_input_files,
+)
+from cardinality_estimation_evaluation_framework_ray.state import HllSpec
+
+SPEC = TokensTableSpec(num_sources=4, rows_per_source=300, min_tok=2,
+                       max_tok=32, universe_size=30_000, seed=21)
+
+
+@pytest.fixture(scope="module")
+def tokens_files(tmp_path_factory, ray_session):
+    out = str(tmp_path_factory.mktemp("tok"))
+    write_tokens_table(SPEC, out, override_num_blocks=6)
+    return sorted(glob.glob(os.path.join(out, "*.parquet")))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resumable_matches_direct(tokens_files, tmp_path):
+    specs = {"hll": HllSpec(p=10, seed=3)}
+    ck = str(tmp_path / "ckpt")
+    states = build_sketch_states_resumable(tokens_files, specs, ck,
+                                           files_per_partition=2)
+    per_key = collect_states(states, specs)
+    direct = collect_states(
+        build_sketch_states(ray.data.read_parquet(tokens_files), specs), specs)
+    assert set(per_key) == set(direct)
+    for k in per_key:
+        assert np.array_equal(per_key[k]["hll"].buckets, direct[k]["hll"].buckets)
+
+    prog = checkpoint_progress(ck)
+    assert prog.num_rows > 0
+    assert set(prog.column("partition_id").to_pylist()) == {0, 1, 2}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_skips_valid_checkpoints(tokens_files, tmp_path):
+    specs = {"hll": HllSpec(p=9, seed=4)}
+    ck = str(tmp_path / "ckpt2")
+    build_sketch_states_resumable(tokens_files, specs, ck).count()
+    paths = sorted(glob.glob(os.path.join(ck, "part=*", "states.parquet")))
+    mtimes = {p: os.path.getmtime(p) for p in paths}
+    # rerun: all checkpoints valid -> untouched
+    build_sketch_states_resumable(tokens_files, specs, ck).count()
+    assert {p: os.path.getmtime(p) for p in paths} == mtimes
+    # config change -> rebuild (hash mismatch)
+    specs2 = {"hll": HllSpec(p=9, seed=5)}
+    build_sketch_states_resumable(tokens_files, specs2, ck).count()
+    assert any(os.path.getmtime(p) != mtimes[p] for p in paths)
+
+
+def test_partitioning():
+    files = [f"f{i}" for i in range(7)]
+    parts = partition_input_files(files, 3)
+    assert [len(p) for p in parts] == [3, 3, 1]
