@@ -51,7 +51,7 @@ def ensure_tokens_table() -> str:
             write_tokens_table,
         )
 
-        write_tokens_table(spec, out, override_num_blocks=64)
+        write_tokens_table(spec, out, override_num_blocks=32)
         open(marker, "w").close()
     return out
 
@@ -80,24 +80,20 @@ def q_build_multi(tokens_dir: str) -> dict:
     )
     from cardinality_estimation_evaluation_framework_ray.state import HllSpec
 
-    specs = {"hll": HllSpec(p=14, seed=42, sparse=False)}
-    try:
-        from cardinality_estimation_evaluation_framework_ray.state import (
-            CountMinSpec,
-            KllSpec,
-        )
+    from cardinality_estimation_evaluation_framework_ray.state import (
+        BloomSpec,
+        CountMinSpec,
+        KllSpec,
+    )
 
-        specs["cm"] = CountMinSpec(depth=5, width=16384, seed=42)
-        specs["kll"] = KllSpec(k=200, seed=42)
-    except ImportError:
-        pass
-    try:
-        from cardinality_estimation_evaluation_framework_ray.state import BloomSpec
-
-        specs["exp_adbf"] = BloomSpec(length=100_000, distribution="exp",
-                                      decay_rate=10.0, seed=42)
-    except ImportError:
-        pass
+    specs = {
+        "hll": HllSpec(p=14, seed=42, sparse=False),
+        # width sized so a per-(batch,key) partial stays ~256 KB
+        "cm": CountMinSpec(depth=4, width=8192, seed=42),
+        "kll": KllSpec(k=200, seed=42),
+        "exp_adbf": BloomSpec(length=100_000, distribution="exp",
+                              decay_rate=10.0, seed=42),
+    }
     ds = ray.data.read_parquet(tokens_dir, columns=["tokens", "source"])
     df = reach_report(ds, specs, batch_size=16384, tree_width=8)
     return {"rows": len(df), "sketches": len(specs)}

@@ -64,9 +64,9 @@ class SkaSketch(Sketch):
         tokens = np.asarray(tokens)
         bspec = self.spec.bloom_spec()
         h = hash64(tokens, bspec.seed + 0)  # hash_no=0 stream, shared by all 3
-        _, bounds = bspec.tables()
-        u = h.astype(np.float64) / float(2.0**64)
-        idx = np.searchsorted(bounds, u)
+        from .bloom import register_indexes
+
+        idx = register_indexes(bspec, h)
         self.bits[idx] = 1
         self.counts += np.bincount(idx, minlength=self.spec.length).astype(np.int64)
         # unique keys are token+1 (any_sketch.py:92-105)
