@@ -448,6 +448,45 @@ def _q_stratified_union(sf_dir: str):
                          "k_plus_reach": [float(x) for x in est]})
 
 
+def _q_smoke_eval(sf_dir: str):
+    """Rows-only: full evaluator -> analyzer harness on a mini grid."""
+    import tempfile
+
+    from cardinality_estimation_evaluation_framework_ray.pipelines.analyzer import (
+        analyze,
+    )
+    from cardinality_estimation_evaluation_framework_ray.pipelines.configs import (
+        get_estimator_configs,
+    )
+    from cardinality_estimation_evaluation_framework_ray.pipelines.evaluator import (
+        EvaluationConfig,
+        Evaluator,
+        ScenarioConfig,
+    )
+    from cardinality_estimation_evaluation_framework_ray.sources.datagen import (
+        TokensTableSpec,
+    )
+
+    tiny = TokensTableSpec(num_sources=4, rows_per_source=150, min_tok=8,
+                           max_tok=64, universe_size=50_000, seed=17)
+    seq = TokensTableSpec(num_sources=4, rows_per_source=150, min_tok=8,
+                          max_tok=64, universe_size=50_000,
+                          scenario="sequential", shared_prop=0.5,
+                          window_frac=0.2, seed=17)
+    with tempfile.TemporaryDirectory() as tmp:
+        ev = Evaluator(
+            EvaluationConfig(name="mini", num_runs=2, scenarios=[
+                ScenarioConfig("independent", tiny),
+                ScenarioConfig("sequentially_correlated", seq)]),
+            get_estimator_configs(["exact", "hll-p14",
+                                   "exp_bloom_filter-1e5_10-first_moment_exp"]),
+            tmp, run_name="r", global_seed=7)
+        ev.run()
+        import os
+
+        return analyze(os.path.join(tmp, "r", "mini"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # oracle-matched
@@ -474,6 +513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freq_sketches": _q_freq_sketches,
         "legions_reach": _q_legions_reach,
         "stratified_union": _q_stratified_union,
+        "smoke_eval": _q_smoke_eval,
     }
 
 

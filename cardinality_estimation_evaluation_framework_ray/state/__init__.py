@@ -19,7 +19,13 @@ from .composite import (  # noqa: F401
     MetaVectorOfCountsEstimator,
 )
 from .countmin import CountMinSketch, CountMinSpec  # noqa: F401
-from .exact import ExactMultiSetSketch, ExactMultiSetSpec  # noqa: F401
+from .exact import (  # noqa: F401
+    AddRandomElementsNoiser,
+    ExactMultiSetSketch,
+    ExactMultiSetSpec,
+    LessOneEstimator,
+    LosslessEstimator,
+)
 from .fll import FllSketch, FllSpec  # noqa: F401
 from .hll import HllSketch, HllSpec  # noqa: F401
 from .legions import (  # noqa: F401

@@ -81,3 +81,45 @@ class ExactMultiSetSketch(Sketch):
 
     def load_state(self, d):
         self.tokens, self.counts = d["t"], d["c"]
+
+
+class LosslessEstimator:
+    """Union exact sketches, emit the true k+ histogram (exact_set.py:69-98)."""
+
+    def __call__(self, sketch_list) -> list[float]:
+        if not sketch_list:
+            return [0.0]
+        union = sketch_list[0].spec.new()
+        for s in sketch_list:
+            union.merge_in(s)
+        return union.estimate()
+
+
+class LessOneEstimator:
+    """Known-bias estimator for harness plumbing tests (exact_set.py:101-113)."""
+
+    def __call__(self, sketch_list) -> list[float]:
+        hist = LosslessEstimator()(sketch_list)
+        if sum(hist) == 0:
+            raise ValueError("Attempt to create a histogram with a negative value!")
+        return [max(h - 1, 0) for h in hist]
+
+
+class AddRandomElementsNoiser:
+    """Sketch noiser inserting n random unseen tokens (exact_set.py:116-133)."""
+
+    def __init__(self, num_random_elements: int,
+                 random_state: np.random.RandomState):
+        self.num_random_elements = num_random_elements
+        self.random_state = random_state
+
+    def __call__(self, sketch: ExactMultiSetSketch) -> ExactMultiSetSketch:
+        out = sketch.spec.new()
+        out.load_state({"t": sketch.tokens.copy(), "c": sketch.counts.copy()})
+        added = 0
+        while added < self.num_random_elements:
+            x = int(self.random_state.randint(2**62))
+            if out.frequency_of(x) == 0:
+                out.update_tokens(np.array([x]))
+                added += 1
+        return out
