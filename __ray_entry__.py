@@ -448,6 +448,30 @@ def _q_stratified_union(sf_dir: str):
                          "k_plus_reach": [float(x) for x in est]})
 
 
+def _q_events_cum_by_type(sf_dir: str):
+    """Grouped daily counts + per-group cumulative (window/lag-diff layer)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events").select_columns(["event_type", "ts"])
+
+    def add_day(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"event_type": df["event_type"]})
+        out["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        return out
+
+    daily = (ds.map_batches(add_day, batch_format="pandas")
+             .groupby(["event_type", "day"]).count())
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day").copy()
+        g["n_events"] = g["count()"].astype("int64")
+        g["cum_events"] = g["n_events"].cumsum().astype("int64")
+        return g[["event_type", "day", "n_events", "cum_events"]]
+
+    return daily.groupby("event_type").map_groups(cum,
+                                                  batch_format="pandas").to_pandas()
+
+
 def _q_smoke_eval(sf_dir: str):
     """Rows-only: full evaluator -> analyzer harness on a mini grid."""
     import tempfile
@@ -501,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "word_jaccard_pairs": _q_word_jaccard_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
+        "events_cum_by_type": _q_events_cum_by_type,
         # rows-only (approximate / non-SQL-expressible; bound-checked in tests/)
         "hll_synthetic": _q_hll_synthetic,
         "multi_sketch_synthetic": _q_multi_sketch_synthetic,
@@ -622,6 +647,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = c.doc_a
             JOIN sizes sb ON sb.doc_id = c.doc_b
             WHERE CAST(c.nc AS DOUBLE) / (sa.sz + sb.sz - c.nc) >= 0.8
+        """,
+        "events_cum_by_type": """
+            WITH daily AS (
+              SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, day, n_events,
+                   CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY day)
+                        AS BIGINT) AS cum_events
+            FROM daily
         """,
         "embedding_near_dups": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

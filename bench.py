@@ -65,9 +65,10 @@ def q_build_hll(tokens_dir: str) -> dict:
     )
     from cardinality_estimation_evaluation_framework_ray.state import HllSpec
 
-    ds = ray.data.read_parquet(tokens_dir, columns=["tokens", "source"])
+    ds = ray.data.read_parquet(tokens_dir, columns=["tokens", "source"],
+                               override_num_blocks=32)
     df = reach_report(ds, {"hll": HllSpec(p=14, seed=42, sparse=False)},
-                      batch_size=16384, tree_width=8)
+                      batch_size=16384)
     return {"rows": len(df)}
 
 
@@ -94,8 +95,10 @@ def q_build_multi(tokens_dir: str) -> dict:
         "exp_adbf": BloomSpec(length=100_000, distribution="exp",
                               decay_rate=10.0, seed=42),
     }
-    ds = ray.data.read_parquet(tokens_dir, columns=["tokens", "source"])
-    df = reach_report(ds, specs, batch_size=16384, tree_width=8)
+    # fixed block count => identical physical job at every parallelism level
+    ds = ray.data.read_parquet(tokens_dir, columns=["tokens", "source"],
+                               override_num_blocks=32)
+    df = reach_report(ds, specs, batch_size=16384)
     return {"rows": len(df), "sketches": len(specs)}
 
 
@@ -145,8 +148,11 @@ def run_once() -> dict:
     tokens_dir = ensure_tokens_table()
     n_tokens = total_tokens_in(tokens_dir)
 
+    only = os.environ.get("GRAFT_BENCH_ONLY")
     times: dict[str, float] = {}
     for name, fn in QUERIES.items():
+        if only and name != only:
+            continue
         t0 = time.perf_counter()
         fn(tokens_dir)
         times[name] = round(time.perf_counter() - t0, 3)
@@ -166,10 +172,15 @@ def run_once() -> dict:
 
 
 def run_scaling() -> dict:
-    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+    # Default 2 vs 8 (N and 4N): this sandbox exposes 32 vCPUs but delivers
+    # ~10-14 effective cores under contention, so both legs must fit inside
+    # real capacity for the measurement to reflect the ENGINE's scaling.
+    # Override with GRAFT_SCALING_CPUS=8,32 to measure the vCPU sweep.
+    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(","))
     results = {}
     for n in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
+                   GRAFT_BENCH_ONLY=HEADLINE)
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True)
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]

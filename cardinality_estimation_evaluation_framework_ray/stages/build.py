@@ -151,6 +151,50 @@ def build_partials(ds: "ray.data.Dataset", specs: dict[str, SketchSpec],
 # merge tree (reduce side)
 # ---------------------------------------------------------------------------
 
+def _merge_rows_per_key(tbl: pa.Table, specs: dict[str, SketchSpec],
+                        key: str) -> pa.Table:
+    """Merge same-key state rows of one table; one output row per key."""
+    keys_np = tbl.column(key).to_numpy(zero_copy_only=False)
+    n_rows = tbl.column("n_rows").to_numpy(zero_copy_only=False)
+    n_tokens = tbl.column("n_tokens").to_numpy(zero_copy_only=False)
+    uniq = np.unique(keys_np)
+    out = {key: uniq.tolist(), "n_rows": [], "n_tokens": [], "salt": []}
+    blob_cols = {name: tbl.column(state_col(name)).to_pylist() for name in specs}
+    for name in specs:
+        out[state_col(name)] = []
+    for kv in uniq:
+        mask = keys_np == kv
+        idxs = np.flatnonzero(mask)
+        out["n_rows"].append(int(n_rows[mask].sum()))
+        out["n_tokens"].append(int(n_tokens[mask].sum()))
+        out["salt"].append(0)
+        for name, spec in specs.items():
+            blobs = [blob_cols[name][i] for i in idxs]
+            out[state_col(name)].append(merge_many(spec, blobs).to_bytes())
+    return pa.table(out)
+
+
+def merge_partials(partials: "ray.data.Dataset", specs: dict[str, SketchSpec],
+                   key: str = "source",
+                   combine_batch_size: int = 1024) -> "ray.data.Dataset":
+    """Reduce partial states to one state row per key.
+
+    Two levels: (1) a SORT-FREE combiner — map_batches over bundles of
+    ``combine_batch_size`` partial rows merging same-key states within each
+    bundle.  This is the skew guard: a hot key's partials collapse by
+    ~combine_batch_size-x BEFORE any shuffle, with no extra all-to-all (an
+    earlier salted-groupby level cost a second Sort barrier and starved the
+    streaming executor).  (2) the single groupby(key) shuffle over the few
+    surviving rows.
+    """
+    merger = _make_group_merger(specs, key)
+    if combine_batch_size > 0:
+        partials = partials.map_batches(
+            lambda t: _merge_rows_per_key(t, specs, key),
+            batch_size=combine_batch_size, batch_format="pyarrow")
+    return partials.groupby(key).map_groups(merger, batch_format="pyarrow")
+
+
 def _make_group_merger(specs: dict[str, SketchSpec], key: str):
     def merge_group(tbl: pa.Table) -> pa.Table:
         out = {
@@ -167,38 +211,19 @@ def _make_group_merger(specs: dict[str, SketchSpec], key: str):
     return merge_group
 
 
-def merge_partials(partials: "ray.data.Dataset", specs: dict[str, SketchSpec],
-                   key: str = "source", tree_width: int = 0) -> "ray.data.Dataset":
-    """Reduce partial states to one state row per key.
-
-    ``tree_width > 0`` inserts an intermediate merge level keyed by
-    ``(key, salt % tree_width)`` — the skew guard for hot keys with very many
-    partials (north-rule requirement): the second level then merges only
-    ``tree_width`` pre-merged states per key.
-    """
-    merger = _make_group_merger(specs, key)
-    if tree_width > 0:
-        def add_bucket(tbl: pa.Table) -> pa.Table:
-            b = (tbl.column("salt").to_numpy(zero_copy_only=False) % tree_width).astype(np.int32)
-            return tbl.append_column("bucket", pa.array(b))
-
-        level1 = (
-            partials.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby([key, "bucket"])
-            .map_groups(lambda t: _make_group_merger(specs, key)(t.drop_columns(["bucket"])),
-                        batch_format="pyarrow")
-        )
-        return level1.groupby(key).map_groups(merger, batch_format="pyarrow")
-    return partials.groupby(key).map_groups(merger, batch_format="pyarrow")
-
-
 def build_sketch_states(ds: "ray.data.Dataset", specs: dict[str, SketchSpec],
                         key: str = "source", tokens_col: str = "tokens",
                         batch_size: int | None = 8192,
-                        tree_width: int = 0) -> "ray.data.Dataset":
-    """read -> partials -> merged per-key states (one row per key value)."""
+                        tree_width: int = 0,
+                        combine_batch_size: int = 1024) -> "ray.data.Dataset":
+    """read -> partials -> combiner -> merged per-key states.
+
+    ``tree_width`` is accepted for backward compatibility; the sort-free
+    combiner (see merge_partials) subsumes the old salted merge level.
+    """
+    del tree_width  # subsumed by the combiner
     partials = build_partials(ds, specs, key, tokens_col, batch_size)
-    return merge_partials(partials, specs, key, tree_width)
+    return merge_partials(partials, specs, key, combine_batch_size)
 
 
 # ---------------------------------------------------------------------------

@@ -141,7 +141,8 @@ def build_sketch_states_resumable(files: list[str], specs: dict[str, SketchSpec]
         return tbl.append_column("salt", pa.array(salt))
 
     partials = ck.map_batches(strip, batch_format="pyarrow")
-    return merge_partials(partials, specs, key, tree_width)
+    del tree_width  # subsumed by the sort-free combiner in merge_partials
+    return merge_partials(partials, specs, key)
 
 
 def checkpoint_progress(ckpt_dir: str) -> "pa.Table":

@@ -72,10 +72,13 @@ def test_partition_invariance():
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_tree_merge_matches_flat():
+def test_combiner_matches_no_combiner():
     specs = {"hll": HllSpec(p=9, seed=3)}
-    flat = collect_states(build_sketch_states(tokens_dataset(TINY), specs), specs)
-    tree = collect_states(
-        build_sketch_states(tokens_dataset(TINY), specs, tree_width=4), specs)
+    flat = collect_states(
+        build_sketch_states(tokens_dataset(TINY), specs, combine_batch_size=0),
+        specs)
+    combined = collect_states(
+        build_sketch_states(tokens_dataset(TINY), specs, combine_batch_size=4),
+        specs)
     for k in flat:
-        assert np.array_equal(flat[k]["hll"].buckets, tree[k]["hll"].buckets)
+        assert np.array_equal(flat[k]["hll"].buckets, combined[k]["hll"].buckets)

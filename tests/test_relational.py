@@ -1,0 +1,69 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+    broadcast_join,
+    grouped_quantile_disc,
+    lag_diff_per_group,
+    melt,
+    relative_error_columns,
+    union_all,
+)
+
+
+def _metric_ds():
+    return ray.data.from_pandas(pd.DataFrame({
+        "num_sets": [1, 2, 1, 2],
+        "estimated_cardinality_1": [95.0, 190.0, 105.0, 210.0],
+        "true_cardinality_1": [100, 200, 100, 200],
+    }))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_relative_error_columns():
+    out = relative_error_columns(_metric_ds()).to_pandas()
+    assert np.allclose(out.relative_error_1, [-0.05, -0.05, 0.05, 0.05])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_quantile_disc_matches_duckdb():
+    import duckdb
+
+    rs = np.random.RandomState(0)
+    df = pd.DataFrame({"k": rs.choice(["a", "b", "c"], 3000),
+                       "v": rs.randint(0, 50, 3000)})
+    got = grouped_quantile_disc(ray.data.from_pandas(df), "k", "v", 0.5)
+    ref = duckdb.sql(
+        "SELECT k, percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS p50_v "
+        "FROM df GROUP BY k ORDER BY k").df()
+    assert got["p50_v"].tolist() == ref["p50_v"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_melt_and_lag_diff():
+    df = pd.DataFrame({"id": [1, 2], "c_1": [10, 20], "c_2": [7, 12]})
+    long = melt(ray.data.from_pandas(df), ["id"], ["c_1", "c_2"]).to_pandas()
+    assert len(long) == 4
+    assert set(long.variable) == {"c_1", "c_2"}
+
+    cum = pd.DataFrame({"g": ["x"] * 3 + ["y"] * 2,
+                        "lvl": [1, 2, 3, 1, 2],
+                        "kplus": [10, 6, 1, 8, 3]})
+    out = lag_diff_per_group(ray.data.from_pandas(cum), "g", "lvl",
+                             "kplus").to_pandas().sort_values(["g", "lvl"])
+    assert out[out.g == "x"]["diff"].tolist() == [10.0, -4.0, -5.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_broadcast_join_and_union_all():
+    big = ray.data.from_pandas(pd.DataFrame({"k": ["a", "b", "a"],
+                                             "v": [1, 2, 3]}))
+    small = pd.DataFrame({"k": ["a", "b"], "label": ["A", "B"]})
+    out = broadcast_join(big, small, on="k").to_pandas()
+    assert out.sort_values("v").label.tolist() == ["A", "B", "A"]
+    u = union_all([big, big]).to_pandas()
+    assert len(u) == 6
