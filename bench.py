@@ -118,10 +118,42 @@ def q_tokenize(_: str) -> dict:
     return {"rows": out.count()}
 
 
+def q_minhash_dedup(_: str) -> dict:
+    """MinHash+LSH near-dup pairs over the sf documents table."""
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
+        minhash_near_dups,
+    )
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    return {"pairs": minhash_near_dups(docs, threshold=0.6).count()}
+
+
+def q_ann_topk(_: str) -> dict:
+    """Brute-force cosine top-10 for 8 query vectors over sf embeddings."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.ann import (
+        brute_force_topk,
+    )
+
+    tbl = pads.dataset(f"{SF_DIR}/embeddings.parquet").head(8)
+    q = np.stack([np.asarray(v, dtype=np.float32)
+                  for v in tbl.column("embedding").to_pylist()])
+    ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    return {"rows": len(brute_force_topk(ds, q, k=10))}
+
+
 QUERIES = {
     "build_hll": q_build_hll,
     "build_multi": q_build_multi,
     "tokenize": q_tokenize,
+    "minhash_dedup": q_minhash_dedup,
+    "ann_topk": q_ann_topk,
 }
 HEADLINE = "build_multi"
 

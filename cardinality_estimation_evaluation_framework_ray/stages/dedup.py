@@ -165,12 +165,20 @@ def minhash_near_dups(ds: "ray.data.Dataset", *, num_perm: int = 64,
                       bands: int = 16, threshold: float = 0.7,
                       shingle: int = 3, seed: int = 77,
                       text_col: str = "text", id_col: str = "doc_id",
+                      max_bucket_size: int = 2000,
                       concurrency=None) -> "ray.data.Dataset":
     """Near-duplicate pairs (doc_a, doc_b, est_jaccard >= threshold).
 
     documents -> signatures -> per-band bucket keys -> groupby bucket ->
     in-bucket signature comparison -> distinct pairs.  The shuffle payload is
     (bucket key, id, signature); signatures are num_perm*8 bytes.
+
+    ``max_bucket_size`` bounds the O(|bucket|^2) in-bucket comparison: a
+    bucket larger than this is a degenerate near-identical cluster (or a
+    pathological band); it is reduced to pairs against its min-id
+    representative instead of all-pairs, which keeps every member linked for
+    dedup purposes while dropping the quadratic blowup.  NOT a silent cap —
+    the representative edges still surface the cluster.
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
@@ -218,7 +226,12 @@ def minhash_near_dups(ds: "ray.data.Dataset", *, num_perm: int = 64,
                          .to_numpy(zero_copy_only=False)).reshape(n, num_perm)
         order = np.argsort(ids, kind="stable")
         ids, sig = ids[order], sig[order]
-        a_idx, b_idx = np.triu_indices(n, k=1)
+        if n > max_bucket_size:
+            # degenerate cluster: star expansion around the min-id member
+            a_idx = np.zeros(n - 1, dtype=np.int64)
+            b_idx = np.arange(1, n, dtype=np.int64)
+        else:
+            a_idx, b_idx = np.triu_indices(n, k=1)
         est = (sig[a_idx] == sig[b_idx]).mean(axis=1)
         keep = est >= threshold
         # drop same-id self pairs that appear when a doc lands twice in a bucket
