@@ -191,10 +191,8 @@ def write_tokens_table(spec: TokensTableSpec, out_dir: str,
 def exact_distinct_per_source(spec: TokensTableSpec) -> dict[str, int]:
     """Driver-side oracle for SMALL specs: true distinct tokens per source."""
     tbl = _gen_batch(np.arange(spec.total_rows, dtype=np.int64), spec)
-    vals, lengths = tbl.column("tokens").combine_chunks(), None
     out: dict[str, set] = {}
-    src = tbl.column("source").to_pylist()
-    toks = tbl.column("tokens").to_pylist()
-    for s, t in zip(src, toks):
+    for s, t in zip(tbl.column("source").to_pylist(),
+                    tbl.column("tokens").to_pylist()):
         out.setdefault(s, set()).update(t)
     return {k: len(v) for k, v in out.items()}

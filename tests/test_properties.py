@@ -1,0 +1,115 @@
+"""Property-based merge-law tests (north rule): for every associative sketch,
+merge is commutative, associative, partition-invariant, and serialization
+round-trips — under arbitrary token multisets and splits (hypothesis)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from cardinality_estimation_evaluation_framework_ray.state import (
+    BloomSpec,
+    CascadingLegionsSpec,
+    CountMinSpec,
+    ExactMultiSetSpec,
+    FllSpec,
+    HllSpec,
+    LiquidLegionsSpec,
+    SkaSpec,
+    TDigestSpec,
+    VocSpec,
+)
+from cardinality_estimation_evaluation_framework_ray.state.base import Sketch
+
+SPECS = [
+    HllSpec(p=6, seed=3),
+    HllSpec(p=6, seed=3, sparse=False),
+    FllSpec(p=6, seed=3),
+    BloomSpec(length=257, distribution="uniform", seed=3),
+    BloomSpec(length=257, distribution="exp", decay_rate=5.0, seed=3),
+    BloomSpec(length=257, distribution="geo", probability=0.01, seed=3),
+    BloomSpec(length=257, distribution="log", seed=3),
+    BloomSpec(length=257, counting=True, seed=3),
+    CountMinSpec(depth=3, width=64, seed=3),
+    CascadingLegionsSpec(l=8, m=37, seed=3),
+    LiquidLegionsSpec(a=5.0, m=211, seed=3),
+    SkaSpec(length=211, decay_rate=5.0, seed=3),
+    ExactMultiSetSpec(),
+    VocSpec(num_buckets=64, seed=3),  # on disjoint partitions of a multiset
+    TDigestSpec(compression=32.0),
+]
+
+tokens_strategy = st.lists(st.integers(0, 2**31 - 2), min_size=0, max_size=300)
+
+
+def _state_equal(a: Sketch, b: Sketch) -> bool:
+    da, db = a.state_dict(), b.state_dict()
+    if set(da) != set(db):
+        return False
+    for k in da:
+        va, vb = da[k], db[k]
+        if isinstance(va, np.ndarray) or isinstance(vb, np.ndarray):
+            if va is None or vb is None:
+                if va is not vb:
+                    return False
+            elif not np.array_equal(va, vb):
+                return False
+        elif isinstance(va, list):
+            if len(va) != len(vb) or any(not np.array_equal(x, y)
+                                         for x, y in zip(va, vb)):
+                return False
+        elif k == "rng":
+            continue  # KLL rng state is incidental
+        elif va != vb:
+            return False
+    return True
+
+
+def _fill(spec, toks):
+    s = spec.new()
+    s.update_tokens(np.asarray(toks, dtype=np.int64))
+    return s
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=lambda s: f"{s.kind}-{hash(s) % 997}")
+@settings(max_examples=25, deadline=None)
+@given(xs=tokens_strategy, ys=tokens_strategy, zs=tokens_strategy)
+def test_merge_laws(spec, xs, ys, zs):
+    if spec.kind == "tdigest":
+        # t-digest merge is associative only approximately (recompression);
+        # assert quantile agreement instead of state equality
+        a, b = _fill(spec, xs), _fill(spec, ys)
+        ab = _fill(spec, xs)
+        ab.merge_in(b)
+        ba = _fill(spec, ys)
+        ba.merge_in(a)
+        if ab.n > 0:
+            for q in (0.1, 0.5, 0.9):
+                lo, hi = sorted([ab.quantile(q), ba.quantile(q)])
+                spread = max(abs(hi), 1.0)
+                assert hi - lo <= 0.2 * spread + 1e-6
+        return
+    if spec.kind == "voc":
+        # one-shot contract: operands must be disjoint deduped partitions
+        pool = np.unique(np.asarray(xs + ys + zs, dtype=np.int64))
+        xs, ys, zs = pool[::3], pool[1::3], pool[2::3]
+    a, b, c = _fill(spec, xs), _fill(spec, ys), _fill(spec, zs)
+
+    ab = _fill(spec, xs); ab.merge_in(b)
+    ba = _fill(spec, ys); ba.merge_in(a)
+    assert _state_equal(ab, ba), "commutativity"
+
+    abc1 = _fill(spec, xs); abc1.merge_in(b); abc1.merge_in(c)
+    bc = _fill(spec, ys); bc.merge_in(c)
+    abc2 = _fill(spec, xs); abc2.merge_in(bc)
+    assert _state_equal(abc1, abc2), "associativity"
+
+    if spec.kind != "voc":
+        whole = _fill(spec, list(xs) + list(ys) + list(zs))
+        assert _state_equal(abc1, whole), "partition invariance"
+    else:
+        whole = _fill(spec, np.concatenate([xs, ys, zs]))
+        assert _state_equal(abc1, whole), "partition invariance (disjoint)"
+
+    blob = abc1.to_bytes()
+    back = Sketch.from_bytes(spec, blob)
+    assert _state_equal(abc1, back), "serialization round-trip"
