@@ -74,17 +74,47 @@ def shuffle_distance(hist1: list[float], hist2: list[float]) -> float:
 
 
 class Simulator:
-    """num_runs accuracy runs of one (scenario, estimator) cell."""
+    """num_runs accuracy runs of one (scenario, estimator) cell.
+
+    ``engine="dataset"`` (default) builds states through the distributed
+    Ray Data pipeline — right when one scenario's tokens are big.
+    ``engine="local"`` builds in-process with the same vectorized kernels
+    (the generator is a pure function of row ids) — right when scenarios are
+    small and the parallelism should instead go ACROSS (scenario, estimator,
+    run) cells, the reference's process-pool regime
+    (evaluator.py:286-294) — see Evaluator(parallel_cells=True).
+    """
 
     def __init__(self, num_runs: int, scenario: TokensTableSpec,
                  config: SketchEstimatorConfig,
                  sketch_random_state: np.random.RandomState | None = None,
-                 tree_width: int = 0):
+                 tree_width: int = 0, engine: str = "dataset"):
         self.num_runs = num_runs
         self.scenario = scenario
         self.config = config
         self.sketch_random_state = sketch_random_state or np.random.RandomState()
         self.tree_width = tree_width
+        assert engine in ("dataset", "local")
+        self.engine = engine
+
+    def _build_states_local(self, scenario: TokensTableSpec, specs):
+        """In-process build: generate -> group by source -> update kernels."""
+        from ..sources.datagen import _gen_batch
+        from ..stages.build import iter_key_tokens
+
+        tbl = _gen_batch(np.arange(scenario.total_rows, dtype=np.int64),
+                         scenario)
+        per_key: dict = {}
+        for kv, toks in iter_key_tokens(tbl, "source", "tokens"):
+            if self.config.dedup_input:
+                toks = np.unique(toks)
+            states = {}
+            for name, spec in specs.items():
+                sk = spec.new()
+                sk.update_tokens(toks)
+                states[name] = sk
+            per_key[kv] = states
+        return per_key
 
     def run_one(self, run_index: int) -> pd.DataFrame:
         # per-run scenario seed: deterministic function of (scenario.seed, run)
@@ -94,17 +124,19 @@ class Simulator:
         spec = dataclasses.replace(self.config.spec, seed=sketch_seed) \
             if hasattr(self.config.spec, "seed") else self.config.spec
         specs = {"sketch": spec, "truth": ExactMultiSetSpec()}
-        ds = tokens_dataset(scenario)
-        if self.config.dedup_input:
+        if self.engine == "local":
+            per_key = self._build_states_local(scenario, specs)
+        elif self.config.dedup_input:
             from ..stages.dedup import exact_distinct_tokens
 
-            ds = exact_distinct_tokens(ds)
+            ds = exact_distinct_tokens(tokens_dataset(scenario))
             per_key = collect_states(
                 build_sketch_states(ds, specs, tokens_col="token",
                                     tree_width=self.tree_width), specs)
         else:
             per_key = collect_states(
-                build_sketch_states(ds, specs, tree_width=self.tree_width), specs)
+                build_sketch_states(tokens_dataset(scenario), specs,
+                                    tree_width=self.tree_width), specs)
         order = sorted(per_key)
         sketches = [per_key[k]["sketch"] for k in order]
         truths = [per_key[k]["truth"] for k in order]
