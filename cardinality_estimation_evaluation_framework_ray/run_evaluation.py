@@ -27,6 +27,11 @@ def main(argv=None) -> int:
     parser.add_argument("--seed", type=int, default=1)
     parser.add_argument("--num-cpus", type=int, default=8)
     parser.add_argument("--overwrite", action="store_true")
+    parser.add_argument("--parallel-cells", action="store_true",
+                        help="one Ray task per (estimator, scenario) cell "
+                             "with the local simulator engine (small-scenario "
+                             "sweeps); default: sequential cells, each a "
+                             "distributed Ray Data pipeline")
     parser.add_argument("--analyze", action="store_true",
                         help="also write the analyzer report")
     args = parser.parse_args(argv)
@@ -52,7 +57,8 @@ def main(argv=None) -> int:
     est_cfgs = get_estimator_configs(names, seed=args.seed)
 
     ev = Evaluator(ev_cfg, est_cfgs, args.out, run_name=args.run_name,
-                   global_seed=args.seed, overwrite=args.overwrite)
+                   global_seed=args.seed, overwrite=args.overwrite,
+                   parallel_cells=args.parallel_cells)
     summary = ev.run()
     print(summary.to_string(index=False) if len(summary) else
           "all cells already complete (resume)")
