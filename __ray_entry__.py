@@ -472,6 +472,17 @@ def _q_events_cum_by_type(sf_dir: str):
                                                   batch_format="pandas").to_pandas()
 
 
+def _q_sessions(sf_dir: str):
+    """Gap-based sessionization of the events stream (30-min sessions)."""
+    from cardinality_estimation_evaluation_framework_ray.stages.sessions import (
+        session_stats,
+    )
+
+    df = session_stats(_read(sf_dir, "events"), gap_minutes=30.0)
+    return df.astype({"n_sessions": "int64", "n_events": "int64",
+                      "max_session_events": "int64"})
+
+
 def _q_smoke_eval(sf_dir: str):
     """Rows-only: full evaluator -> analyzer harness on a mini grid."""
     import tempfile
@@ -526,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_jaccard_pairs": _q_word_jaccard_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
         "events_cum_by_type": _q_events_cum_by_type,
+        "sessions": _q_sessions,
         # rows-only (approximate / non-SQL-expressible; bound-checked in tests/)
         "hll_synthetic": _q_hll_synthetic,
         "multi_sketch_synthetic": _q_multi_sketch_synthetic,
@@ -657,6 +669,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY day)
                         AS BIGINT) AS cum_events
             FROM daily
+        """,
+        "sessions": """
+            WITH ordered AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE
+                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events),
+            tagged AS (
+              SELECT user_id, ts,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM ordered),
+            sessions AS (
+              SELECT user_id, session_id, count(*) AS n
+              FROM tagged GROUP BY user_id, session_id)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(n) AS BIGINT) AS n_events,
+                   CAST(max(n) AS BIGINT) AS max_session_events
+            FROM sessions GROUP BY user_id
         """,
         "embedding_near_dups": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
