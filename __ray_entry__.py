@@ -483,6 +483,74 @@ def _q_sessions(sf_dir: str):
                       "max_session_events": "int64"})
 
 
+def _q_top_words(sf_dir: str):
+    """Exact distributed top-20 words by global frequency."""
+    import pyarrow as pa
+
+    from cardinality_estimation_evaluation_framework_ray.stages.joins import (
+        top_k_by_count,
+    )
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        _split_lists,
+    )
+
+    def words(batch: pa.Table) -> pa.Table:
+        values, _ = _split_lists(batch.column("text"))
+        return pa.table({"word": values})
+
+    ds = _read(sf_dir, "documents").select_columns(["text"]).map_batches(
+        words, batch_format="pyarrow", zero_copy_batch=True)
+    return top_k_by_count(ds, ["word"], 20)
+
+
+def _q_mktsegment_revenue(sf_dir: str):
+    """Broadcast equi-join orders x customer -> revenue per market segment."""
+    from ray.data.aggregate import Count, Sum
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        broadcast_join,
+    )
+
+    customers = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_mktsegment"]).to_pandas()  # small side, once
+    orders = _read(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"])
+    joined = broadcast_join(
+        orders.map_batches(lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
+                           batch_format="pandas"),
+        customers, on="c_custkey")
+    out = joined.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="revenue"),
+        Count(alias_name="n_orders"))
+    df = out.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df
+
+
+def _q_asof_last_order(sf_dir: str):
+    """As-of join: latest order date at or before each event's timestamp."""
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.joins import (
+        asof_join,
+    )
+
+    events = _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders").select_columns(["o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda df: df.rename(columns={"o_custkey": "user_id",
+                                      "o_orderdate": "ts"}),
+        batch_format="pandas")
+    joined = asof_join(events, orders, on="ts", by="user_id", right_cols=[])
+    df = joined.to_pandas()
+    out = pd.DataFrame({
+        "event_id": df["event_id"].astype("int64"),
+        "user_id": df["user_id"].astype("int64"),
+        "last_order_date": pd.to_datetime(df["ts_right"]).dt.strftime("%Y-%m-%d"),
+    })
+    return out
+
+
 def _q_smoke_eval(sf_dir: str):
     """Rows-only: full evaluator -> analyzer harness on a mini grid."""
     import tempfile
@@ -538,6 +606,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "events_cum_by_type": _q_events_cum_by_type,
         "sessions": _q_sessions,
+        "top_words": _q_top_words,
+        "mktsegment_revenue": _q_mktsegment_revenue,
+        "asof_last_order": _q_asof_last_order,
         # rows-only (approximate / non-SQL-expressible; bound-checked in tests/)
         "hll_synthetic": _q_hll_synthetic,
         "multi_sketch_synthetic": _q_multi_sketch_synthetic,
@@ -669,6 +740,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY day)
                         AS BIGINT) AS cum_events
             FROM daily
+        """,
+        "top_words": f"""
+            {_TOKS_CTE}
+            SELECT tok AS word, CAST(count(*) AS BIGINT) AS n
+            FROM toks GROUP BY tok
+            ORDER BY n DESC, word
+            LIMIT 20
+        """,
+        "mktsegment_revenue": """
+            SELECT c.c_mktsegment,
+                   round(sum(o.o_totalprice), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "asof_last_order": """
+            SELECT e.event_id, e.user_id,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS last_order_date
+            FROM events e
+            ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         "sessions": """
             WITH ordered AS (

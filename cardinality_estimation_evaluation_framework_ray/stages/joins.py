@@ -1,0 +1,80 @@
+"""Join operators: broadcast equi-join and as-of join.
+
+Ray Data (2.49) has no native join; these are the two shapes a pipeline at
+this engine's scale actually wants:
+
+* broadcast equi-join (stages/relational.py:broadcast_join): small side via
+  ``ray.put`` once, map-side merge — no shuffle of the big side.
+* as-of join (here): both sides shuffled ONCE by the ``by`` key (tag + union
+  + groupby — the cogroup composition), then a vectorized per-group
+  ``merge_asof``.  Partitioning assumption (per the driver brief): one ``by``
+  group fits in a task; at 100 TB pre-bucket by hash(by) % k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+_SIDE = "__asof_side__"
+
+
+def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
+              on: str, by: str, direction: str = "backward",
+              right_cols: list[str] | None = None,
+              suffix: str = "_right") -> "ray.data.Dataset":
+    """For each left row, attach the latest (direction='backward') right row
+    of the same ``by`` key with right.on <= left.on.
+
+    Returns left columns + the selected right columns (suffixed where they
+    collide).  Rows with no match keep nulls (left join semantics).
+    """
+    rc = right_cols if right_cols is not None else [
+        c for c in right.schema().names if c not in (on, by)]
+    left_names = left.schema().names
+    # one unified schema so the tagged union is well-formed
+    all_cols = list(left_names) + [c for c in rc if c not in left_names]
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.reindex(columns=all_cols)
+            df[_SIDE] = np.int8(side)
+            return df
+        return fn
+
+    lt = left.map_batches(tag(0), batch_format="pandas")
+    rt = (right.select_columns([by, on] + rc)
+          .map_batches(tag(1), batch_format="pandas"))
+    unioned = lt.union(rt)
+
+    rename = {c: c + suffix if c in left_names else c for c in [on] + rc}
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g[_SIDE] == 0][list(left_names)]
+        out_cols = list(left_names) + [rename[c] for c in [on] + rc]
+        if len(lg) == 0:
+            return pd.DataFrame(columns=out_cols)
+        rg = (g[g[_SIDE] == 1][[by, on] + rc]
+              .dropna(subset=[on]).rename(columns=rename))
+        lg = lg.sort_values(on)
+        rg = rg.sort_values(rename[on])
+        out = pd.merge_asof(lg, rg, left_on=on, right_on=rename[on], by=by,
+                            direction=direction)
+        return out[out_cols]
+
+    return unioned.groupby(by).map_groups(per_key, batch_format="pandas")
+
+
+def top_k_by_count(ds: "ray.data.Dataset", key_cols: list[str], k: int,
+                   count_name: str = "n") -> pd.DataFrame:
+    """Exact distributed top-k: groupby count (the shuffle is over DISTINCT
+    keys, pre-combined map-side by Ray's aggregate) -> sort + limit on the
+    small aggregated result. Deterministic tie-break by key."""
+    counts = ds.groupby(key_cols).count()
+    df = counts.to_pandas().rename(columns={"count()": count_name})
+    df[count_name] = df[count_name].astype("int64")
+    df = df.sort_values([count_name] + key_cols,
+                        ascending=[False] + [True] * len(key_cols))
+    return df.head(k).reset_index(drop=True)

@@ -1,0 +1,60 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from cardinality_estimation_evaluation_framework_ray.stages.joins import (
+    asof_join,
+    top_k_by_count,
+)
+
+
+def _tables():
+    left = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5],
+        "k": ["a", "a", "b", "b", "c"],   # c has no right rows
+        "t": [10.0, 25.0, 5.0, 30.0, 7.0],
+    })
+    right = pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "t": [8.0, 20.0, 29.0],
+        "v": [100, 200, 300],
+    })
+    return left, right
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_matches_pandas():
+    left, right = _tables()
+    got = asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    on="t", by="k").to_pandas().sort_values("id").reset_index(drop=True)
+    expect = pd.merge_asof(left.sort_values("t"),
+                           right.sort_values("t").rename(
+                               columns={"t": "t_right", "v": "v"}),
+                           left_on="t", right_on="t_right", by="k",
+                           direction="backward").sort_values("id").reset_index(drop=True)
+    assert got.id.tolist() == expect.id.tolist()
+    assert got.v.fillna(-1).tolist() == expect.v.fillna(-1).tolist()
+    # id=1 (t=10) -> right t=8 v=100 ; id=2 (t=25) -> v=200 ;
+    # id=3 (t=5, b) -> no match ; id=4 (t=30, b) -> v=300 ; id=5 (c) -> none
+    lookup = dict(zip(got.id, got.v.fillna(-1)))
+    assert lookup == {1: 100, 2: 200, 3: -1, 4: 300, 5: -1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_forward():
+    left, right = _tables()
+    got = asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    on="t", by="k", direction="forward").to_pandas()
+    lookup = dict(zip(got.id, got.v.fillna(-1)))
+    # forward: first right row with t >= left.t
+    assert lookup == {1: 200, 2: -1, 3: 300, 4: -1, 5: -1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_k_by_count_tie_break():
+    df = pd.DataFrame({"w": ["x"] * 3 + ["y"] * 3 + ["z"] * 2})
+    out = top_k_by_count(ray.data.from_pandas(df), ["w"], 2)
+    assert out.w.tolist() == ["x", "y"]  # equal counts -> lexicographic
+    assert out.n.tolist() == [3, 3]
