@@ -29,6 +29,16 @@ from ..state.voc import SequentialEstimator as VocSequentialEstimator
 from .evaluator import EvaluationConfig, ScenarioConfig
 from .simulator import MergingEstimator, SketchEstimatorConfig
 
+import numpy as _np
+
+_LN3 = float(_np.log(3))
+
+
+def _make_surreal(epsilon: float):
+    from ..state.noise import make_surreal_denoiser
+
+    return make_surreal_denoiser(epsilon=epsilon)
+
 
 def smoke_test_scenarios(universe_size: int = 200_000, num_sources: int = 10,
                          rows_per_source: int = 400) -> list[ScenarioConfig]:
@@ -55,11 +65,42 @@ def smoke_test_evaluation(num_runs: int = 3, **kwargs) -> EvaluationConfig:
 
 
 class _BloomFirstMoment:
-    def __init__(self, method: str):
-        self._est = FirstMomentEstimator(method)
+    def __init__(self, method: str, denoiser=None):
+        self._est = FirstMomentEstimator(method, denoiser=denoiser)
 
     def __call__(self, sketch_list):
         return [self._est(sketch_list)]
+
+
+class _BlipSketchNoiser:
+    """Blip local-DP noise on a BloomSketch (the reference's ln3 variants)."""
+
+    def __init__(self, epsilon: float, seed: int = 0):
+        import numpy as np
+
+        self._epsilon = epsilon
+        self._rs = np.random.RandomState(seed)
+
+    def __call__(self, sketch):
+        from ..state.noise import blip
+
+        out = sketch.spec.new()
+        out.registers = blip(sketch.registers, self._epsilon,
+                             sketch.spec.num_hashes, self._rs)
+        return out
+
+
+class _VocLaplaceNoiser:
+    def __init__(self, epsilon: float, seed: int = 0):
+        import numpy as np
+
+        self._epsilon = epsilon
+        self._rs = np.random.RandomState(seed)
+
+    def __call__(self, sketch):
+        from ..state.voc import laplace_noise_voc
+
+        return laplace_noise_voc(sketch, self._epsilon, self._rs)
 
 
 def get_estimator_configs(names: list[str] | None = None,
@@ -88,6 +129,21 @@ def get_estimator_configs(names: list[str] | None = None,
             name="vector_of_counts-4096-sequential",
             spec=VocSpec(num_buckets=4096, seed=seed),
             estimator=VocSequentialEstimator(),
+            dedup_input=True),
+        # local-DP ln3 variants (reference smoke-test ln3 rows,
+        # evaluation_configs.py + bloom_filters.py:538-631)
+        "exp_bloom_filter-1e5_10-ln3-first_moment_exp": SketchEstimatorConfig(
+            name="exp_bloom_filter-1e5_10-ln3-first_moment_exp",
+            spec=BloomSpec(length=100_000, distribution="exp", decay_rate=10.0,
+                           seed=seed),
+            sketch_noiser=_BlipSketchNoiser(epsilon=_LN3, seed=seed + 1),
+            estimator=_BloomFirstMoment(
+                "exp", denoiser=_make_surreal(epsilon=_LN3))),
+        "vector_of_counts-4096-ln3-sequential": SketchEstimatorConfig(
+            name="vector_of_counts-4096-ln3-sequential",
+            spec=VocSpec(num_buckets=4096, seed=seed),
+            sketch_noiser=_VocLaplaceNoiser(epsilon=_LN3, seed=seed + 2),
+            estimator=VocSequentialEstimator(clip=True, epsilon=_LN3),
             dedup_input=True),
         "fll-p14": SketchEstimatorConfig(
             name="fll-p14", spec=FllSpec(p=14, seed=seed), max_frequency=5),
