@@ -40,6 +40,12 @@ def _make_surreal(epsilon: float):
     return make_surreal_denoiser(epsilon=epsilon)
 
 
+def _make_geometric_estimate_noiser(epsilon: float, seed: int):
+    from ..state.noise import geometric_noiser
+
+    return geometric_noiser(epsilon, _np.random.RandomState(seed))
+
+
 def smoke_test_scenarios(universe_size: int = 200_000, num_sources: int = 10,
                          rows_per_source: int = 400) -> list[ScenarioConfig]:
     base = dict(num_sources=num_sources, rows_per_source=rows_per_source,
@@ -145,6 +151,18 @@ def get_estimator_configs(names: list[str] | None = None,
             sketch_noiser=_VocLaplaceNoiser(epsilon=_LN3, seed=seed + 2),
             estimator=VocSequentialEstimator(clip=True, epsilon=_LN3),
             dedup_input=True),
+        "log_bloom_filter-1e5-ln3-first_moment_log": SketchEstimatorConfig(
+            name="log_bloom_filter-1e5-ln3-first_moment_log",
+            spec=BloomSpec(length=100_000, distribution="log", seed=seed),
+            sketch_noiser=_BlipSketchNoiser(epsilon=_LN3, seed=seed + 3),
+            estimator=_BloomFirstMoment(
+                "log", denoiser=_make_surreal(epsilon=_LN3))),
+        # global-DP variant: geometric (discrete Laplace) noise on the
+        # ESTIMATE (estimator_noisers.py:44-64)
+        "hll-p14-geometric_estimate_noise": SketchEstimatorConfig(
+            name="hll-p14-geometric_estimate_noise",
+            spec=HllSpec(p=14, seed=seed),
+            estimate_noiser=_make_geometric_estimate_noiser(_LN3, seed + 4)),
         "fll-p14": SketchEstimatorConfig(
             name="fll-p14", spec=FllSpec(p=14, seed=seed), max_frequency=5),
         "liquid_legions-10_1e5": SketchEstimatorConfig(
