@@ -70,6 +70,45 @@ def smoke_test_evaluation(num_runs: int = 3, **kwargs) -> EvaluationConfig:
                             scenarios=smoke_test_scenarios(**kwargs))
 
 
+def frequency_smoke_scenarios(universe_size: int = 10**9,
+                              num_sources: int = 5,
+                              rows_per_source: int = 400) -> list[ScenarioConfig]:
+    """Frequency scenarios (reference frequency_end_to_end shape,
+    frequency_set_generator.py:82-341): controlled within-source repetition."""
+    base = dict(num_sources=num_sources, rows_per_source=rows_per_source,
+                min_tok=30, max_tok=30, universe_size=universe_size, seed=44)
+    return [
+        ScenarioConfig("freq_constant_2",
+                       TokensTableSpec(frequency="constant:2", **base)),
+        ScenarioConfig("freq_constant_5",
+                       TokensTableSpec(frequency="constant:5", **base)),
+        ScenarioConfig("freq_natural",
+                       TokensTableSpec(**{**base, "universe_size": 5000,
+                                          "min_tok": 16, "max_tok": 64})),
+    ]
+
+
+def frequency_smoke_evaluation(num_runs: int = 3, **kwargs) -> EvaluationConfig:
+    return EvaluationConfig(name="frequency_smoke",
+                            num_runs=num_runs,
+                            scenarios=frequency_smoke_scenarios(**kwargs))
+
+
+def get_frequency_estimator_configs(seed: int = 1) -> list[SketchEstimatorConfig]:
+    """Frequency (k+ histogram) estimator registry entries, max_frequency=5."""
+    return [
+        SketchEstimatorConfig(name="exact-freq",
+                              spec=ExactMultiSetSpec(), max_frequency=5),
+        SketchEstimatorConfig(name="fll-p14-freq",
+                              spec=FllSpec(p=14, seed=seed), max_frequency=5),
+        SketchEstimatorConfig(
+            name="same_key_aggregator-1e5_10-freq",
+            spec=SkaSpec(length=100_000, decay_rate=10.0, seed=seed),
+            estimator=StandardizedHistogramEstimator(max_freq=5),
+            max_frequency=5),
+    ]
+
+
 class _BloomFirstMoment:
     def __init__(self, method: str, denoiser=None):
         self._est = FirstMomentEstimator(method, denoiser=denoiser)
