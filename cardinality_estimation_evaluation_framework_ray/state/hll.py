@@ -51,6 +51,12 @@ class HllSpec(SketchSpec):
     p: int = 14
     seed: int = 1
     sparse: bool = True  # keep the exact small-cardinality path
+    #: "reference" = the reference's simplified estimator (no bias correction,
+    #: ~20% positive bias for m < n < 5m, hyper_log_log.py:184-215);
+    #: "ertl" = Ertl's table-free improved raw estimator ("New cardinality
+    #: estimation algorithms for HyperLogLog sketches", 2017, §4), unbiased
+    #: across the whole range — an accuracy improvement over the reference.
+    estimator: str = "reference"
 
     def __post_init__(self):
         if not (3 < self.p < 17):
@@ -115,6 +121,8 @@ class HllSketch(Sketch):
     def estimate_cardinality(self) -> float:
         if self.sparse_tokens is not None:
             return float(len(self.sparse_tokens))
+        if self.spec.estimator == "ertl":
+            return self._estimate_ertl()
         m = self.spec.m
         raw = _alpha(m) * m * m / np.sum(np.exp2(-self.buckets.astype(np.float64)))
         zeros = int(np.sum(self.buckets == 0))
@@ -125,6 +133,46 @@ class HllSketch(Sketch):
         if candidate <= _THRESHOLD[self.spec.p]:
             return float(candidate)
         return float(raw)
+
+    # -- Ertl improved raw estimator (2017, §4; no empirical tables) --------
+    @staticmethod
+    def _sigma(x: float) -> float:
+        """sigma(x) = x + sum_{k>=1} x^(2^k) 2^(k-1); handles C0 mass."""
+        if x == 1.0:
+            return math.inf
+        y, z = 1.0, x
+        while True:
+            x = x * x
+            z_prev = z
+            z += x * y
+            y += y
+            if z == z_prev:
+                return z
+
+    @staticmethod
+    def _tau(x: float) -> float:
+        """tau(x) for the saturated-register mass."""
+        if x == 0.0 or x == 1.0:
+            return 0.0
+        y, z = 1.0, 1.0 - x
+        while True:
+            x = math.sqrt(x)
+            z_prev = z
+            y *= 0.5
+            z -= (1.0 - x) ** 2 * y
+            if z == z_prev:
+                return z / 3.0
+
+    def _estimate_ertl(self) -> float:
+        m = self.spec.m
+        q = 64 - self.spec.p  # register values range 0..q+1
+        counts = np.bincount(self.buckets, minlength=q + 2).astype(np.float64)
+        z = m * self._tau(1.0 - counts[q + 1] / m)
+        for k in range(q, 0, -1):
+            z = 0.5 * (z + counts[k])
+        z += m * self._sigma(counts[0] / m)
+        alpha_inf = 1.0 / (2.0 * math.log(2.0))
+        return float(alpha_inf * m * m / z)
 
     # -- serialization ------------------------------------------------------
     def state_dict(self):

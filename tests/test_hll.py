@@ -37,6 +37,16 @@ def test_accuracy_bands(n):
     assert err < max(3 * spec.rel_std_error(), 0.02)
 
 
+@pytest.mark.parametrize("n", [100, 12_000, 20_000, 80_000, 500_000])
+def test_ertl_estimator_unbiased_across_ranges(n):
+    # Ertl (2017) improved raw estimator: no bias zone (unlike the
+    # reference's simplified estimator, which is +20-55% for m < n < 5m)
+    spec = HllSpec(p=14, seed=11, sparse=False, estimator="ertl")
+    s = _fill(spec, np.random.RandomState(1).randint(0, 2**62, size=n))
+    err = abs(s.estimate_cardinality() - n) / n
+    assert err < max(3 * spec.rel_std_error(), 0.02), err
+
+
 def test_bias_zone_matches_reference_envelope():
     # For m < n < 5m neither we nor the reference apply ++ bias correction
     # (reference hyper_log_log.py:184-187 returns bias 0), so the raw
