@@ -231,8 +231,10 @@ def _q_word_jaccard_pairs(sf_dir: str):
         ngram_jaccard_pairs,
     )
 
+    # max_df = the scale-guard df-cut (stages/dedup.py): shingles present in
+    # more than 250 docs are dropped on BOTH sides (SQL oracle mirrors it)
     return ngram_jaccard_pairs(_read(sf_dir, "documents"), n=1,
-                               threshold=0.8).to_pandas()
+                               threshold=0.8, max_df=250).to_pandas()
 
 
 def _q_embedding_near_dups(sf_dir: str):
@@ -451,15 +453,16 @@ def _q_stratified_union(sf_dir: str):
 def _q_events_cum_by_type(sf_dir: str):
     """Grouped daily counts + per-group cumulative (window/lag-diff layer)."""
     import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     ds = _read(sf_dir, "events").select_columns(["event_type", "ts"])
 
-    def add_day(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"event_type": df["event_type"]})
-        out["day"] = df["ts"].dt.strftime("%Y-%m-%d")
-        return out
+    def add_day(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t.column("ts"), format="%Y-%m-%d")
+        return pa.table({"event_type": t.column("event_type"), "day": day})
 
-    daily = (ds.map_batches(add_day, batch_format="pandas")
+    daily = (ds.map_batches(add_day, batch_format="pyarrow", zero_copy_batch=True)
              .groupby(["event_type", "day"]).count())
 
     def cum(g: pd.DataFrame) -> pd.DataFrame:
@@ -714,11 +717,17 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 10
         """,
         "word_jaccard_pairs": """
-            WITH toks AS (
+            WITH toks0 AS (
               SELECT DISTINCT doc_id,
                      unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                             x -> x <> '')) AS tok
               FROM documents),
+            -- df-cut mirror of ngram_jaccard_pairs(max_df=250): drop
+            -- shingles present in more than 250 docs on BOTH sides
+            kept_tok AS (
+              SELECT tok FROM toks0 GROUP BY tok HAVING count(*) <= 250),
+            toks AS (SELECT t.doc_id, t.tok FROM toks0 t
+                     JOIN kept_tok USING (tok)),
             sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
             common AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nc
@@ -783,6 +792,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) AS BIGINT) AS n_events,
                    CAST(max(n) AS BIGINT) AS max_session_events
             FROM sessions GROUP BY user_id
+        """,
+        # 1:1 mirror of stages/text.py:LangId (vectorized heuristic contract:
+        # RE2 \\s+ split of lower(text), empties dropped, first 200 words;
+        # zh if CJK codepoints > 5% of first 400 chars; argmax profile hits
+        # in fixed order en,de,fr,es with ties to the earlier language)
+        "lang_id_counts": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_slice(list_filter(
+                         regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                         x -> x <> ''), 1, 200) AS ws,
+                     length(regexp_replace(substring(coalesce(text, ''), 1, 400),
+                                           '[^一-鿿]', '', 'g')) AS cjk,
+                     least(length(coalesce(text, '')), 400) AS tlen
+              FROM documents),
+            hits AS (
+              SELECT doc_id, cjk, tlen,
+                len(list_filter(ws, x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS h_en,
+                len(list_filter(ws, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','ich'))) AS h_de,
+                len(list_filter(ws, x -> x IN ('le','la','les','et','de','un','une','est','pour','que'))) AS h_fr,
+                len(list_filter(ws, x -> x IN ('el','la','los','las','y','de','un','una','es','que'))) AS h_es
+              FROM w),
+            lang AS (
+              SELECT CASE
+                WHEN cjk > 0.05 * tlen THEN 'zh'
+                WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                WHEN h_fr >= h_es THEN 'fr'
+                ELSE 'es' END AS lang_pred
+              FROM hits)
+            SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+            FROM lang GROUP BY lang_pred
         """,
         "embedding_near_dups": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -105,26 +105,47 @@ def _shingle_hashes(word_h: np.ndarray, lengths: np.ndarray, n: int):
 
     Returns (shingle values, per-doc shingle counts); docs shorter than n
     contribute their single full-doc hash so they still get a signature.
+
+    Whole-batch vectorized: ONE FNV-style accumulation over the concatenated
+    word-hash array (n-1 shifted vector ops total, no per-doc Python loop);
+    grams that would cross a doc boundary are simply never selected, because
+    the valid grams of doc i occupy a contiguous prefix of its segment.
+    Docs shorter than n fall to a masked fold (< n vector steps).  Values
+    and output order are identical to the per-doc formulation.
     """
+    lengths = np.asarray(lengths, dtype=np.int64)
     counts = np.maximum(lengths - n + 1, 1).astype(np.int64)
-    offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
+    total = int(lengths.sum())
     out = np.empty(int(counts.sum()), dtype=np.uint64)
-    pos = 0
+    if len(lengths) == 0:
+        return out, counts
+    in_off = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    out_off = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    FNV = np.uint64(0x100000001B3)
+    word_h = np.ascontiguousarray(word_h, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        for i, L in enumerate(lengths):
-            ws = word_h[offsets[i]:offsets[i + 1]]
-            c = counts[i]
-            if L >= n:
-                acc = ws[0:c].copy()
-                for j in range(1, n):
-                    acc = acc * np.uint64(0x100000001B3) + ws[j:j + c]
-                out[pos:pos + c] = _mix(acc)
-            else:
-                acc = np.uint64(0xCBF29CE484222325)
-                for w in ws:
-                    acc = acc * np.uint64(0x100000001B3) + w
-                out[pos] = _mix(np.array([acc], dtype=np.uint64))[0]
-            pos += c
+        M = total - n + 1
+        long_docs = lengths >= n
+        if M > 0 and long_docs.any():
+            acc = word_h[0:M].copy()
+            for j in range(1, n):
+                acc = acc * FNV + word_h[j:j + M]
+            acc = _mix(acc)
+            li = np.flatnonzero(long_docs)
+            c = counts[li]
+            within = np.arange(int(c.sum()), dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(c)[:-1]]), c)
+            src = np.repeat(in_off[li], c) + within
+            dst = np.repeat(out_off[li], c) + within
+            out[dst] = acc[src]
+        short = np.flatnonzero(~long_docs)
+        if len(short):
+            acc_s = np.full(len(short), 0xCBF29CE484222325, dtype=np.uint64)
+            Ls = lengths[short]
+            for j in range(int(Ls.max()) if len(Ls) else 0):
+                m = Ls > j
+                acc_s[m] = acc_s[m] * FNV + word_h[in_off[short[m]] + j]
+            out[out_off[short]] = _mix(acc_s)
     return out, counts
 
 
@@ -277,9 +298,16 @@ def simhash_signatures(ds: "ray.data.Dataset", *, seed: int = 99,
 
 def simhash_near_dups(ds: "ray.data.Dataset", *, max_hamming: int = 3,
                       seed: int = 99, text_col: str = "text",
-                      id_col: str = "doc_id") -> "ray.data.Dataset":
+                      id_col: str = "doc_id",
+                      max_bucket_size: int = 2000) -> "ray.data.Dataset":
     """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming (<= 3 for full
-    recall with the 4x16-bit pigeonhole banding)."""
+    recall with the 4x16-bit pigeonhole banding).
+
+    ``max_bucket_size`` bounds the O(|bucket|^2) in-bucket scan exactly like
+    MinHash's guard: a 16-bit chunk shared by more than this many docs (e.g.
+    the all-zeros chunk of short/templated docs) is reduced to star-expansion
+    pairs against its min-id member instead of all-pairs — every member stays
+    linked for dedup purposes, the quadratic blowup is gone."""
     sigs = simhash_signatures(ds, seed=seed, text_col=text_col, id_col=id_col)
 
     def to_chunks(batch: pa.Table) -> pa.Table:
@@ -306,7 +334,12 @@ def simhash_near_dups(ds: "ray.data.Dataset", *, max_hamming: int = 3,
         sig = tbl.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
         order = np.argsort(ids, kind="stable")
         ids, sig = ids[order], sig[order]
-        a, b = np.triu_indices(n, k=1)
+        if n > max_bucket_size:
+            # degenerate hot chunk: star expansion around the min-id member
+            a = np.zeros(n - 1, dtype=np.int64)
+            b = np.arange(1, n, dtype=np.int64)
+        else:
+            a, b = np.triu_indices(n, k=1)
         x = sig[a] ^ sig[b]
         ham = np.zeros(len(x), dtype=np.int64)
         for _ in range(64):  # popcount via Kernighan would loop data-dependent; do bit loop
@@ -330,14 +363,35 @@ def simhash_near_dups(ds: "ray.data.Dataset", *, max_hamming: int = 3,
 
 def ngram_jaccard_pairs(ds: "ray.data.Dataset", *, n: int = 1,
                         threshold: float = 0.5, seed: int = 55,
-                        text_col: str = "text", id_col: str = "doc_id") -> "ray.data.Dataset":
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_df: int | None = None,
+                        pair_chunk: int = 262_144) -> "ray.data.Dataset":
     """Exact Jaccard over word n-gram SETS via a posting-list self-join.
 
-    Shuffle key = shingle hash; each group emits co-occurrence counts, a
-    second groupby sums them, and |A u B| = |A| + |B| - |A n B| closes the
-    formula.  At 100 TB this is gated behind LSH candidates; exact mode is
-    the oracle/test path.
+    Shuffle key = shingle hash; each group emits co-occurrence counts in
+    bounded chunks, a second groupby sums them, and |A u B| = |A| + |B| -
+    |A n B| closes the formula.
+
+    Scale controls (the per-shingle all-pairs step is quadratic in a
+    shingle's document frequency — a stopword shingle in D docs emits D^2/2
+    rows):
+
+    * ``max_df``: drop shingles whose document frequency exceeds this BEFORE
+      sizes/pairs are computed (the standard df-cut of set-similarity joins;
+      e.g. Chaudhuri et al. 2006 prefix filtering drops exactly the
+      ubiquitous features).  Jaccard is then computed over the df-filtered
+      shingle sets ON BOTH SIDES of the comparison — the SQL oracle applies
+      the identical ``HAVING count(*) <= max_df`` cut.  None = no cut.
+    * ``pair_chunk``: per-shingle pair emission is a generator of tables of
+      at most this many rows, so one hot group never materialises a giant
+      block.
+
+    Per-doc set sizes ride a ``ray.put`` broadcast (one object-store copy,
+    read per task) instead of a driver-closure dict.  At 100 TB this exact
+    mode is gated behind LSH candidates (minhash_near_dups); the df-cut and
+    chunking keep it robust at oracle/correctness scale.
     """
+    import ray
 
     def doc_shingles(batch: pa.Table) -> pa.Table:
         word_h, lengths = _doc_word_hashes(batch, text_col, seed)
@@ -353,27 +407,64 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", *, n: int = 1,
     postings = ds.map_batches(doc_shingles, batch_format="pyarrow",
                               zero_copy_batch=True)
 
-    # set sizes per doc
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
+    if max_df is not None:
+        # pass A: shingle document frequencies -> broadcast keep-set
+        df_tbl = postings.groupby("shingle").count()
+
+        def keep_batch(t: pa.Table) -> pa.Table:
+            mask = pc.less_equal(t.column("count()"), max_df)
+            return t.filter(mask).select(["shingle"])
+
+        kept = df_tbl.map_batches(keep_batch, batch_format="pyarrow")
+        keep_arr = np.sort(kept.to_pandas()["shingle"].to_numpy(dtype=np.int64))
+        keep_ref = ray.put(keep_arr)
+
+        def df_filter(batch: pa.Table) -> pa.Table:
+            keep = ray.get(keep_ref)
+            sh = batch.column("shingle").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keep, sh)
+            pos = np.minimum(pos, len(keep) - 1) if len(keep) else pos
+            mask = (keep[pos] == sh) if len(keep) else np.zeros(len(sh), bool)
+            return batch.filter(pa.array(mask))
+
+        postings = postings.map_batches(df_filter, batch_format="pyarrow")
+        # both passes re-derive `postings`; materialize once so pass A's
+        # shuffle isn't recomputed for sizes AND pairs
+        postings = postings.materialize()
+
+    # per-doc set sizes (over the df-filtered shingle set), broadcast once
     sizes = postings.groupby(id_col).count()  # (doc_id, count())
-    size_map = {r[id_col]: r["count()"] for r in sizes.take_all()}
+    size_map_ref = ray.put({r[id_col]: r["count()"] for r in sizes.take_all()})
 
     def cooccur(tbl: pa.Table) -> pa.Table:
         ids = np.unique(tbl.column(id_col).to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
+        m = len(ids)
+        if m < 2:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
                              "n_common": pa.array([], pa.int64())})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pa.table({"doc_a": pa.array(ids[a].astype(np.int64)),
-                         "doc_b": pa.array(ids[b].astype(np.int64)),
-                         "n_common": pa.array(np.ones(len(a), dtype=np.int64))})
+        ids = ids.astype(np.int64)
+        # chunked upper-triangle construction: the output table is built from
+        # bounded record batches (map_groups can't stream generators), and
+        # max_df bounds m, so the per-group output is <= max_df^2/2 rows
+        a_all, b_all = np.triu_indices(m, k=1)
+        chunks = []
+        for s in range(0, len(a_all), pair_chunk):
+            a = a_all[s:s + pair_chunk]
+            b = b_all[s:s + pair_chunk]
+            chunks.append(pa.table({
+                "doc_a": pa.array(ids[a]),
+                "doc_b": pa.array(ids[b]),
+                "n_common": pa.array(np.ones(len(a), dtype=np.int64))}))
+        return pa.concat_tables(chunks)
 
     co = postings.groupby("shingle").map_groups(cooccur, batch_format="pyarrow")
     common = co.groupby(["doc_a", "doc_b"]).aggregate(Sum("n_common", alias_name="n_common"))
 
     def jaccard(batch: pa.Table) -> pa.Table:
+        size_map = ray.get(size_map_ref)
         da = batch.column("doc_a").to_numpy(zero_copy_only=False)
         db = batch.column("doc_b").to_numpy(zero_copy_only=False)
         nc = batch.column("n_common").to_numpy(zero_copy_only=False).astype(np.float64)

@@ -70,11 +70,21 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
 def top_k_by_count(ds: "ray.data.Dataset", key_cols: list[str], k: int,
                    count_name: str = "n") -> pd.DataFrame:
     """Exact distributed top-k: groupby count (the shuffle is over DISTINCT
-    keys, pre-combined map-side by Ray's aggregate) -> sort + limit on the
-    small aggregated result. Deterministic tie-break by key."""
+    keys, pre-combined map-side by Ray's aggregate) -> per-block partial
+    top-k -> driver merge of <= num_blocks * k rows.  The full distinct-key
+    table (web-corpus vocab can be 10^8+ keys) never reaches the driver.
+    Deterministic tie-break by key."""
     counts = ds.groupby(key_cols).count()
-    df = counts.to_pandas().rename(columns={"count()": count_name})
-    df[count_name] = df[count_name].astype("int64")
-    df = df.sort_values([count_name] + key_cols,
-                        ascending=[False] + [True] * len(key_cols))
-    return df.head(k).reset_index(drop=True)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"count()": count_name})
+        df[count_name] = df[count_name].astype("int64")
+        return df.sort_values([count_name] + key_cols,
+                              ascending=[False] + [True] * len(key_cols)).head(k)
+
+    partial = counts.map_batches(local_topk, batch_format="pandas").to_pandas()
+    # partial top-k is exact for counts: the aggregate emits one row per key,
+    # so the global top-k is contained in the union of per-block top-k's
+    out = partial.sort_values([count_name] + key_cols,
+                              ascending=[False] + [True] * len(key_cols))
+    return out.head(k).reset_index(drop=True)

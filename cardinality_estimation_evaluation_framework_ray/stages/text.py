@@ -153,32 +153,74 @@ class LangId:
 
     Stateful stage: profiles compiled once per actor.  A real system drops in
     fastText/CLD3 here; the Ray plumbing is identical.
+
+    Fully vectorized (no per-row Python): CJK ratio via one Arrow regex count
+    over the first 400 codepoints; stopword votes looked up once per DISTINCT
+    word (dictionary-encode) and summed per doc with ``np.add.reduceat``.
+    Deterministic contract, mirrored 1:1 by the lang_id_counts SQL oracle:
+    tokens = whitespace-split of lower(text), empties dropped, first 200;
+    lang = 'zh' if cjk_count > 0.05*min(len,400), else argmax of profile hits
+    in the fixed order en,de,fr,es (ties -> earlier), 'und' if zero hits.
     """
+
+    #: vote order = tie-break order
+    LANGS = ("en", "de", "fr", "es")
+    HEAD = 400       # codepoints scanned for CJK
+    MAX_WORDS = 200  # words voted per doc
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
         self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
 
-    def _classify(self, text: str) -> str:
-        if not text:
-            return "und"
-        cjk = sum(1 for ch in text[:400] if "一" <= ch <= "鿿")
-        if cjk > 0.05 * min(len(text), 400):
-            return "zh"
-        words = text.lower().split()[:200]
-        best, best_hits = "und", 0
-        for lang, prof in self.profiles.items():
-            hits = sum(1 for w in words if w in prof)
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        return best
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        langs = [self._classify(t) for t in texts]
+        texts = batch.column(self.text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        n_docs = len(texts)
+
+        head = pc.utf8_slice_codeunits(texts, 0, self.HEAD)
+        cjk = pc.count_substring_regex(head, "[一-鿿]").to_numpy(zero_copy_only=False)
+        tlen = np.minimum(
+            pc.utf8_length(texts).to_numpy(zero_copy_only=False), self.HEAD)
+        is_zh = cjk > 0.05 * tlen
+
+        # whitespace-split words, empties dropped (mirrors str.split())
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts), r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        lengths = np.diff(np.asarray(lists.offsets))
+        values = lists.flatten()
+        keep = pc.not_equal(values, "").to_numpy(zero_copy_only=False)
+        kept_vals = values.filter(pa.array(keep))
+        kept_rows = np.repeat(np.arange(n_docs), lengths)[keep]
+        new_lengths = np.bincount(kept_rows, minlength=n_docs)
+
+        hits = np.zeros((n_docs, len(self.LANGS)), dtype=np.int64)
+        total = len(kept_vals)
+        if total:
+            d = kept_vals.dictionary_encode()
+            codes = np.asarray(d.indices)
+            vocab = d.dictionary.to_pylist()
+            vote_mat = np.zeros((len(vocab), len(self.LANGS)), dtype=np.int64)
+            for j, lang in enumerate(self.LANGS):
+                prof = self.profiles[lang]
+                vote_mat[:, j] = np.fromiter(
+                    (w in prof for w in vocab), dtype=np.int64, count=len(vocab))
+            token_votes = vote_mat[codes]
+            starts = np.concatenate([[0], np.cumsum(new_lengths)[:-1]]).astype(np.int64)
+            within = np.arange(total) - np.repeat(starts, new_lengths)
+            token_votes[within >= self.MAX_WORDS] = 0
+            safe_starts = np.minimum(starts, total - 1)
+            summed = np.add.reduceat(token_votes, safe_starts, axis=0)
+            hits = np.where((new_lengths > 0)[:, None], summed, 0)
+
+        best = np.asarray(self.LANGS, dtype=object)[np.argmax(hits, axis=1)]
+        langs = np.where(is_zh, "zh",
+                         np.where(hits.max(axis=1) > 0, best, "und"))
         return pa.table({self.id_col: batch.column(self.id_col),
-                         "lang_pred": pa.array(langs)})
+                         "lang_pred": pa.array(langs.tolist(), type=pa.string())})
 
 
 def lang_id(ds: "ray.data.Dataset", text_col: str = "text",
@@ -199,31 +241,62 @@ def doc_fingerprints(ds: "ray.data.Dataset", *, k: int = 5, window: int = 8,
     """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
     rolling k-gram hashes, minimum per sliding window, deduped.
 
-    Output: (doc_id, fingerprint) rows — the index for copy detection."""
-    from ..functions.hashing import hash_strings
+    Output: (doc_id, fingerprint) rows — the index for copy detection.
+
+    Whole-batch vectorized: the batch's texts are concatenated into one
+    codepoint array, k-gram rolling hashes come from the same boundary-aware
+    accumulation as MinHash shingling (one pass, no per-doc loop), window
+    minima from a single ``sliding_window_view`` with boundary-crossing
+    windows dropped, and per-doc dedup from one lexsort."""
+    from ..functions.hashing import seed_offset, _mix
+    from ..stages.dedup import _shingle_hashes
 
     def fp(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        texts = batch.column(text_col).to_pylist()
-        out_ids, out_fp = [], []
-        for i, t in enumerate(texts):
-            t = (t or "").lower()
-            if len(t) < k:
-                grams = [t]
-            else:
-                grams = [t[j:j + k] for j in range(len(t) - k + 1)]
-            h = hash_strings(grams, seed).astype(np.int64)
-            if len(h) >= window:
-                # sliding-window minimum via stride trick
-                sw = np.lib.stride_tricks.sliding_window_view(h, window)
-                mins = sw.min(axis=1)
-            else:
-                mins = np.array([h.min()])
-            fps = np.unique(mins)
-            out_ids.append(np.full(len(fps), ids[i]))
-            out_fp.append(fps)
-        return pa.table({id_col: pa.array(np.concatenate(out_ids).astype(np.int64)),
-                         "fingerprint": pa.array(np.concatenate(out_fp))})
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.utf8_lower(pc.fill_null(texts, ""))
+        lengths = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_docs = len(lengths)
+        empty = pa.table({id_col: ids.slice(0, 0),
+                          "fingerprint": pa.array([], pa.int64())})
+        if n_docs == 0:
+            return empty
+        joined = "".join(texts.to_pylist())
+        cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            char_h = _mix(cps + seed_offset(seed))
+        # k-gram rolling hashes; docs shorter than k -> single whole-doc hash
+        grams, counts = _shingle_hashes(char_h, lengths, k)
+        G = len(grams)
+        g_off = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+        doc_parts, val_parts = [], []
+        big = counts >= window
+        if G >= window and big.any():
+            w_mins = np.lib.stride_tricks.sliding_window_view(grams, window).min(axis=1)
+            bi = np.flatnonzero(big)
+            wc = counts[bi] - window + 1
+            within = np.arange(int(wc.sum()), dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(wc)[:-1]]), wc)
+            doc_parts.append(np.repeat(bi, wc))
+            val_parts.append(w_mins[np.repeat(g_off[bi], wc) + within])
+        small = np.flatnonzero(~big)
+        if len(small):
+            seg_min = np.minimum.reduceat(grams, g_off)
+            doc_parts.append(small)
+            val_parts.append(seg_min[small])
+        all_doc = np.concatenate(doc_parts)
+        all_val = np.concatenate(val_parts)
+        # per-doc unique fingerprints via one lexsort
+        order = np.lexsort((all_val, all_doc))
+        ad, av = all_doc[order], all_val[order]
+        first = np.ones(len(ad), dtype=bool)
+        first[1:] = (ad[1:] != ad[:-1]) | (av[1:] != av[:-1])
+        return pa.table({id_col: ids.take(pa.array(ad[first])),
+                         "fingerprint": pa.array(av[first].view(np.int64))})
 
     return ds.select_columns([id_col, text_col]).map_batches(
         fp, batch_format="pyarrow", zero_copy_batch=True)

@@ -89,3 +89,53 @@ def test_exact_distinct_tokens_matches_truth():
     out = exact_distinct_tokens(ds).to_pandas()
     got = {(r.source, r.token) for r in out.itertuples()}
     assert got == {("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 1)}
+
+
+def _templated_docs(n: int = 60):
+    """n docs sharing a templated header (hot shingles) + unique tails."""
+    texts = [f"common header words shared by every doc plus unique tail {i} alpha{i} beta{i}"
+             for i in range(n)]
+    texts[1] = texts[0]  # one exact dup pair
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts),
+        "source": pa.array(["s"] * n),
+    })
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_jaccard_max_df_cut_bounds_groups():
+    """df-cut semantics: ubiquitous shingles dropped from BOTH sizes and
+    pairs; per-group pair output is bounded by max_df^2/2."""
+    ds = ray.data.from_arrow(_templated_docs(60))
+    max_df = 10
+    pairs = ngram_jaccard_pairs(ds, n=1, threshold=0.99,
+                                max_df=max_df).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    # the exact-dup pair shares its UNIQUE tail shingles (df=2 <= max_df)
+    assert (0, 1) in got
+    # template-only pairs (jaccard driven by df>max_df header words) are gone
+    assert all(p == (0, 1) for p in got)
+    # the pair count is far below the uncapped all-pairs blowup
+    assert len(pairs) < 60 * 59 / 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_bucket_guard_star_expansion():
+    """A hot 16-bit chunk bucket larger than max_bucket_size collapses to
+    star-expansion edges: every member stays linked, output is O(n) not O(n^2)."""
+    n = 40
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(["identical text body for everyone"] * n),
+        "source": pa.array(["s"] * n),
+    })
+    ds = ray.data.from_arrow(tbl)
+    guarded = simhash_near_dups(ds, max_hamming=3, max_bucket_size=5).to_pandas()
+    # star expansion: each bucket links members to its min-id representative;
+    # identical docs occupy the same 4 chunk buckets -> exactly n-1 edges
+    assert len(guarded) == n - 1
+    assert set(guarded.doc_a) == {0}
+    assert set(guarded.doc_b) == set(range(1, n))
+    full = simhash_near_dups(ds, max_hamming=3, max_bucket_size=5000).to_pandas()
+    assert len(full) == n * (n - 1) / 2
