@@ -11,8 +11,17 @@ from __future__ import annotations
 import numpy as np
 
 
-def choice_fast(n: int, m: int, random_state: np.random.RandomState | None = None) -> np.ndarray:
-    """Sample m distinct integers from [0, n) in O(m) expected time."""
+def choice_fast(n, m: int, random_state: np.random.RandomState | None = None) -> np.ndarray:
+    """Sample m distinct integers from [0, n) in O(m) expected time.
+
+    Like the reference (``src/common/random.py:18-70``), ``n`` may also be an
+    array, in which case m distinct ELEMENTS of it are sampled."""
+    if not isinstance(n, (int, np.integer)):
+        arr = np.asarray(n)
+        idx = choice_fast(len(arr), m, random_state)
+        return arr[idx]
+    n = int(n)
+    m = int(m)
     if random_state is None:
         random_state = np.random.RandomState()
     if m > n:

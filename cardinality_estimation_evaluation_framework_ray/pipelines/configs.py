@@ -70,6 +70,85 @@ def smoke_test_evaluation(num_runs: int = 3, **kwargs) -> EvaluationConfig:
                             scenarios=smoke_test_scenarios(**kwargs))
 
 
+def reference_smoke_scenarios(universe_size: int = 200_000,
+                              num_sets: int = 20,
+                              tokens_per_row: int = 64) -> list[ScenarioConfig]:
+    """The reference's OWN smoke_test scenario grid 1:1
+    (evaluation_configs.py:134-195), over the faithful set generators
+    (sources/set_generators.py) — exact overlap laws, not the statistical
+    TokensTableSpec mirrors.  Reach rates mirror
+    LARGE_REACH_RATE_SMOKE_TEST=0.2 / SMALL_REACH_RATE_SMOKE_TEST=0.1 /
+    REMARKETING_RATE_VALUE=0.2 (evaluation_configs.py:48-70)."""
+    from ..sources.set_generators import SetScenarioSpec
+
+    set_size = int(universe_size * 0.2)
+    seq_corr_set_size = int(universe_size * 0.1)
+    mk = SetScenarioSpec.make
+    kw = dict(tokens_per_row=tokens_per_row, seed=42)
+    return [
+        ScenarioConfig("independent", mk(
+            "independent", universe_size=universe_size,
+            set_sizes=[set_size] * num_sets, **kw)),
+        ScenarioConfig("remarketing", mk(
+            "independent", universe_size=int(universe_size * 0.2),
+            set_sizes=[set_size] * num_sets, **kw)),
+        ScenarioConfig("fully_overlapping", mk(
+            "fully_overlapping", universe_size=universe_size,
+            num_sets=num_sets, set_size=set_size, **kw)),
+        ScenarioConfig("sequentially_correlated_all", mk(
+            "sequentially_correlated", order="original", correlated_sets="all",
+            shared_prop=0.5, set_sizes=[seq_corr_set_size] * num_sets, **kw)),
+        ScenarioConfig("sequentially_correlated_one", mk(
+            "sequentially_correlated", order="original", correlated_sets="one",
+            shared_prop=0.5, set_sizes=[seq_corr_set_size] * num_sets, **kw)),
+    ]
+
+
+def reference_smoke_test_evaluation(num_runs: int = 3,
+                                    **kwargs) -> EvaluationConfig:
+    return EvaluationConfig(name="reference_smoke_test", num_runs=num_runs,
+                            scenarios=reference_smoke_scenarios(**kwargs))
+
+
+def bow_scenarios(universe_size: int = 200_000, num_sets: int = 10,
+                  tokens_per_row: int = 64) -> list[ScenarioConfig]:
+    """Scenario 3(a/b) of the full reference evaluation
+    (evaluation_configs.py:307-353): exponential-bow heterogeneous reach,
+    independent vs identical user-activity association."""
+    from ..sources.set_generators import SetScenarioSpec
+
+    set_size = int(universe_size * 0.2)
+    mk = SetScenarioSpec.make
+    kw = dict(tokens_per_row=tokens_per_row, seed=42)
+    return [
+        ScenarioConfig(f"exponential_bow-user_activity_association:{assoc}",
+                       mk("exponential_bow", user_activity_association=assoc,
+                          universe_size=universe_size,
+                          set_sizes=[set_size] * num_sets, **kw))
+        for assoc in ("independent", "identical")
+    ]
+
+
+def subset_scenarios(universe_size: int = 200_000, num_sets: int = 10,
+                     tokens_per_row: int = 64) -> list[ScenarioConfig]:
+    """Scenario 4(b) (evaluation_configs.py:395-441): fully-overlapping
+    subsets, all three set orders."""
+    from ..sources.set_generators import SetScenarioSpec
+
+    large = int(universe_size * 0.2)
+    small = int(universe_size * 0.02)
+    mk = SetScenarioSpec.make
+    return [
+        ScenarioConfig(f"subset-order:{order}",
+                       mk("subset", order=order, universe_size=universe_size,
+                          num_large_sets=num_sets // 2,
+                          num_small_sets=num_sets - num_sets // 2,
+                          large_set_size=large, small_set_size=small,
+                          tokens_per_row=tokens_per_row, seed=42))
+        for order in ("original", "reversed", "random")
+    ]
+
+
 def frequency_smoke_scenarios(universe_size: int = 10**9,
                               num_sources: int = 5,
                               rows_per_source: int = 400) -> list[ScenarioConfig]:
@@ -92,6 +171,63 @@ def frequency_smoke_evaluation(num_runs: int = 3, **kwargs) -> EvaluationConfig:
     return EvaluationConfig(name="frequency_smoke",
                             num_runs=num_runs,
                             scenarios=frequency_smoke_scenarios(**kwargs))
+
+
+def get_evaluation_config(name: str, num_runs: int = 3,
+                          **kwargs) -> EvaluationConfig:
+    """Name -> EvaluationConfig registry (the reference's
+    get_evaluation_config, evaluation_configs.py:796-813)."""
+    builders = {
+        "smoke_test": lambda: smoke_test_evaluation(num_runs=num_runs, **kwargs),
+        "frequency_smoke": lambda: frequency_smoke_evaluation(
+            num_runs=num_runs, **kwargs),
+        "reference_smoke_test": lambda: reference_smoke_test_evaluation(
+            num_runs=num_runs, **kwargs),
+        "bow_sweep": lambda: EvaluationConfig(
+            "bow_sweep", num_runs, bow_scenarios(**kwargs)),
+        "subset_orders": lambda: EvaluationConfig(
+            "subset_orders", num_runs, subset_scenarios(**kwargs)),
+        "frequency_end_to_end": lambda: frequency_end_to_end_evaluation(
+            num_runs=num_runs, **kwargs),
+    }
+    if name not in builders:
+        raise KeyError(f"unknown evaluation {name!r}; "
+                       f"known: {sorted(builders)}")
+    return builders[name]()
+
+
+def frequency_end_to_end_evaluation(num_runs: int = 3,
+                                    universe_size: int = 200_000,
+                                    num_sets: int = 10,
+                                    tokens_per_row: int = 64) -> EvaluationConfig:
+    """The reference's frequency_end_to_end evaluation shape
+    (evaluation_configs.py:198-237 + 514-590): homogeneous shifted-Poisson,
+    heterogeneous Gamma-Poisson, and publisher-constant frequency scenarios
+    over the faithful multiset generators, reach rate 0.1."""
+    from ..sources.set_generators import SetScenarioSpec
+
+    set_size = int(universe_size * 0.1)
+    mk = SetScenarioSpec.make
+    kw = dict(tokens_per_row=tokens_per_row, seed=44)
+    scenarios = [
+        ScenarioConfig("homogeneous-freq_rate:1-freq_cap:5", mk(
+            "homogeneous", universe_size=universe_size,
+            set_sizes=[set_size] * num_sets, freq_rates=[1.0] * num_sets,
+            freq_cap=5, **kw)),
+        ScenarioConfig("homogeneous-freq_rate:3-freq_cap:10", mk(
+            "homogeneous", universe_size=universe_size,
+            set_sizes=[set_size] * num_sets, freq_rates=[3.0] * num_sets,
+            freq_cap=10, **kw)),
+        ScenarioConfig("heterogeneous-gamma:1_1-freq_cap:10", mk(
+            "heterogeneous", universe_size=universe_size,
+            set_sizes=[set_size] * num_sets,
+            gamma_params=[(1.0, 1.0)] * num_sets, freq_cap=10, **kw)),
+        ScenarioConfig("publisher_constant_frequency:3", mk(
+            "publisher_constant_frequency", universe_size=universe_size,
+            set_sizes=[set_size] * num_sets, frequency=3, **kw)),
+    ]
+    return EvaluationConfig(name="frequency_end_to_end", num_runs=num_runs,
+                            scenarios=scenarios)
 
 
 def get_frequency_estimator_configs(seed: int = 1) -> list[SketchEstimatorConfig]:

@@ -30,7 +30,10 @@ RUN_TIME_FILE = "evaluation_run_time"
 @dataclasses.dataclass
 class ScenarioConfig:
     name: str
-    spec: TokensTableSpec
+    #: TokensTableSpec (counter-based, partition-invariant, 100 TB path) or
+    #: SetScenarioSpec (reference-faithful sequential generators) — any
+    #: dataclass with (seed, make_table, make_dataset)
+    spec: "TokensTableSpec | object"
 
 
 @dataclasses.dataclass

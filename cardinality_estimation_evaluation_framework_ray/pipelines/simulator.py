@@ -20,7 +20,7 @@ from typing import Callable
 import numpy as np
 import pandas as pd
 
-from ..sources.datagen import TokensTableSpec, tokens_dataset
+from ..sources.datagen import TokensTableSpec
 from ..stages.build import build_sketch_states, collect_states
 from ..state.base import Sketch, SketchSpec
 from ..state.exact import ExactMultiSetSpec
@@ -85,7 +85,7 @@ class Simulator:
     (evaluator.py:286-294) — see Evaluator(parallel_cells=True).
     """
 
-    def __init__(self, num_runs: int, scenario: TokensTableSpec,
+    def __init__(self, num_runs: int, scenario: "TokensTableSpec | object",
                  config: SketchEstimatorConfig,
                  sketch_random_state: np.random.RandomState | None = None,
                  tree_width: int = 0, engine: str = "dataset"):
@@ -97,13 +97,11 @@ class Simulator:
         assert engine in ("dataset", "local")
         self.engine = engine
 
-    def _build_states_local(self, scenario: TokensTableSpec, specs):
+    def _build_states_local(self, scenario, specs):
         """In-process build: generate -> group by source -> update kernels."""
-        from ..sources.datagen import _gen_batch
         from ..stages.build import iter_key_tokens
 
-        tbl = _gen_batch(np.arange(scenario.total_rows, dtype=np.int64),
-                         scenario)
+        tbl = scenario.make_table()
         per_key: dict = {}
         for kv, toks in iter_key_tokens(tbl, "source", "tokens"):
             if self.config.dedup_input:
@@ -129,13 +127,13 @@ class Simulator:
         elif self.config.dedup_input:
             from ..stages.dedup import exact_distinct_tokens
 
-            ds = exact_distinct_tokens(tokens_dataset(scenario))
+            ds = exact_distinct_tokens(scenario.make_dataset())
             per_key = collect_states(
                 build_sketch_states(ds, specs, tokens_col="token",
                                     tree_width=self.tree_width), specs)
         else:
             per_key = collect_states(
-                build_sketch_states(tokens_dataset(scenario), specs,
+                build_sketch_states(scenario.make_dataset(), specs,
                                     tree_width=self.tree_width), specs)
         order = sorted(per_key)
         sketches = [per_key[k]["sketch"] for k in order]

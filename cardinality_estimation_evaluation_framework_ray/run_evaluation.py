@@ -47,23 +47,22 @@ def main(argv=None) -> int:
     DataContext.get_current().enable_progress_bars = False
 
     from .pipelines.configs import (
-        frequency_smoke_evaluation,
         get_estimator_configs,
+        get_evaluation_config,
         get_frequency_estimator_configs,
-        smoke_test_evaluation,
     )
     from .pipelines.evaluator import Evaluator
     from .pipelines.report import generate_report
 
-    if args.evaluation == "smoke_test":
-        ev_cfg = smoke_test_evaluation(num_runs=args.num_runs)
-        names = args.estimators.split(",") if args.estimators else None
-        est_cfgs = get_estimator_configs(names, seed=args.seed)
-    elif args.evaluation == "frequency_smoke":
-        ev_cfg = frequency_smoke_evaluation(num_runs=args.num_runs)
+    try:
+        ev_cfg = get_evaluation_config(args.evaluation, num_runs=args.num_runs)
+    except KeyError as e:
+        raise SystemExit(str(e))
+    if args.evaluation.startswith("frequency"):
         est_cfgs = get_frequency_estimator_configs(seed=args.seed)
     else:
-        raise SystemExit(f"unknown evaluation {args.evaluation!r}")
+        names = args.estimators.split(",") if args.estimators else None
+        est_cfgs = get_estimator_configs(names, seed=args.seed)
 
     ev = Evaluator(ev_cfg, est_cfgs, args.out, run_name=args.run_name,
                    global_seed=args.seed, overwrite=args.overwrite,

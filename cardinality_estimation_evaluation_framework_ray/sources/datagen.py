@@ -62,6 +62,14 @@ class TokensTableSpec:
     def total_rows(self) -> int:
         return self.num_sources * self.rows_per_source
 
+    # duck-typed scenario surface shared with SetScenarioSpec -------------
+    def make_table(self) -> pa.Table:
+        """In-process generation of the whole (small) table."""
+        return _gen_batch(np.arange(self.total_rows, dtype=np.int64), self)
+
+    def make_dataset(self) -> "ray.data.Dataset":
+        return tokens_dataset(self)
+
     # -- deterministic layout ----------------------------------------------
     def source_boundaries(self) -> np.ndarray:
         """Row-id boundaries of each source's contiguous row range."""
