@@ -263,6 +263,22 @@ def _q_minhash_near_dups(sf_dir: str):
     return minhash_near_dups(_read(sf_dir, "documents"), threshold=0.5).to_pandas()
 
 
+def _q_minhash_exact_wordset_dups(sf_dir: str):
+    """LSH candidates (MinHash threshold 1.0, recall 1.0 for identical sets)
+    -> exact digest verification: pairs of docs with IDENTICAL distinct-word
+    sets.  Exercises the candidates->verify composition end-to-end against
+    an exact SQL word-set-equality oracle."""
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
+        minhash_exact_dups,
+    )
+
+    df = minhash_exact_dups(_read(sf_dir, "documents"), shingle=1).to_pandas()
+    return pd.DataFrame({"doc_a": df.doc_a.astype("int64"),
+                         "doc_b": df.doc_b.astype("int64")})
+
+
 def _q_simhash_near_dups(sf_dir: str):
     from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
         simhash_near_dups,
@@ -617,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_sketch_synthetic": _q_multi_sketch_synthetic,
         "voc_union": _q_voc_union,
         "reach_curve": _q_reach_curve,
+        "minhash_exact_wordset_dups": _q_minhash_exact_wordset_dups,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "lang_id_counts": _q_lang_id,
@@ -739,6 +756,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = c.doc_a
             JOIN sizes sb ON sb.doc_id = c.doc_b
             WHERE CAST(c.nc AS DOUBLE) / (sa.sz + sb.sz - c.nc) >= 0.8
+        """,
+        "minhash_exact_wordset_dups": """
+            WITH ws AS (
+              SELECT doc_id,
+                     list_sort(list_distinct(list_filter(
+                         regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> ''))) AS wordset
+              FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM ws a JOIN ws b
+              ON a.wordset = b.wordset AND a.doc_id < b.doc_id
         """,
         "events_cum_by_type": """
             WITH daily AS (

@@ -284,6 +284,116 @@ class _VocLaplaceNoiser:
         return laplace_noise_voc(sketch, self._epsilon, self._rs)
 
 
+#: reference evaluation_configs.py:48-131 constants mirrored
+ADBF_LENGTHS = {"1e4": 10_000, "1e5": 100_000, "2.5e5": 250_000, "1e6": 1_000_000}
+VOC_LENGTHS = {"1024": 1024, "4096": 4096}
+GEO_LENGTH_PROB_PRODUCT = 2  # geo probability = 2 / length
+EXP_ADBF_DECAY_RATE = 10.0
+UNIVERSE_SIZE_VALUE = 1_000_000
+
+
+def _adbf_grid(seed: int) -> dict[str, SketchEstimatorConfig]:
+    """The ADBF length x family x local-DP grid
+    (evaluation_configs.py:1351-1371: adbf_config_constructors x
+    ADBF_LENGTH_LIST x SKETCH_EPSILON_VALUES), plus global-DP estimate-noise
+    variants of the exp family (1372-1390)."""
+    out: dict[str, SketchEstimatorConfig] = {}
+    fams = {
+        "exp_bloom_filter": ("exp", "first_moment_exp",
+                             lambda m: dict(distribution="exp",
+                                            decay_rate=EXP_ADBF_DECAY_RATE)),
+        "log_bloom_filter": ("log", "first_moment_log",
+                             lambda m: dict(distribution="log")),
+        "geo_bloom_filter": ("geo", "first_moment_geo",
+                             lambda m: dict(distribution="geo",
+                                            probability=GEO_LENGTH_PROB_PRODUCT / m)),
+    }
+    for fam, (method, est_tag, mk_kwargs) in fams.items():
+        for ltag, length in ADBF_LENGTHS.items():
+            cfg_tag = f"{ltag}_10" if fam == "exp_bloom_filter" else ltag
+            spec = BloomSpec(length=length, seed=seed, **mk_kwargs(length))
+            base = f"{fam}-{cfg_tag}"
+            out[f"{base}-infty-{est_tag}"] = SketchEstimatorConfig(
+                name=f"{base}-infty-{est_tag}", spec=spec,
+                estimator=_BloomFirstMoment(method))
+            out[f"{base}-ln3-{est_tag}"] = SketchEstimatorConfig(
+                name=f"{base}-ln3-{est_tag}", spec=spec,
+                sketch_noiser=_BlipSketchNoiser(epsilon=_LN3, seed=seed + 1),
+                estimator=_BloomFirstMoment(
+                    method, denoiser=_make_surreal(epsilon=_LN3)))
+    # global-DP estimate noise on the exp family (geometric + gaussian)
+    from ..state.noise import gaussian_noiser, geometric_noiser
+
+    spec = BloomSpec(length=100_000, distribution="exp",
+                     decay_rate=EXP_ADBF_DECAY_RATE, seed=seed)
+    for noise_tag, mk_noiser in (
+            ("geometric", lambda: geometric_noiser(
+                _LN3, _np.random.RandomState(seed + 11))),
+            ("gaussian", lambda: gaussian_noiser(
+                _LN3, 1e-5, 1, _np.random.RandomState(seed + 12)))):
+        name = f"exp_bloom_filter-1e5_10-infty-global_ln3_{noise_tag}-first_moment_exp"
+        out[name] = SketchEstimatorConfig(
+            name=name, spec=spec, estimator=_BloomFirstMoment("exp"),
+            estimate_noiser=mk_noiser())
+    return out
+
+
+def _voc_grid(seed: int) -> dict[str, SketchEstimatorConfig]:
+    """VoC length x local-DP grid (evaluation_configs.py:1393-1397)."""
+    out: dict[str, SketchEstimatorConfig] = {}
+    for ltag, length in VOC_LENGTHS.items():
+        spec = VocSpec(num_buckets=length, seed=seed)
+        out[f"vector_of_counts-{ltag}-infty-sequential"] = SketchEstimatorConfig(
+            name=f"vector_of_counts-{ltag}-infty-sequential", spec=spec,
+            estimator=VocSequentialEstimator(), dedup_input=True)
+        out[f"vector_of_counts-{ltag}-ln3-sequential"] = SketchEstimatorConfig(
+            name=f"vector_of_counts-{ltag}-ln3-sequential", spec=spec,
+            sketch_noiser=_VocLaplaceNoiser(epsilon=_LN3, seed=seed + 2),
+            estimator=VocSequentialEstimator(clip=True, epsilon=_LN3),
+            dedup_input=True)
+    return out
+
+
+def _meta_voc_grid(seed: int) -> dict[str, SketchEstimatorConfig]:
+    """Meta-VoC over exp-ADBF and over uniform BF
+    (evaluation_configs.py:1409-1427 + meta_estimators.py:23-179)."""
+    from ..state.composite import MetaVectorOfCountsEstimator
+
+    out: dict[str, SketchEstimatorConfig] = {}
+    for voc_tag, voc_len in VOC_LENGTHS.items():
+        for adbf_tag in ("1e5", "2.5e5"):
+            name = f"meta_voc-{voc_tag}-exp_bloom_filter-{adbf_tag}_10"
+            out[name] = SketchEstimatorConfig(
+                name=name,
+                spec=BloomSpec(length=ADBF_LENGTHS[adbf_tag],
+                               distribution="exp",
+                               decay_rate=EXP_ADBF_DECAY_RATE, seed=seed),
+                estimator=_ListWrap(MetaVectorOfCountsEstimator(
+                    num_buckets=voc_len,
+                    adbf_estimator=FirstMomentEstimator("exp"),
+                    meta_seed=seed + 3)))
+        name = f"meta_voc-{voc_tag}-bloom_filter-5e6"
+        out[name] = SketchEstimatorConfig(
+            name=name,
+            spec=BloomSpec(length=5_000_000, distribution="uniform", seed=seed),
+            estimator=_ListWrap(MetaVectorOfCountsEstimator(
+                num_buckets=voc_len,
+                adbf_estimator=FirstMomentEstimator("uniform"),
+                meta_seed=seed + 3)))
+    return out
+
+
+class _ListWrap:
+    """Adapt a scalar-returning estimator to the histogram contract."""
+
+    def __init__(self, est):
+        self._est = est
+
+    def __call__(self, sketch_list):
+        out = self._est(sketch_list)
+        return out if isinstance(out, list) else [out]
+
+
 def get_estimator_configs(names: list[str] | None = None,
                           seed: int = 1) -> list[SketchEstimatorConfig]:
     """Name -> config registry (the reference's estimator catalog shape)."""
@@ -349,6 +459,55 @@ def get_estimator_configs(names: list[str] | None = None,
             estimator=StandardizedHistogramEstimator(max_freq=5),
             max_frequency=5),
     }
+    # --- generated grids (evaluation_configs.py:1351-1427 shape) ----------
+    registry.update(_adbf_grid(seed))
+    registry.update(_voc_grid(seed))
+    registry.update(_meta_voc_grid(seed))
+
+    from ..state.noise import geometric_noiser as _geo_noiser
+
+    # SKA with global-DP noise split between reach and frequency histogram
+    # (_exp_same_key_aggregator, evaluation_configs.py:1652-1684)
+    for ltag in ("1e4", "1e5"):
+        name = f"same_key_aggregator-{ltag}_10-global_ln3"
+        registry[name] = SketchEstimatorConfig(
+            name=name,
+            spec=SkaSpec(length=ADBF_LENGTHS[ltag], decay_rate=10.0, seed=seed),
+            estimator=StandardizedHistogramEstimator(
+                max_freq=5,
+                reach_noiser=_geo_noiser(_LN3 / 2,
+                                         _np.random.RandomState(seed + 21)),
+                frequency_noiser=_geo_noiser(_LN3 / 2,
+                                             _np.random.RandomState(seed + 22))),
+            max_frequency=5)
+
+    # counting exp-ADBF: SumFunction registers over a non-uniform
+    # distribution (AnySketch free composition, any_sketch.py:287-348)
+    registry["exp_counting_bloom_filter-1e5_10-first_moment_exp"] = (
+        SketchEstimatorConfig(
+            name="exp_counting_bloom_filter-1e5_10-first_moment_exp",
+            spec=BloomSpec(length=100_000, distribution="exp",
+                           decay_rate=EXP_ADBF_DECAY_RATE, counting=True,
+                           seed=seed),
+            estimator=_BloomFirstMoment("exp")))
+
+    # independence-assumption union over VoC reach
+    # (_independent_set_estimator, evaluation_configs.py:957-989)
+    from ..state.composite import IndependentSetEstimator
+
+    registry["reach_using_voc-4096-independent_estimator"] = (
+        SketchEstimatorConfig(
+            name="reach_using_voc-4096-independent_estimator",
+            spec=VocSpec(num_buckets=4096, seed=seed),
+            estimator=IndependentSetEstimator(
+                _ListWrap(VocSequentialEstimator()),
+                universe_size=UNIVERSE_SIZE_VALUE),
+            dedup_input=True))
+
+    # Ertl-2017 improved HLL estimator variant (strict accuracy upgrade)
+    registry["hll-p14-ertl"] = SketchEstimatorConfig(
+        name="hll-p14-ertl", spec=HllSpec(p=14, seed=seed, estimator="ertl"))
+
     if names is None:
         return list(registry.values())
     return [registry[n] for n in names]

@@ -270,6 +270,61 @@ def minhash_near_dups(ds: "ray.data.Dataset", *, num_perm: int = 64,
         Max("est_jaccard", alias_name="est_jaccard"))
 
 
+def shingle_set_digests(ds: "ray.data.Dataset", *, shingle: int = 1,
+                        seed: int = 77, text_col: str = "text",
+                        id_col: str = "doc_id") -> "ray.data.Dataset":
+    """(doc_id, digest): order-invariant digest (wrapping sum of distinct
+    shingle hashes) of each doc's shingle SET.  Equal sets => equal digests;
+    unequal sets collide w.p. ~2^-64 — the exact-verification side-channel
+    for LSH candidate pairs."""
+
+    def dig(batch: pa.Table) -> pa.Table:
+        word_h, lengths = _doc_word_hashes(batch, text_col, seed)
+        sh, counts = _shingle_hashes(word_h, lengths, shingle)
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        key = np.stack([doc_of, sh.astype(np.int64)], axis=1)
+        _, first = np.unique(key, axis=0, return_index=True)
+        d_doc, d_sh = doc_of[first], sh[first]
+        digest = np.zeros(len(counts), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            np.add.at(digest, d_doc, d_sh)
+        return pa.table({id_col: batch.column(id_col),
+                         "digest": pa.array(digest.view(np.int64))})
+
+    return ds.map_batches(dig, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def minhash_exact_dups(ds: "ray.data.Dataset", *, num_perm: int = 64,
+                       bands: int = 16, shingle: int = 1, seed: int = 77,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Pairs of docs with IDENTICAL shingle sets: LSH candidates (threshold
+    1.0 — identical sets have identical signatures, so recall is 1.0 by
+    construction while buckets stay below the star-expansion guard) verified
+    exactly by the broadcast set digest.  The candidates -> exact-verify
+    composition is the standard scale pattern; here it also makes the stage
+    SQL-oracle-checkable."""
+    import ray
+
+    cands = minhash_near_dups(ds, num_perm=num_perm, bands=bands,
+                              threshold=1.0, shingle=shingle, seed=seed,
+                              text_col=text_col, id_col=id_col)
+    digs = shingle_set_digests(ds, shingle=shingle, seed=seed,
+                               text_col=text_col, id_col=id_col)
+    dmap_ref = ray.put({r[id_col]: r["digest"] for r in digs.take_all()})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        dmap = ray.get(dmap_ref)
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        keep = np.array([dmap[a] == dmap[b] for a, b in zip(da, db)],
+                        dtype=bool) if len(da) else np.zeros(0, bool)
+        return pa.table({"doc_a": pa.array(da[keep]),
+                         "doc_b": pa.array(db[keep])})
+
+    return cands.map_batches(verify, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-duplicate detection
 # ---------------------------------------------------------------------------

@@ -82,17 +82,11 @@ class BloomSpec(SketchSpec):
     kind: ClassVar[str] = "bloom"
     length: int = 100_000
     distribution: str = "uniform"  # uniform | geo | log | exp
-    num_hashes: int = 1            # >1 only supported for uniform
+    num_hashes: int = 1            # any distribution x any num_hashes
     probability: float = 0.08      # geo parameter
     decay_rate: float = 10.0       # exp parameter
     counting: bool = False         # SumFunction instead of BitwiseOr
     seed: int = 1
-
-    def __post_init__(self):
-        if self.num_hashes > 1 and self.distribution != "uniform":
-            raise ValueError("num_hashes > 1 only supported for uniform BF")
-        if self.counting and self.distribution != "uniform":
-            raise ValueError("counting BF is uniform-only in this engine")
 
     def tables(self):
         return _dist_tables(self.distribution, self.length,
@@ -101,6 +95,17 @@ class BloomSpec(SketchSpec):
     @property
     def register_probs(self) -> np.ndarray:
         return self.tables()[0]
+
+    @property
+    def effective_register_probs(self) -> np.ndarray:
+        """P[register j touched by ONE id] under num_hashes independent
+        hashes: 1 - (1 - p_j)^k.  This is what first-moment inversion must
+        use when k > 1 (generalizes any_sketch.py:287-348's free composition
+        of distribution x num_hashes x value function)."""
+        p = self.register_probs
+        if self.num_hashes == 1:
+            return p
+        return 1.0 - np.power(1.0 - p, self.num_hashes)
 
     def new(self) -> "BloomSketch":
         return BloomSketch(self)
@@ -173,13 +178,24 @@ class BloomSketch(Sketch):
 
     # -- estimate -----------------------------------------------------------
     def estimate(self) -> list[float]:
+        if self.spec.num_hashes > 1:
+            if self.spec.distribution == "uniform":
+                # classic k-hash BF closed form (bloom_filters.py:290-303)
+                return [union_bloom_estimate(self.spec, self.float_registers())]
+            # non-uniform x k hashes: invert the first-moment equation over
+            # the EFFECTIVE per-id register probs 1-(1-p_j)^k
+            return [FirstMomentEstimator("any")([self])]
         method = {"uniform": "uniform", "geo": "geo", "log": "log",
                   "exp": "exp"}[self.spec.distribution]
-        if self.spec.num_hashes > 1:
-            return [union_bloom_estimate(self.spec, self.registers.astype(np.float64))]
         return [FirstMomentEstimator(method)([self])]
 
     def float_registers(self) -> np.ndarray:
+        """Active-bit view: cardinality estimators consume bits; a counting
+        sketch keeps raw frequencies in ``.registers`` and exposes
+        register>0 here (SumFunction registers are 'active' when hit at
+        least once, any_sketch.py:36-105)."""
+        if self.spec.counting:
+            return (self.registers > 0).astype(np.float64)
         return self.registers.astype(np.float64)
 
     def state_dict(self):
@@ -328,9 +344,15 @@ class FirstMomentEstimator:
             return self._estimate_log(regs, self._noiser)
         if self._method == "exp":
             return self._estimate_exp(regs, self._noiser, spec.decay_rate)
+        # geo/any invert the first-moment equation over per-id touch probs,
+        # which for num_hashes>1 are the EFFECTIVE probs 1-(1-p_j)^k (the
+        # uniform/log/exp closed forms above assume num_hashes == 1; k>1
+        # non-uniform sketches route through method="any", BloomSketch.estimate)
         if self._method == "geo":
-            return self._estimate_geo(regs, spec.register_probs, self._noiser)
-        return self._estimate_any(regs, spec.register_probs, self._weights)
+            return self._estimate_geo(regs, spec.effective_register_probs,
+                                      self._noiser)
+        return self._estimate_any(regs, spec.effective_register_probs,
+                                  self._weights)
 
 
 # ---------------------------------------------------------------------------

@@ -133,11 +133,34 @@ def test_sketch_operators_intersection_difference(op_cls):
     assert abs(diff_card - 15_000) / 15_000 < 0.35
 
 
-def test_spec_validation():
-    with pytest.raises(ValueError):
-        BloomSpec(num_hashes=2, distribution="exp")
-    with pytest.raises(ValueError):
-        BloomSpec(counting=True, distribution="log")
+def test_general_composition_counting_exp_adbf():
+    """AnySketch generality (any_sketch.py:287-348): counting registers over
+    a non-uniform distribution.  Counts preserve total insertions; the
+    active-bit view feeds the first-moment exp estimator accurately."""
+    spec = BloomSpec(length=100_000, distribution="exp", decay_rate=10.0,
+                     counting=True, seed=9)
+    n = 20_000
+    toks = _rand(n)
+    s = _fill(spec, np.repeat(toks, 3))  # frequency-3 multiset
+    assert s.registers.sum() == 3 * n    # SumFunction: every insert counted
+    est = s.estimate()[0]
+    assert abs(est - n) / n < 0.05
+
+
+@pytest.mark.parametrize("dist,kwargs", [
+    ("exp", dict(decay_rate=10.0)),
+    ("geo", dict(probability=2.0 / 100_000)),
+    ("log", dict()),
+])
+def test_general_composition_multi_hash_nonuniform(dist, kwargs):
+    """num_hashes > 1 over non-uniform distributions: estimate() inverts the
+    first-moment equation over effective probs 1-(1-p_j)^k."""
+    spec = BloomSpec(length=100_000, distribution=dist, num_hashes=2,
+                     seed=11, **kwargs)
+    n = 10_000
+    s = _fill(spec, _rand(n))
+    est = s.estimate()[0]
+    assert abs(est - n) / n < 0.1
 
 
 def test_soft_union_matches_or_on_bits():

@@ -139,3 +139,29 @@ def test_simhash_bucket_guard_star_expansion():
     assert set(guarded.doc_b) == set(range(1, n))
     full = simhash_near_dups(ds, max_hamming=3, max_bucket_size=5000).to_pandas()
     assert len(full) == n * (n - 1) / 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_exact_dups_candidates_then_verify():
+    """LSH candidates at threshold 1.0 + digest verification: exactly the
+    identical-word-set pairs survive — near-dups (which can share all 64
+    mins) are filtered by the exact digest."""
+    from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
+        minhash_exact_dups,
+    )
+
+    texts = [
+        "alpha beta gamma delta",
+        "alpha beta gamma delta",            # exact dup of 0
+        "delta gamma beta alpha alpha",      # same SET as 0 (order/multiplicity differ)
+        "alpha beta gamma delta epsilon",    # near dup, superset -> must NOT pair
+        "totally different words here",
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+        "source": pa.array(["s"] * len(texts)),
+    })
+    out = minhash_exact_dups(ray.data.from_arrow(tbl), shingle=1).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(out.doc_a, out.doc_b)}
+    assert got == {(0, 1), (0, 2), (1, 2)}
