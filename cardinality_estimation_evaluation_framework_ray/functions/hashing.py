@@ -78,27 +78,49 @@ def bit_length_u64(w: np.ndarray) -> np.ndarray:
 
 
 def hash_strings(values, seed: int) -> np.ndarray:
-    """Vectorized seeded 64-bit hash of a string sequence -> uint64 array.
+    """Vectorized seeded 64-bit FNV-1a of a string sequence -> uint64 array.
 
-    Uses polars' vectorized row hash when available (deterministic for a fixed
-    polars version), with a pure-Python FNV-1a fallback.
+    ONE deterministic code path, on purpose.  An earlier version used polars'
+    row hash when importable with a pure-Python fallback; under host load
+    (thread exhaustion while e.g. DuckDB saturates the cores) the polars
+    import can fail INSIDE SOME Ray workers but not others, silently hashing
+    the same word two different ways across the fleet and corrupting every
+    hash-keyed aggregate downstream.  A fleet-wide hash must never have an
+    environment-dependent fast path.
+
+    Vectorized over the Arrow utf-8 byte buffer: one masked fold step per
+    byte position (iterations = longest string in the batch), byte-exact
+    with the scalar FNV-1a definition: acc = OFFSET ^ seed_off; per byte
+    acc = (acc ^ b) * PRIME; finally _mix.
     """
-    try:
-        import polars as pl
+    import pyarrow as pa
 
-        s = pl.Series(values)
-        h = s.hash(seed=seed & 0xFFFFFFFFFFFFFFFF).to_numpy().astype(np.uint64)
-        # extra mixing pass so polars' internal seeding can't alias our streams
-        return _mix(h + seed_offset(seed))
-    except Exception:
-        out = np.empty(len(values), dtype=np.uint64)
-        off = int(seed_offset(seed))
-        for i, v in enumerate(values):
-            acc = 0xCBF29CE484222325 ^ off
-            for b in str(v).encode("utf-8"):
-                acc = ((acc ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-            out[i] = acc
-        return _mix(out)
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if not isinstance(values, pa.Array):
+        values = pa.array(
+            [v if isinstance(v, str) else str(v) for v in values],
+            type=pa.string())
+    elif not pa.types.is_string(values.type):
+        values = values.cast(pa.string())
+    n = len(values)
+    off = np.uint64(seed_offset(seed))
+    acc = np.full(n, np.uint64(0xCBF29CE484222325) ^ off, dtype=np.uint64)
+    if n == 0:
+        return _mix(acc)
+    offsets = np.frombuffer(values.buffers()[1], dtype=np.int32)[
+        values.offset:values.offset + n + 1].astype(np.int64)
+    data_buf = values.buffers()[2]
+    data = (np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None and len(data_buf) else np.empty(0, np.uint8))
+    starts, lens = offsets[:-1], offsets[1:] - offsets[:-1]
+    FNV = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for j in range(int(lens.max()) if n else 0):
+            m = lens > j
+            b = data[starts[m] + j].astype(np.uint64)
+            acc[m] = (acc[m] ^ b) * FNV
+    return _mix(acc)
 
 
 def expi_negative(x: np.ndarray | float):

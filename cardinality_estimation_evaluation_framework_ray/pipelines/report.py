@@ -36,6 +36,63 @@ def _maybe_boxplot(df: pd.DataFrame, out_png: str) -> str | None:
     return out_png
 
 
+def _svg_boxplot(df: pd.DataFrame, out_svg: str,
+                 value_col: str = "relative_error_1") -> str | None:
+    """Dependency-free SVG boxplot of ``value_col`` by
+    (sketch_estimator, num_sets) — the report's plot path when matplotlib is
+    absent (mirrors src/common/plotting.py:21-44's boxplot semantics:
+    quartile box, median line, 1.5-IQR whiskers)."""
+    import numpy as np
+
+    groups = []
+    for (est, ns), g in df.groupby(["sketch_estimator", "num_sets"]):
+        v = g[value_col].dropna().to_numpy()
+        if not len(v):
+            continue
+        q1, med, q3 = np.percentile(v, [25, 50, 75])
+        iqr = q3 - q1
+        lo = float(v[v >= q1 - 1.5 * iqr].min())
+        hi = float(v[v <= q3 + 1.5 * iqr].max())
+        groups.append((f"{est[:28]}/{ns}", q1, med, q3, lo, hi))
+    if not groups:
+        return None
+    bw, pad_l, pad_b, pad_t, height = 28, 60, 150, 20, 300
+    width = pad_l + bw * len(groups) + 20
+    vmin = min(g[4] for g in groups)
+    vmax = max(g[5] for g in groups)
+    vmin, vmax = min(vmin, 0.0), max(vmax, 0.0)
+    span = (vmax - vmin) or 1.0
+
+    def y(v: float) -> float:
+        return pad_t + (vmax - v) / span * (height - pad_t - 40)
+
+    parts = [f"<svg xmlns='http://www.w3.org/2000/svg' "
+             f"width='{width}' height='{height + pad_b}' "
+             f"font-family='monospace' font-size='9'>"]
+    # zero line + y ticks
+    parts.append(f"<line x1='{pad_l}' y1='{y(0):.1f}' x2='{width - 10}' "
+                 f"y2='{y(0):.1f}' stroke='#999' stroke-dasharray='3,3'/>")
+    for tv in (vmin, 0.0, vmax):
+        parts.append(f"<text x='2' y='{y(tv) + 3:.1f}'>{tv:+.2f}</text>")
+    for i, (label, q1, med, q3, lo, hi) in enumerate(groups):
+        cx = pad_l + i * bw + bw // 2
+        x0, x1 = cx - 9, cx + 9
+        parts += [
+            f"<line x1='{cx}' y1='{y(lo):.1f}' x2='{cx}' y2='{y(q1):.1f}' stroke='#334'/>",
+            f"<line x1='{cx}' y1='{y(q3):.1f}' x2='{cx}' y2='{y(hi):.1f}' stroke='#334'/>",
+            f"<rect x='{x0}' y='{y(q3):.1f}' width='{x1 - x0}' "
+            f"height='{max(y(q1) - y(q3), 0.5):.1f}' fill='#9cf' stroke='#334'/>",
+            f"<line x1='{x0}' y1='{y(med):.1f}' x2='{x1}' y2='{y(med):.1f}' "
+            f"stroke='#c33' stroke-width='1.5'/>",
+            f"<text x='{cx}' y='{height - 30}' "
+            f"transform='rotate(90 {cx} {height - 30})'>{html.escape(label)}</text>",
+        ]
+    parts.append("</svg>")
+    with open(out_svg, "w") as f:
+        f.write("".join(parts))
+    return out_svg
+
+
 def _run_times(eval_dir: str) -> pd.DataFrame:
     rows = []
     for estimator in sorted(os.listdir(eval_dir)):
@@ -75,6 +132,9 @@ def generate_report(eval_dir: str, out_dir: str,
 
     plot = _maybe_boxplot(raw, os.path.join(out_dir, "boxplot.png")) \
         if not raw.empty else None
+    if plot is None and not raw.empty:
+        # matplotlib-free environments get a hand-rolled SVG boxplot
+        plot = _svg_boxplot(raw, os.path.join(out_dir, "boxplot.svg"))
 
     md_lines = ["# Evaluation report", ""]
     html_parts = ["<html><head><meta charset='utf-8'>"
@@ -96,11 +156,11 @@ def generate_report(eval_dir: str, out_dir: str,
         html_parts += [f"<h2>{html.escape(title)}</h2>",
                        df.to_html(index=False)]
     if plot:
-        md_lines += ["![boxplot](boxplot.png)", ""]
-        html_parts += ["<img src='boxplot.png'/>"]
+        fname = os.path.basename(plot)
+        md_lines += [f"![boxplot]({fname})", ""]
+        html_parts += [f"<img src='{fname}'/>"]
     else:
-        md_lines += ["_Plots skipped: matplotlib not available in this "
-                     "environment._", ""]
+        md_lines += ["_Plots skipped: no runs to plot._", ""]
     html_parts += ["</body></html>"]
 
     md_path = os.path.join(out_dir, "report.md")

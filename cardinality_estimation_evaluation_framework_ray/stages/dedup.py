@@ -18,6 +18,8 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -474,6 +476,10 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", *, n: int = 1,
 
         kept = df_tbl.map_batches(keep_batch, batch_format="pyarrow")
         keep_arr = np.sort(kept.to_pandas()["shingle"].to_numpy(dtype=np.int64))
+        if os.environ.get("GRAFT_NGRAM_DEBUG"):
+            dbg = df_tbl.to_pandas()
+            dbg.to_csv(f"{os.environ['GRAFT_NGRAM_DEBUG']}/df_tbl_{len(keep_arr)}.csv",
+                       index=False)
         keep_ref = ray.put(keep_arr)
 
         def df_filter(batch: pa.Table) -> pa.Table:

@@ -92,12 +92,13 @@ def main():
             problems.append(f"cols {list(mine.columns)} != {list(ref.columns)}")
         elif value_hash(mine) != value_hash(ref):
             problems.append("value hash mismatch")
-            diff = (mine != ref)
-            if diff.values.any():
-                r, c = np.argwhere(diff.values)[0]
-                problems.append(
-                    f"first diff at row {r} col {mine.columns[c]}: "
-                    f"{mine.iloc[r, c]!r} vs {ref.iloc[r, c]!r}")
+            if mine.shape == ref.shape:
+                diff = (mine != ref)
+                if diff.values.any():
+                    r, c = np.argwhere(diff.values)[0]
+                    problems.append(
+                        f"first diff at row {r} col {mine.columns[c]}: "
+                        f"{mine.iloc[r, c]!r} vs {ref.iloc[r, c]!r}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             failures += 1
