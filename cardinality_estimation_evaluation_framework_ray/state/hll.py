@@ -92,7 +92,9 @@ class HllSketch(Sketch):
         h = hash64(tokens, self.spec.seed)
         idx = (h >> np.uint64(q)).astype(np.int64)
         w = h & np.uint64((1 << q) - 1)
-        rho = np.where(w == 0, q + 1, q - bit_length_u64(w) + 1).astype(np.uint8)
+        # rho = q - bit_length(w) + 1; bit_length(0) = 0 gives the w==0 case
+        # (rho = q+1) for free — no branch needed
+        rho = (q + 1 - bit_length_u64(w)).astype(np.uint8)
         np.maximum.at(self.buckets, idx, rho)
         if self.sparse_tokens is not None:
             uniq = np.unique(tokens.astype(np.int64, copy=False))
