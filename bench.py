@@ -284,8 +284,34 @@ def run_scaling() -> dict:
     }
 
 
+def run_parallel_calibration() -> dict:
+    """Host parallel-capacity probe WITHOUT Ray: run the engine's own
+    single-core hash+index kernel in N concurrent OS processes and report
+    per-process throughput.  If per-core throughput at N=8 drops to ~E of
+    the N=1 value, then E is the HOST's parallel ceiling — any Ray pipeline
+    measured on this box inherits it, and the engine's own scaling
+    efficiency should be judged relative to E, not 1.0."""
+    import multiprocessing as mp
+
+    out: dict[str, list[float]] = {}
+    for n in (1, 2, 4, 8):
+        with mp.Pool(n) as pool:
+            rates = pool.starmap(calibrate_single_core, [(8_000_000, 3)] * n)
+        out[str(n)] = rates
+    per_core = {k: round(sum(v) / len(v), 1) for k, v in out.items()}
+    return {
+        "metric": "parallel_calibration_tokens_per_sec_per_core",
+        "value": round(per_core["8"] / per_core["1"], 3),
+        "unit": "ratio_8way_vs_1way",
+        "per_core_rate": per_core,
+        "all_rates": out,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--parallel-calibration" in sys.argv:
+        print(json.dumps(run_parallel_calibration()))
     else:
         print(json.dumps(run_once()))
