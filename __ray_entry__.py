@@ -570,6 +570,31 @@ def _q_asof_last_order(sf_dir: str):
     return out
 
 
+def _q_events_range_join(sf_dir: str):
+    """Range (band) self-join: for each event, the same user's events in the
+    preceding 60 minutes (exclusive of itself) — the windowed-context shape
+    a sessionizing pipeline joins on."""
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.joins import (
+        range_join,
+    )
+
+    events = _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])
+    joined = range_join(events, events, on="ts", by="user_id",
+                        lower=-pd.Timedelta(minutes=60), upper=pd.Timedelta(0),
+                        right_cols=["event_id"])
+    df = joined.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                             "prior_event_id": pd.Series(dtype="int64")})
+    df = df[df["event_id"] != df["event_id_right"]]
+    return pd.DataFrame({
+        "event_id": df["event_id"].astype("int64"),
+        "prior_event_id": df["event_id_right"].astype("int64"),
+    })
+
+
 def _q_smoke_eval(sf_dir: str):
     """Rows-only: full evaluator -> analyzer harness on a mini grid."""
     import tempfile
@@ -628,6 +653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_words": _q_top_words,
         "mktsegment_revenue": _q_mktsegment_revenue,
         "asof_last_order": _q_asof_last_order,
+        "events_range_join": _q_events_range_join,
         # rows-only (approximate / non-SQL-expressible; bound-checked in tests/)
         "hll_synthetic": _q_hll_synthetic,
         "multi_sketch_synthetic": _q_multi_sketch_synthetic,
@@ -798,6 +824,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF LEFT JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "events_range_join": """
+            SELECT a.event_id, b.event_id AS prior_event_id
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts >= a.ts - INTERVAL 60 MINUTE
+             AND b.ts <= a.ts
+             AND b.event_id <> a.event_id
         """,
         "sessions": """
             WITH ordered AS (

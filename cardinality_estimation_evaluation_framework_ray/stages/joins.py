@@ -67,6 +67,79 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
     return unioned.groupby(by).map_groups(per_key, batch_format="pandas")
 
 
+def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
+               on: str, by: str, lower, upper,
+               right_on: str | None = None,
+               right_cols: list[str] | None = None,
+               suffix: str = "_right") -> "ray.data.Dataset":
+    """Interval (band) join: each left row pairs with every right row of the
+    same ``by`` key whose ``right_on`` lies in [left.on + lower,
+    left.on + upper] (inner join).
+
+    Ray Data has no native join; like asof_join this is ONE shuffle on the
+    ``by`` key (tag + union + groupby cogroup), then a fully vectorized
+    per-group band lookup: sort the right side once, two searchsorted
+    calls give each left row its [lo, hi) match band, and the pair list is
+    materialized with repeat/arange arithmetic (no per-row Python).
+    Partitioning assumption: one ``by`` group fits in a task; pre-bucket by
+    hash(by) % k at 100 TB.
+    """
+    right_on = right_on or on
+    rc = right_cols if right_cols is not None else [
+        c for c in right.schema().names if c not in (right_on, by)]
+    left_names = left.schema().names
+    all_cols = list(left_names) + [c for c in [right_on] + rc
+                                   if c not in left_names]
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.reindex(columns=all_cols)
+            df[_SIDE] = np.int8(side)
+            return df
+        return fn
+
+    lt = left.map_batches(tag(0), batch_format="pandas")
+    rt = (right.select_columns([by, right_on] + rc)
+          .map_batches(tag(1), batch_format="pandas"))
+    unioned = lt.union(rt)
+
+    rename = {c: c + suffix if c in left_names else c for c in [right_on] + rc}
+    out_cols = list(left_names) + [rename[c] for c in [right_on] + rc]
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g[_SIDE] == 0][list(left_names)]
+        rg = (g[g[_SIDE] == 1][[right_on] + rc]
+              .dropna(subset=[right_on]).sort_values(right_on))
+
+        def typed_empty() -> pd.DataFrame:
+            e = pd.concat([
+                lg.iloc[0:0].reset_index(drop=True),
+                rg.iloc[0:0].reset_index(drop=True).rename(columns=rename)],
+                axis=1)
+            return e[out_cols]
+
+        if len(lg) == 0 or len(rg) == 0:
+            return typed_empty()
+        rt_vals = rg[right_on].to_numpy()
+        lt_vals = lg[on].to_numpy()
+        lo = np.searchsorted(rt_vals, lt_vals + lower, side="left")
+        hi = np.searchsorted(rt_vals, lt_vals + upper, side="right")
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return typed_empty()
+        li = np.repeat(np.arange(len(lg)), counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+        within = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        ri = np.repeat(lo, counts) + within
+        out = pd.concat([
+            lg.iloc[li].reset_index(drop=True),
+            rg.iloc[ri].reset_index(drop=True).rename(columns=rename)], axis=1)
+        return out[out_cols]
+
+    return unioned.groupby(by).map_groups(per_key, batch_format="pandas")
+
+
 def top_k_by_count(ds: "ray.data.Dataset", key_cols: list[str], k: int,
                    count_name: str = "n") -> pd.DataFrame:
     """Exact distributed top-k: groupby count (the shuffle is over DISTINCT

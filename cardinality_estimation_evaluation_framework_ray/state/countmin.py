@@ -39,6 +39,13 @@ class CountMinSpec(SketchSpec):
     depth: int = 5
     width: int = 16384
     seed: int = 1
+    #: conservative update (Estan & Varghese, SIGCOMM 2002): on insert only
+    #: raise registers to min-estimate + count — strictly tighter point
+    #: queries, same never-underestimate guarantee.  Batched variant: per
+    #: distinct token t with in-batch count c, registers[d, idx_d(t)] =
+    #: max(old, min_d(old) + c).  Sum-merge preserves the guarantee:
+    #: min_d(a_d + b_d) >= min_d(a_d) + min_d(b_d) >= f_a + f_b.
+    conservative: bool = False
 
     def new(self) -> "CountMinSketch":
         return CountMinSketch(self)
@@ -71,6 +78,9 @@ class CountMinSketch(Sketch):
         if len(tokens) == 0:
             return
         tokens = np.asarray(tokens)
+        if self.spec.conservative:
+            self._update_conservative(tokens)
+            return
         acc, h2 = _double_hash(tokens, self.spec.seed)
         red = self.spec.reducer()
         with np.errstate(over="ignore"):
@@ -78,6 +88,24 @@ class CountMinSketch(Sketch):
                 self.counts[row] += np.bincount(red(acc),
                                                 minlength=self.spec.width)
                 acc = acc + h2
+        self.total += len(tokens)
+
+    def _update_conservative(self, tokens: np.ndarray) -> None:
+        uniq, cnt = np.unique(tokens, return_counts=True)
+        acc, h2 = _double_hash(uniq, self.spec.seed)
+        red = self.spec.reducer()
+        d = self.spec.depth
+        idx = np.empty((d, len(uniq)), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for row in range(d):
+                idx[row] = red(acc)
+                acc = acc + h2
+        est = self.counts[0][idx[0]].copy()
+        for row in range(1, d):
+            np.minimum(est, self.counts[row][idx[row]], out=est)
+        target = est + cnt
+        for row in range(d):
+            np.maximum.at(self.counts[row], idx[row], target)
         self.total += len(tokens)
 
     def merge_in(self, other: "CountMinSketch") -> None:

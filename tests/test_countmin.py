@@ -46,3 +46,36 @@ def test_serialization():
     back = Sketch.from_bytes(spec, s.to_bytes())
     assert np.array_equal(back.counts, s.counts)
     assert back.total == s.total
+
+
+def test_conservative_update_tighter_and_never_underestimates():
+    """CU (Estan-Varghese 2002): point queries never underestimate and are
+    no looser than plain CM on a skewed stream; sum-merge of disjoint CU
+    partials preserves the guarantee."""
+    import numpy as np
+
+    from cardinality_estimation_evaluation_framework_ray.state import CountMinSpec
+
+    rng = np.random.default_rng(3)
+    stream = rng.zipf(1.3, 200_000)
+    stream = stream[stream < 50_000].astype(np.int64)
+    uniq, truth = np.unique(stream, return_counts=True)
+
+    plain = CountMinSpec(depth=4, width=2048, seed=5).new()
+    cu_spec = CountMinSpec(depth=4, width=2048, seed=5, conservative=True)
+    cu = cu_spec.new()
+    plain.update_tokens(stream)
+    cu.update_tokens(stream)
+
+    q_plain = plain.point_query(uniq)
+    q_cu = cu.point_query(uniq)
+    assert (q_cu >= truth).all()          # never underestimate
+    assert (q_cu <= q_plain).all()        # CU is pointwise no looser
+    assert q_cu.sum() < q_plain.sum()     # and strictly tighter in aggregate
+
+    # merged disjoint partials keep the guarantee
+    a, b = cu_spec.new(), cu_spec.new()
+    a.update_tokens(stream[: len(stream) // 2])
+    b.update_tokens(stream[len(stream) // 2:])
+    a.merge_in(b)
+    assert (a.point_query(uniq) >= truth).all()

@@ -58,3 +58,28 @@ def test_top_k_by_count_tie_break():
     out = top_k_by_count(ray.data.from_pandas(df), ["w"], 2)
     assert out.w.tolist() == ["x", "y"]  # equal counts -> lexicographic
     assert out.n.tolist() == [3, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_band_semantics():
+    """Interval join: right rows of the same key within [on+lower, on+upper]."""
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.joins import (
+        range_join,
+    )
+
+    left = pd.DataFrame({"k": ["a", "a", "b"], "t": [10, 20, 10],
+                         "lid": [1, 2, 3]})
+    right = pd.DataFrame({"k": ["a", "a", "a", "b", "c"],
+                          "t": [5, 9, 18, 30, 10], "rid": [100, 101, 102, 103, 104]})
+    out = range_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                     on="t", by="k", lower=-5, upper=0,
+                     right_cols=["rid"]).to_pandas()
+    got = {(r.lid, r.rid) for r in out.itertuples()}
+    # lid 1 (t=10): right a-rows with t in [5,10] -> 100, 101
+    # lid 2 (t=20): t in [15,20] -> 102
+    # lid 3 (b, t=10): b-rows t in [5,10] -> none (t=30)
+    assert got == {(1, 100), (1, 101), (2, 102)}
+    # suffixed right columns present
+    assert "t_right" in out.columns

@@ -261,3 +261,39 @@ def test_simulator_with_faithful_scenario():
     # shared_prop=0.5: each new set adds ~half fresh ids
     assert truth[0] == 400
     assert truth[3] == 400 + 3 * 200
+
+
+def test_subset_order_changes_sequential_voc_estimate():
+    """Order variants exist because sequential (fold) estimators are
+    order-DEPENDENT: the same subset scenario in original vs reversed order
+    gives a different VoC sequential union estimate, while an associative
+    sketch (exact set) is order-invariant (reference motivation for
+    SubSetGenerator's order parameter, set_generator.py:245-255)."""
+    from cardinality_estimation_evaluation_framework_ray.state import (
+        ExactMultiSetSpec,
+        VocSpec,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state.voc import (
+        SequentialEstimator,
+    )
+
+    ests, exacts = {}, {}
+    for order in ("original", "reversed"):
+        rs = np.random.RandomState(9)  # same draws per order
+        sets = subset_sets(order, 50_000, num_large_sets=2, num_small_sets=2,
+                           large_set_size=4000, small_set_size=400,
+                           random_state=rs)
+        sketches = []
+        truth = ExactMultiSetSpec().new()
+        for ids in sets:
+            v = VocSpec(num_buckets=256, seed=3).new()
+            v.update_tokens(np.unique(np.asarray(ids, dtype=np.int64)))
+            sketches.append(v)
+            truth.update_tokens(np.asarray(ids, dtype=np.int64))
+        ests[order] = SequentialEstimator()(sketches)[0]
+        exacts[order] = truth.estimate()[0]
+    # truth is order-invariant; the sequential VoC fold is not
+    assert exacts["original"] == exacts["reversed"] == 4000
+    assert ests["original"] != ests["reversed"]
+    for v in ests.values():  # both still in the ballpark of the union
+        assert 0.5 * 4000 < v < 2.0 * 4000
