@@ -255,6 +255,28 @@ def _q_embedding_near_dups(sf_dir: str):
     return df
 
 
+def _q_embedding_dup_clusters(sf_dir: str):
+    """Near-dup pairs -> connected components: (doc_id, cluster_id = min id
+    of the component).  Pairs from the exact embedding-cosine mode (itself
+    oracle-matched); closure via driver union-find over the small pair set."""
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.ann import (
+        embedding_near_dups,
+    )
+    from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
+        dedup_clusters,
+    )
+
+    pairs = embedding_near_dups(_read(sf_dir, "embeddings"), threshold=0.4,
+                                n_planes=0)
+    df = dedup_clusters(pairs, a_col="vec_a", b_col="vec_b")
+    if df.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "cluster_id": pd.Series(dtype="int64")})
+    return df.astype({"doc_id": "int64", "cluster_id": "int64"})
+
+
 def _q_minhash_near_dups(sf_dir: str):
     from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
         minhash_near_dups,
@@ -522,6 +544,33 @@ def _q_top_words(sf_dir: str):
     return top_k_by_count(ds, ["word"], 20)
 
 
+def _q_top_words_per_source(sf_dir: str):
+    """Grouped top-k: the 3 most frequent words of every source (the
+    row_number-over-partition window shape)."""
+    import pyarrow as pa
+
+    from cardinality_estimation_evaluation_framework_ray.stages.joins import (
+        grouped_top_k_by_count,
+    )
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        _split_lists,
+    )
+
+    def words(batch: pa.Table) -> pa.Table:
+        values, lengths = _split_lists(batch.column("text"))
+        import numpy as np
+
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        return pa.table({"source": pa.array(np.repeat(src, lengths)),
+                         "word": values})
+
+    ds = _read(sf_dir, "documents").select_columns(["source", "text"]).map_batches(
+        words, batch_format="pyarrow", zero_copy_batch=True)
+    df = grouped_top_k_by_count(ds, "source", "word", 3).to_pandas()
+    return df.sort_values(["source", "n", "word"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+
+
 def _q_mktsegment_revenue(sf_dir: str):
     """Broadcast equi-join orders x customer -> revenue per market segment."""
     from ray.data.aggregate import Count, Sum
@@ -648,9 +697,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "word_jaccard_pairs": _q_word_jaccard_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
+        "embedding_dup_clusters": _q_embedding_dup_clusters,
         "events_cum_by_type": _q_events_cum_by_type,
         "sessions": _q_sessions,
         "top_words": _q_top_words,
+        "top_words_per_source": _q_top_words_per_source,
         "mktsegment_revenue": _q_mktsegment_revenue,
         "asof_last_order": _q_asof_last_order,
         "events_range_join": _q_events_range_join,
@@ -794,6 +845,24 @@ def oracle_sql() -> dict[str, str]:
             FROM ws a JOIN ws b
               ON a.wordset = b.wordset AND a.doc_id < b.doc_id
         """,
+        "embedding_dup_clusters": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS va, b.vec_id AS vb
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+            edges AS (
+              SELECT va AS a, vb AS b FROM pairs
+              UNION SELECT vb, va FROM pairs),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            cc(node, label) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT e.b, cc.label FROM cc JOIN edges e ON e.a = cc.node
+              WHERE cc.label < e.b)
+            SELECT CAST(node AS BIGINT) AS doc_id,
+                   CAST(min(label) AS BIGINT) AS cluster_id
+            FROM cc GROUP BY node
+        """,
         "events_cum_by_type": """
             WITH daily AS (
               SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
@@ -810,6 +879,23 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY tok
             ORDER BY n DESC, word
             LIMIT 20
+        """,
+        "top_words_per_source": """
+            WITH toks AS (
+              SELECT source, unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  x -> x <> '')) AS word
+              FROM documents),
+            counts AS (
+              SELECT source, word, CAST(count(*) AS BIGINT) AS n
+              FROM toks GROUP BY source, word),
+            ranked AS (
+              SELECT source, word, n,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n DESC, word) AS rk
+              FROM counts)
+            SELECT source, word, n FROM ranked WHERE rk <= 3
+            ORDER BY source, n DESC, word
         """,
         "mktsegment_revenue": """
             SELECT c.c_mktsegment,

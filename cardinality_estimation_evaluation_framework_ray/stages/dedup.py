@@ -414,6 +414,42 @@ def simhash_near_dups(ds: "ray.data.Dataset", *, max_hamming: int = 3,
         Min("hamming", alias_name="hamming"))
 
 
+def dedup_clusters(pairs: "ray.data.Dataset", *, a_col: str = "doc_a",
+                   b_col: str = "doc_b"):
+    """Near-dup PAIRS -> duplicate CLUSTERS: (doc_id, cluster_id) where
+    cluster_id is the minimum id of the connected component.
+
+    The pair list is the small output of the LSH stage (that is its job), so
+    the transitive closure runs driver-side with path-compressed union-find
+    over the collected edges.  At pair volumes beyond driver memory, replace
+    with iterative min-label propagation (repeat: join labels over edges,
+    take min, until fixpoint) — same contract.  Docs that appear in no pair
+    (singletons) are not emitted.
+    """
+    import pandas as pd
+
+    edges = pairs.select_columns([a_col, b_col]).to_pandas()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(edges[a_col], edges[b_col]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id keeps cluster_id = component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = sorted(set(edges[a_col]) | set(edges[b_col]))
+    return pd.DataFrame({"doc_id": nodes,
+                         "cluster_id": [find(n) for n in nodes]})
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard (posting-list join; test-scale verifier for LSH)
 # ---------------------------------------------------------------------------

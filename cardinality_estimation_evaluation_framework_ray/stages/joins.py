@@ -140,6 +140,28 @@ def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
     return unioned.groupby(by).map_groups(per_key, batch_format="pandas")
 
 
+def grouped_top_k_by_count(ds: "ray.data.Dataset", group_col: str,
+                           item_col: str, k: int,
+                           count_name: str = "n") -> "ray.data.Dataset":
+    """Top-k items per group by count (the windowed
+    row_number()-over-partition shape): one count aggregate over
+    (group, item), then a per-group local top-k — the shuffle payload is the
+    distinct (group, item) count table, never raw rows.  Deterministic
+    tie-break by item."""
+    import pyarrow as pa
+
+    counts = ds.groupby([group_col, item_col]).count()
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"count()": count_name})
+        df[count_name] = df[count_name].astype("int64")
+        return df.sort_values([count_name, item_col],
+                              ascending=[False, True]).head(k)
+
+    return counts.groupby(group_col).map_groups(local_topk,
+                                                batch_format="pandas")
+
+
 def top_k_by_count(ds: "ray.data.Dataset", key_cols: list[str], k: int,
                    count_name: str = "n") -> pd.DataFrame:
     """Exact distributed top-k: groupby count (the shuffle is over DISTINCT

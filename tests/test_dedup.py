@@ -165,3 +165,17 @@ def test_minhash_exact_dups_candidates_then_verify():
     out = minhash_exact_dups(ray.data.from_arrow(tbl), shingle=1).to_pandas()
     got = {tuple(sorted((a, b))) for a, b in zip(out.doc_a, out.doc_b)}
     assert got == {(0, 1), (0, 2), (1, 2)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_clusters_union_find():
+    from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
+        dedup_clusters,
+    )
+
+    pairs = pa.table({"doc_a": pa.array([1, 2, 9, 5], type=pa.int64()),
+                      "doc_b": pa.array([2, 3, 1, 6], type=pa.int64())})
+    df = dedup_clusters(ray.data.from_arrow(pairs))
+    got = dict(zip(df.doc_id, df.cluster_id))
+    # {1,2,3,9} -> 1 ; {5,6} -> 5 ; singletons absent
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
