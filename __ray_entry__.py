@@ -226,6 +226,26 @@ def _q_ann_topk(sf_dir: str):
     return res[["query_id", "rank", "vec_id"]]
 
 
+def _q_ann_ivf_topk(sf_dir: str):
+    """Rows-only: IVF ANN (sampled k-means coarse quantizer, n_probe bucket
+    search) for the same 2 query vectors as ann_topk; approximate by design,
+    recall-tested against brute force in tests/test_ann.py."""
+    import duckdb
+    import numpy as np
+
+    from cardinality_estimation_evaluation_framework_ray.stages.ann import (
+        ivf_topk,
+    )
+
+    q = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE vec_id IN (0, 7) ORDER BY vec_id").fetchnumpy()["embedding"]
+    qm = np.stack([np.asarray(v, dtype=np.float32) for v in q])
+    res = ivf_topk(_read(sf_dir, "embeddings"), qm, k=10, n_clusters=16,
+                   n_probe=6, seed=11)
+    return res[["query_id", "rank", "vec_id"]]
+
+
 def _q_word_jaccard_pairs(sf_dir: str):
     from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
         ngram_jaccard_pairs,
@@ -711,6 +731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "voc_union": _q_voc_union,
         "reach_curve": _q_reach_curve,
         "minhash_exact_wordset_dups": _q_minhash_exact_wordset_dups,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "lang_id_counts": _q_lang_id,

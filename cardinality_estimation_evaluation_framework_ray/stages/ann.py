@@ -5,9 +5,11 @@ Baseline: brute-force cosine top-k — the query matrix is broadcast ONCE via
 re-shipping); each batch does one numpy matmul and keeps only its local
 top-k, so the reduce step merges #batches * k candidate rows, not the corpus.
 
-Scale path: LSH bucketing (random hyperplanes, Charikar 2002) — embeddings
+Scale paths: LSH bucketing (random hyperplanes, Charikar 2002) — embeddings
 and queries hash to sign-pattern buckets; only same-bucket (plus optional
-multi-probe neighbor-bucket) candidates are scored.
+multi-probe neighbor-bucket) candidates are scored — and IVF (coarse
+k-means quantizer trained on a sample, n_probe nearest centroid buckets
+searched per query).
 """
 
 from __future__ import annotations
@@ -65,18 +67,7 @@ def brute_force_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
 
     cands = ds.select_columns([id_col, emb_col]).map_batches(
         local_topk, batch_format="pyarrow", zero_copy_batch=True)
-
-    import pandas as pd
-
-    df = cands.to_pandas()  # #batches * k * n_queries rows — small by design
-    out = []
-    for qid, g in df.groupby("query_id"):
-        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1)
-        out.append(g)
-    res = pd.concat(out, ignore_index=True)
-    return res[["query_id", "rank", id_col, "score"]]
+    return _finalize_topk(cands, k, id_col)
 
 
 def lsh_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10, *,
@@ -134,9 +125,14 @@ def lsh_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10, *,
 
     cands = ds.select_columns([id_col, emb_col]).map_batches(
         local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    return _finalize_topk(cands, k, id_col)
+
+
+def _finalize_topk(cands: "ray.data.Dataset", k: int, id_col: str):
+    """Merge per-batch candidate rows into global per-query top-k ranks."""
     import pandas as pd
 
-    df = cands.to_pandas()
+    df = cands.to_pandas()  # #batches * k * n_queries rows — small by design
     out = []
     for qid, g in df.groupby("query_id"):
         g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
@@ -147,6 +143,86 @@ def lsh_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10, *,
         return pd.DataFrame(columns=["query_id", "rank", id_col, "score"])
     res = pd.concat(out, ignore_index=True)
     return res[["query_id", "rank", id_col, "score"]]
+
+
+def train_ivf_centroids(ds: "ray.data.Dataset", n_clusters: int, *,
+                        emb_col: str = "embedding", sample_size: int = 4096,
+                        iters: int = 10, seed: int = 11) -> np.ndarray:
+    """Spherical k-means (Lloyd) on a corpus sample, driver-side.
+
+    The IVF coarse quantizer: centroids are unit vectors, assignment is by
+    maximum dot product.  Sampling + a few Lloyd iterations is the standard
+    IVF training recipe (e.g. Johnson, Douze & Jegou, "Billion-scale
+    similarity search with GPUs", 2017); at 100 TB train on ds.limit(n) of a
+    shuffled snapshot and broadcast the tiny (n_clusters x dim) codebook.
+    """
+    rows = ds.select_columns([emb_col]).limit(sample_size).to_pandas()
+    x = _normalize(np.stack([np.asarray(v, dtype=np.float32)
+                             for v in rows[emb_col]]))
+    rs = np.random.RandomState(seed)
+    n_clusters = min(n_clusters, len(x))
+    c = x[rs.choice(len(x), n_clusters, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_clusters):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        c = _normalize(c)
+    return c
+
+
+def ivf_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10, *,
+             n_clusters: int = 64, n_probe: int = 8,
+             emb_col: str = "embedding", id_col: str = "vec_id",
+             sample_size: int = 4096, iters: int = 10, seed: int = 11):
+    """IVF ANN: score only vectors assigned to each query's ``n_probe``
+    nearest centroids.
+
+    The codebook and query matrix are broadcast once via ``ray.put``; each
+    batch assigns its vectors to centroids with one matmul and scores only
+    the probed subset — touching ~n_probe/n_clusters of the corpus per
+    query, the data-dependent counterpart of the hyperplane-LSH scale path.
+    """
+    centroids = train_ivf_centroids(ds, n_clusters, emb_col=emb_col,
+                                    sample_size=sample_size, iters=iters,
+                                    seed=seed)
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probes = np.argsort(-(q @ centroids.T), axis=1)[:, :n_probe]  # (nq, p)
+    c_ref = ray.put(centroids.T)
+    q_ref = ray.put(q.T)
+    p_ref = ray.put(probes)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ct = ray.get(c_ref)
+        qt = ray.get(q_ref)
+        probe_sets = ray.get(p_ref)
+        m = _normalize(_emb_matrix(batch, emb_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        assign = np.argmax(m @ ct, axis=1)
+        out_q, out_id, out_s = [], [], []
+        for j in range(qt.shape[1]):
+            mask = np.isin(assign, probe_sets[j])
+            if not mask.any():
+                continue
+            sub, sub_ids = m[mask], ids[mask]
+            scores = sub @ qt[:, j]
+            kk = min(k, len(sub_ids))
+            rows = np.argpartition(-scores, kk - 1)[:kk]
+            out_q.append(np.full(kk, j, dtype=np.int64))
+            out_id.append(sub_ids[rows].astype(np.int64))
+            out_s.append(scores[rows].astype(np.float64))
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         id_col: pa.array(np.concatenate(out_id)),
+                         "score": pa.array(np.concatenate(out_s))})
+
+    cands = ds.select_columns([id_col, emb_col]).map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    return _finalize_topk(cands, k, id_col)
 
 
 def embedding_near_dups(ds: "ray.data.Dataset", threshold: float = 0.95, *,

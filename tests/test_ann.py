@@ -56,3 +56,38 @@ def test_embedding_near_dups():
     assert (0, 1) in got
     # random gaussian vectors almost never hit cosine 0.99
     assert len(got) < 5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_topk_recall_vs_brute_force():
+    """IVF with generous probes recovers most of the brute-force top-10 on
+    clustered data while touching only probed buckets."""
+    from cardinality_estimation_evaluation_framework_ray.stages.ann import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(8)
+    # 12 well-separated cluster centers, 100 points each
+    centers = rng.normal(size=(12, 16)).astype(np.float32) * 4
+    pts = np.concatenate([c + rng.normal(size=(100, 16)).astype(np.float32)
+                          for c in centers])
+    ids = np.arange(len(pts), dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array(list(pts.astype(np.float64)))})
+    ds = ray.data.from_arrow(tbl)
+    queries = pts[[5, 250, 777]]
+
+    bf = brute_force_topk(ds, queries, k=10)
+    ivf = ivf_topk(ds, queries, k=10, n_clusters=12, n_probe=4, seed=3)
+    recalls = []
+    for qid in range(3):
+        want = set(bf[bf.query_id == qid].vec_id)
+        got = set(ivf[ivf.query_id == qid].vec_id)
+        recalls.append(len(want & got) / len(want))
+    assert np.mean(recalls) >= 0.8, recalls
+
+    cents = train_ivf_centroids(ds, 12, seed=3)
+    assert cents.shape == (12, 16)
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-5)
