@@ -189,11 +189,116 @@ def get_evaluation_config(name: str, num_runs: int = 3,
             "subset_orders", num_runs, subset_scenarios(**kwargs)),
         "frequency_end_to_end": lambda: frequency_end_to_end_evaluation(
             num_runs=num_runs, **kwargs),
+        "complete_test_with_selected_parameters": lambda:
+            complete_test_with_selected_parameters(num_runs=num_runs, **kwargs),
     }
     if name not in builders:
         raise KeyError(f"unknown evaluation {name!r}; "
                        f"known: {sorted(builders)}")
     return builders[name]()
+
+
+def set_size_list_choices(small_set_size: int, large_set_size: int,
+                          num_sets: int) -> dict[str, list[int]]:
+    """The reference's default set-size-list grid
+    (_get_default_name_to_choices_of_set_size_list,
+    evaluation_configs.py:240-258)."""
+    return {
+        "all_small": [small_set_size] * num_sets,
+        "all_large": [large_set_size] * num_sets,
+        "1st_small_then_large": (
+            [small_set_size] + [large_set_size] * (num_sets - 1)),
+        "1st_half_small_2nd_half_large": (
+            [small_set_size] * int(num_sets / 2)
+            + [large_set_size] * (num_sets - int(num_sets / 2))),
+        "small_then_last_large": (
+            [small_set_size] * (num_sets - 1) + [large_set_size]),
+        "gradually_smaller": [
+            int(large_set_size / _np.sqrt(i + 1)) for i in range(num_sets)],
+    }
+
+
+def complete_test_with_selected_parameters(
+        num_runs: int = 3,
+        universe_size: int = 1_000_000,
+        num_sets: int = 20,
+        order: str = "random",
+        small_set_size_rate: float = 0.01,
+        large_set_size_rate: float = 0.2,
+        remarketing_rate: float = 0.2,
+        shared_prop_list: tuple = (0.25, 0.5, 0.75),
+        tokens_per_row: int = 64,
+        seed: int = 42) -> EvaluationConfig:
+    """The reference's complete_test_with_selected_parameters evaluation
+    (evaluation_configs.py:670-737): scenarios 1/2 (independent,
+    remarketing) x 6 set-size-list types, 3a/3b (exponential bow,
+    independent/identical activity) x 6 types, 4a (fully overlapped,
+    small/large), 4b (subset, 3 large/small splits), 5 (sequentially
+    correlated, all/one x 6 types x shared_prop_list) — 65 scenarios over
+    the faithful generators.  Defaults mirror the reference's constants
+    (UNIVERSE_SIZE_VALUE=1e6, NUM_SETS_VALUE=20, rates 0.01/0.2,
+    SHARED_PROP_LIST_VALUE=(0.25,0.5,0.75)); pass a smaller universe for
+    sandbox-speed runs."""
+    from ..sources.set_generators import SetScenarioSpec
+
+    mk = SetScenarioSpec.make
+    kw = dict(tokens_per_row=tokens_per_row, seed=seed)
+    small = int(small_set_size_rate * universe_size)
+    large = int(large_set_size_rate * universe_size)
+    choices = set_size_list_choices(small, large, num_sets)
+    scenarios: list[ScenarioConfig] = []
+
+    # scenarios 1 & 2: independent / remarketing x set-size-list types
+    for key_words, size in (("independent", universe_size),
+                            (f"remarketing-remarketing_size:{int(universe_size * remarketing_rate)}",
+                             int(universe_size * remarketing_rate))):
+        for set_type, sizes in choices.items():
+            scenarios.append(ScenarioConfig(
+                f"{key_words}-universe_size:{universe_size}-small_set:{small}"
+                f"-large_set:{large}-set_type:{set_type}",
+                mk("independent", universe_size=size, set_sizes=sizes, **kw)))
+
+    # scenario 3 (a/b): exponential bow x activity association x types
+    for assoc in ("independent", "identical"):
+        for set_type, sizes in choices.items():
+            scenarios.append(ScenarioConfig(
+                f"exponential_bow-user_activity_association:{assoc}"
+                f"-universe_size:{universe_size}-small_set:{small}"
+                f"-large_set:{large}-set_type:{set_type}",
+                mk("exponential_bow", user_activity_association=assoc,
+                   universe_size=universe_size, set_sizes=sizes, **kw)))
+
+    # scenario 4a: fully overlapped, small / large
+    for set_size in (small, large):
+        scenarios.append(ScenarioConfig(
+            f"fully_overlapped-universe_size:{universe_size}"
+            f"-num_sets:{num_sets}-set_sizes:{set_size}",
+            mk("fully_overlapping", universe_size=universe_size,
+               num_sets=num_sets, set_size=set_size, **kw)))
+
+    # scenario 4b: subset, three large/small splits
+    for num_large in (1, int(num_sets / 2), num_sets - 1):
+        scenarios.append(ScenarioConfig(
+            f"subset-universe_size:{universe_size}-order:{order}"
+            f"-num_large_sets:{num_large}-num_small_sets:{num_sets - num_large}"
+            f"-large_set_size:{large}-small_set_size:{small}",
+            mk("subset", order=order, universe_size=universe_size,
+               num_large_sets=num_large, num_small_sets=num_sets - num_large,
+               large_set_size=large, small_set_size=small, **kw)))
+
+    # scenario 5: sequentially correlated, all/one x types x shared_prop
+    for correlated in ("all", "one"):
+        for set_type, sizes in choices.items():
+            for sp in shared_prop_list:
+                scenarios.append(ScenarioConfig(
+                    f"sequentially_correlated_{correlated}-order:{order}"
+                    f"-shared_prop:{sp}-set_type:{set_type}",
+                    mk("sequentially_correlated", order=order,
+                       correlated_sets=correlated, shared_prop=float(sp),
+                       set_sizes=sizes, **kw)))
+
+    return EvaluationConfig(name="complete_test_with_selected_parameters",
+                            num_runs=num_runs, scenarios=scenarios)
 
 
 def frequency_end_to_end_evaluation(num_runs: int = 3,

@@ -78,3 +78,42 @@ def test_new_config_families_execute(cfg_name):
     # sane magnitude: within 3x of truth for every prefix union
     ratio = df["estimated_cardinality_1"] / df["true_cardinality_1"]
     assert ((ratio > 0.33) & (ratio < 3.0)).all(), ratio.tolist()
+
+
+def test_complete_test_with_selected_parameters_grid():
+    """65 scenarios mirroring evaluation_configs.py:670-737: 12 independent/
+    remarketing + 12 bow + 2 fully-overlapped + 3 subset + 36 seq-correlated."""
+    from cardinality_estimation_evaluation_framework_ray.pipelines.configs import (
+        complete_test_with_selected_parameters,
+    )
+
+    cfg = complete_test_with_selected_parameters(num_runs=1,
+                                                 universe_size=20_000)
+    assert len(cfg.scenarios) == 65
+    names = [s.name for s in cfg.scenarios]
+    assert len(set(names)) == 65  # unique
+    assert sum(n.startswith("independent") for n in names) == 6
+    assert sum(n.startswith("remarketing") for n in names) == 6
+    assert sum(n.startswith("exponential_bow") for n in names) == 12
+    assert sum(n.startswith("fully_overlapped") for n in names) == 2
+    assert sum(n.startswith("subset") for n in names) == 3
+    assert sum(n.startswith("sequentially_correlated_all") for n in names) == 18
+    assert sum(n.startswith("sequentially_correlated_one") for n in names) == 18
+
+    # a bow cell and a gradually-smaller seq cell run end-to-end (local)
+    from cardinality_estimation_evaluation_framework_ray.pipelines.configs import (
+        get_estimator_configs,
+    )
+    from cardinality_estimation_evaluation_framework_ray.pipelines.simulator import (
+        Simulator,
+    )
+
+    (est,) = get_estimator_configs(["exact"])
+    for pick in ("exponential_bow-user_activity_association:identical",
+                 "sequentially_correlated_one"):
+        scen = next(s for s in cfg.scenarios if s.name.startswith(pick))
+        sim = Simulator(num_runs=1, scenario=scen.spec, config=est,
+                        sketch_random_state=np.random.RandomState(2),
+                        engine="local")
+        df, _ = sim.run_all_and_aggregate()
+        assert (df.estimated_cardinality_1 == df.true_cardinality_1).all()
