@@ -336,16 +336,15 @@ def simhash_signatures(ds: "ray.data.Dataset", *, seed: int = 99,
     """64-bit SimHash per document (Charikar 2002), vectorized per batch."""
 
     def sign(batch: pa.Table) -> pa.Table:
+        from ..functions.segments import segment_sums
+
         word_h, lengths = _doc_word_hashes(batch, text_col, seed)
-        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
-        starts = np.minimum(starts, max(len(word_h) - 1, 0))  # empty-row guard
         n_docs = len(lengths)
         sig = np.zeros(n_docs, dtype=np.uint64)
         total = np.maximum(lengths, 1)
         for bit in range(64):
             bits = ((word_h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
-            ones = np.add.reduceat(bits, starts) if len(word_h) else np.zeros(n_docs, np.int64)
-            ones = np.where(lengths > 0, ones, 0)
+            ones = segment_sums(bits, lengths)
             sig |= (np.uint64(1) << np.uint64(bit)) * (2 * ones > total).astype(np.uint64)
         return pa.table({id_col: batch.column(id_col),
                          "simhash": pa.array(sig.astype(np.int64))})

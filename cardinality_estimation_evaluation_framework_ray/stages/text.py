@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..functions.hashing import hash_strings
+from ..functions.segments import segment_sums
 
 TOKEN_PATTERN = "[^a-z0-9]+"
 
@@ -115,12 +116,7 @@ def quality_stats(ds: "ray.data.Dataset", text_col: str = "text",
         texts = batch.column(text_col)
         values, lengths = _split_lists(texts)
         word_chars = pc.utf8_length(values).to_numpy(zero_copy_only=False)
-        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
-        # clip starts for zero-length rows (reduceat rejects start == len)
-        safe_starts = np.minimum(starts, max(len(word_chars) - 1, 0))
-        sum_word_chars = (np.add.reduceat(word_chars, safe_starts)
-                          if len(word_chars) else np.zeros(len(lengths), np.int64))
-        sum_word_chars = np.where(lengths > 0, sum_word_chars, 0)
+        sum_word_chars = segment_sums(word_chars.astype(np.int64), lengths)
         n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
         punct = pc.count_substring_regex(texts, r"[,.!?;:]").to_numpy(zero_copy_only=False)
         upper = pc.count_substring_regex(texts, r"[A-Z]").to_numpy(zero_copy_only=False)
@@ -212,9 +208,7 @@ class LangId:
             starts = np.concatenate([[0], np.cumsum(new_lengths)[:-1]]).astype(np.int64)
             within = np.arange(total) - np.repeat(starts, new_lengths)
             token_votes[within >= self.MAX_WORDS] = 0
-            safe_starts = np.minimum(starts, total - 1)
-            summed = np.add.reduceat(token_votes, safe_starts, axis=0)
-            hits = np.where((new_lengths > 0)[:, None], summed, 0)
+            hits = segment_sums(token_votes, new_lengths)
 
         best = np.asarray(self.LANGS, dtype=object)[np.argmax(hits, axis=1)]
         langs = np.where(is_zh, "zh",
