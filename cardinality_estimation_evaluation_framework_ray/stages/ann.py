@@ -227,13 +227,27 @@ def ivf_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10, *,
 
 def embedding_near_dups(ds: "ray.data.Dataset", threshold: float = 0.95, *,
                         n_planes: int = 10, emb_col: str = "embedding",
-                        id_col: str = "vec_id", seed: int = 6) -> "ray.data.Dataset":
+                        id_col: str = "vec_id", seed: int = 6,
+                        max_bucket_size: int = 2000,
+                        block_rows: int = 1024) -> "ray.data.Dataset":
     """Embedding-cosine near-duplicate pairs via hyperplane-LSH buckets.
 
     groupby(bucket) is the wide op; in-bucket exact cosine confirms.  High
     thresholds => near-identical vectors land in the same bucket w.h.p.
+
+    Scale guards (embeddings cluster by topic, so hot buckets are the NORM
+    here, not a pathology):
+
+    * ``max_bucket_size``: a bucket larger than this skips the O(n^2)
+      all-pairs scan and emits star edges against its min-id representative
+      plus chain edges between consecutive id-sorted members — O(n) output
+      that keeps the bucket connected for dedup-cluster purposes.  Honest
+      recall trade-off: a member whose cosine to BOTH the representative and
+      its chain neighbours is below threshold loses linkage even if it is
+      near some other member.
+    * ``block_rows``: the in-bucket score matrix is computed in row blocks,
+      bounding peak memory to ``block_rows * n`` floats instead of n^2.
     """
-    rs = np.random.RandomState(seed)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         m = _normalize(_emb_matrix(batch, emb_col))
@@ -257,10 +271,32 @@ def embedding_near_dups(ds: "ray.data.Dataset", threshold: float = 0.95, *,
         m = _normalize(_emb_matrix(tbl, emb_col))
         order = np.argsort(ids, kind="stable")
         ids, m = ids[order], m[order]
-        scores = m @ m.T
-        a, b = np.triu_indices(n, k=1)
-        cos = scores[a, b]
-        keep = cos >= threshold
+        if n > max_bucket_size:
+            # hot bucket: star (min-id rep) + chain edges, O(n) not O(n^2)
+            cos_star = m[1:] @ m[0]
+            cos_chain = np.einsum("ij,ij->i", m[:-1], m[1:])
+            a = np.concatenate([np.zeros(n - 1, np.int64),
+                                np.arange(0, n - 1, dtype=np.int64)])
+            b = np.concatenate([np.arange(1, n, dtype=np.int64),
+                                np.arange(1, n, dtype=np.int64)])
+            cos = np.concatenate([cos_star, cos_chain])
+            # the (0, 1) pair appears in both star and chain -> dedup
+            _, first = np.unique(a * np.int64(n) + b, return_index=True)
+            a, b, cos = a[first], b[first], cos[first]
+        else:
+            # blocked upper-triangle scan: peak memory block_rows * n floats
+            a_parts, b_parts, c_parts = [], [], []
+            for s in range(0, n, block_rows):
+                blk = m[s:s + block_rows] @ m.T
+                rows, cols = np.nonzero(blk >= threshold)
+                g = (s + rows) < cols
+                a_parts.append(s + rows[g])
+                b_parts.append(cols[g])
+                c_parts.append(blk[rows[g], cols[g]])
+            a = np.concatenate(a_parts) if a_parts else np.empty(0, np.int64)
+            b = np.concatenate(b_parts) if b_parts else np.empty(0, np.int64)
+            cos = np.concatenate(c_parts) if c_parts else np.empty(0, np.float32)
+        keep = (cos >= threshold) & (ids[a] != ids[b])
         return pa.table({"vec_a": pa.array(ids[a][keep].astype(np.int64)),
                          "vec_b": pa.array(ids[b][keep].astype(np.int64)),
                          "cosine": pa.array(np.round(cos[keep].astype(np.float64), 4))})

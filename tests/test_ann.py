@@ -91,3 +91,45 @@ def test_ivf_topk_recall_vs_brute_force():
     cents = train_ivf_centroids(ds, 12, seed=3)
     assert cents.shape == (12, 16)
     assert np.allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-5)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_near_dups_hot_bucket_guard():
+    """Degenerate bucket (all vectors in one hyperplane cell): output must be
+    bounded (star + chain, <= 2n-3 pairs) and the cluster must stay connected."""
+    n, dim = 50, 8
+    rs = np.random.RandomState(3)
+    base = rs.normal(size=dim).astype(np.float32)
+    m = base + rs.normal(scale=1e-4, size=(n, dim)).astype(np.float32)
+    arr = pa.FixedSizeListArray.from_arrays(pa.array(m.reshape(-1)), dim)
+    tbl = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "embedding": arr})
+    ds = ray.data.from_arrow(tbl)
+    guarded = embedding_near_dups(ds, threshold=0.99,
+                                  max_bucket_size=10).to_pandas()
+    # every vector lands in ONE bucket; star+chain emits at most 2n-3 pairs
+    # per bucket (here: one bucket per band... one bucket total)
+    assert len(guarded) <= 2 * n - 3
+    # connectivity: union-find over guarded pairs joins all n vectors
+    from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
+        dedup_clusters,
+    )
+    clusters = dedup_clusters(
+        ray.data.from_pandas(guarded), a_col="vec_a", b_col="vec_b")
+    assert set(clusters.doc_id) == set(range(n))
+    assert clusters.cluster_id.nunique() == 1
+    # unguarded output is identical to the blocked scan at small n
+    full = embedding_near_dups(ds, threshold=0.99).to_pandas()
+    assert len(full) == n * (n - 1) // 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_near_dups_blocked_matches_unblocked():
+    m, tbl = _emb_table(n=300)
+    ds = ray.data.from_arrow(tbl)
+    small_blocks = embedding_near_dups(ds, threshold=0.99,
+                                       block_rows=7).to_pandas()
+    one_block = embedding_near_dups(ds, threshold=0.99,
+                                    block_rows=100000).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["vec_a", "vec_b", "cosine"]].values.tolist()))
+    assert key(small_blocks) == key(one_block)
