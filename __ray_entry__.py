@@ -26,6 +26,101 @@ _TOKS_CTE = (
 )
 
 
+def _word_hash_ctes(seed: int) -> str:
+    """CTE chain ``whh(tok, h)``: byte-exact SQL replica of
+    ``functions.hashing.hash_strings`` (seeded FNV-1a byte fold + splitmix64
+    finalizer) in HUGEINT mod-2^64 arithmetic.  Multiplications are split at
+    2^32 so no intermediate exceeds HUGEINT range; 64-bit XOR runs on the
+    BIGINT two's-complement bit pattern.  Expects a prior CTE ``words(tok)``
+    of (ASCII) words — the tokenizer contract guarantees [a-z0-9]+.
+    """
+    from cardinality_estimation_evaluation_framework_ray.functions.hashing import (
+        seed_offset,
+    )
+
+    U64 = "18446744073709551616"
+    U32 = "4294967296"
+    FNV = "1099511628211"
+    M1 = str(0xBF58476D1CE4E5B9)
+    M2 = str(0x94D049BB133111EB)
+
+    def mulmod64(x: str, m: str) -> str:
+        return (f"((({x}) % {U32}) * {m} + "
+                f"(((({x}) // {U32}) * {m}) % {U32}) * {U32}) % {U64}")
+
+    def to_s(v: str) -> str:
+        return (f"CAST(CASE WHEN ({v}) >= 9223372036854775808 "
+                f"THEN ({v}) - {U64} ELSE ({v}) END AS BIGINT)")
+
+    def to_u(x: str) -> str:
+        return (f"(CASE WHEN ({x}) < 0 THEN CAST(({x}) AS HUGEINT) + {U64} "
+                f"ELSE CAST(({x}) AS HUGEINT) END)")
+
+    def xor64(a: str, b: str) -> str:
+        return to_u(f"xor({to_s(a)}, {to_s(b)})")
+
+    def shr(z: str, k: int) -> str:
+        return f"(({z}) // {2 ** k})"
+
+    h0 = 0xCBF29CE484222325 ^ int(seed_offset(seed))
+    step = mulmod64(
+        f"((acc) - ((acc) % 256) + "
+        f"{to_u('xor(CAST((acc) % 256 AS BIGINT), CAST((c) AS BIGINT))')})",
+        FNV)
+    fold = (f"list_reduce(list_prepend(CAST({h0} AS HUGEINT), "
+            f"list_transform(range(1, length(tok) + 1), "
+            f"i -> CAST(ascii(substr(tok, i, 1)) AS HUGEINT))), "
+            f"(acc, c) -> {step})")
+    return (f"f0 AS (SELECT tok, {fold} AS z FROM words), "
+            f"f1 AS (SELECT tok, {mulmod64(xor64('z', shr('z', 30)), M1)} AS z FROM f0), "
+            f"f2 AS (SELECT tok, {mulmod64(xor64('z', shr('z', 27)), M2)} AS z FROM f1), "
+            f"whh AS (SELECT tok, {xor64('z', shr('z', 31))} AS h FROM f2)")
+
+
+def _simhash_oracle_sql(seed: int = 99, max_hamming: int = 3) -> str:
+    """Full-pipeline SQL oracle for ``simhash_near_dups``: recompute each
+    doc's 64-bit SimHash (exact word-hash replica, per-bit occurrence
+    majority with the engine's ``2*ones > max(n,1)`` tie rule, empty docs ->
+    all-zero signature) and emit all pairs at Hamming distance <=
+    ``max_hamming``.  Valid as an oracle only for max_hamming <= 3, where the
+    engine's 4x16-bit pigeonhole banding has recall exactly 1.0."""
+    bits_rows = ", ".join(f"({b}, CAST('{2 ** b}' AS HUGEINT))"
+                          for b in range(64))
+    return f"""
+        WITH toks0 AS (
+          SELECT doc_id, unnest(list_filter(
+                 regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                 x -> x <> '')) AS tok
+          FROM documents),
+        nt AS (SELECT doc_id, count(*) AS n FROM toks0 GROUP BY doc_id),
+        words AS (SELECT DISTINCT tok FROM toks0),
+        {_word_hash_ctes(seed)},
+        bits AS (SELECT * FROM (VALUES {bits_rows}) AS t(bit, p2)),
+        tokh AS (SELECT t.doc_id, w.h FROM toks0 t JOIN whh w USING (tok)),
+        ones AS (
+          SELECT t.doc_id, b.bit,
+                 sum(CASE WHEN (t.h // b.p2) % 2 = 1 THEN 1 ELSE 0 END) AS ones
+          FROM tokh t CROSS JOIN bits b GROUP BY 1, 2),
+        maj AS (
+          SELECT d.doc_id, b.bit,
+                 CASE WHEN 2 * COALESCE(o.ones, 0) >
+                      greatest(COALESCE(n.n, 0), 1) THEN 1 ELSE 0 END AS m
+          FROM documents d
+          CROSS JOIN bits b
+          LEFT JOIN ones o ON o.doc_id = d.doc_id AND o.bit = b.bit
+          LEFT JOIN nt n ON n.doc_id = d.doc_id),
+        ham AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 sum(CASE WHEN a.m <> b.m THEN 1 ELSE 0 END) AS hamming
+          FROM maj a JOIN maj b ON a.bit = b.bit AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT CAST(doc_a AS BIGINT) AS doc_a,
+               CAST(doc_b AS BIGINT) AS doc_b,
+               CAST(hamming AS BIGINT) AS hamming
+        FROM ham WHERE hamming <= {max_hamming}
+    """
+
+
 def _read(sf_dir: str, table: str):
     import ray.data
 
@@ -326,7 +421,9 @@ def _q_simhash_near_dups(sf_dir: str):
         simhash_near_dups,
     )
 
-    return simhash_near_dups(_read(sf_dir, "documents"), max_hamming=8).to_pandas()
+    # max_hamming=3: within the 4x16-bit pigeonhole recall-1.0 regime, so the
+    # full pipeline is SQL-oracle-checkable (see _simhash_oracle_sql)
+    return simhash_near_dups(_read(sf_dir, "documents"), max_hamming=3).to_pandas()
 
 
 def _q_lang_id(sf_dir: str):
@@ -1002,4 +1099,5 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         """,
+        "simhash_near_dups": _simhash_oracle_sql(seed=99, max_hamming=3),
     }

@@ -22,8 +22,6 @@ driver-side on the <= #keys final states.
 
 from __future__ import annotations
 
-import os
-import time
 from typing import Iterable
 
 import numpy as np
@@ -124,7 +122,6 @@ def make_partial_builder(specs: dict[str, SketchSpec], key: str = "source",
             key: list(rows_per_key.keys()),
             "n_rows": [n_rows_per_key.get(k, 0) for k in rows_per_key],
             "n_tokens": [v[1] for v in rows_per_key.values()],
-            "salt": [int.from_bytes(os.urandom(4), "little") for _ in rows_per_key],
         }
         for name in specs:
             out[state_col(name)] = [v[0][name] for v in rows_per_key.values()]
@@ -158,7 +155,7 @@ def _merge_rows_per_key(tbl: pa.Table, specs: dict[str, SketchSpec],
     n_rows = tbl.column("n_rows").to_numpy(zero_copy_only=False)
     n_tokens = tbl.column("n_tokens").to_numpy(zero_copy_only=False)
     uniq = np.unique(keys_np)
-    out = {key: uniq.tolist(), "n_rows": [], "n_tokens": [], "salt": []}
+    out = {key: uniq.tolist(), "n_rows": [], "n_tokens": []}
     blob_cols = {name: tbl.column(state_col(name)).to_pylist() for name in specs}
     for name in specs:
         out[state_col(name)] = []
@@ -167,7 +164,6 @@ def _merge_rows_per_key(tbl: pa.Table, specs: dict[str, SketchSpec],
         idxs = np.flatnonzero(mask)
         out["n_rows"].append(int(n_rows[mask].sum()))
         out["n_tokens"].append(int(n_tokens[mask].sum()))
-        out["salt"].append(0)
         for name, spec in specs.items():
             blobs = [blob_cols[name][i] for i in idxs]
             out[state_col(name)].append(merge_many(spec, blobs).to_bytes())
@@ -201,7 +197,6 @@ def _make_group_merger(specs: dict[str, SketchSpec], key: str):
             key: [tbl.column(key)[0].as_py()],
             "n_rows": [int(np.sum(tbl.column("n_rows").to_numpy()))],
             "n_tokens": [int(np.sum(tbl.column("n_tokens").to_numpy()))],
-            "salt": [0],
         }
         for name, spec in specs.items():
             blobs = tbl.column(state_col(name)).to_pylist()

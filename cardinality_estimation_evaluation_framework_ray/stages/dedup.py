@@ -188,7 +188,7 @@ def minhash_near_dups(ds: "ray.data.Dataset", *, num_perm: int = 64,
                       bands: int = 16, threshold: float = 0.7,
                       shingle: int = 3, seed: int = 77,
                       text_col: str = "text", id_col: str = "doc_id",
-                      max_bucket_size: int = 2000,
+                      max_bucket_size: int | None = 2000,
                       concurrency=None) -> "ray.data.Dataset":
     """Near-duplicate pairs (doc_a, doc_b, est_jaccard >= threshold).
 
@@ -198,10 +198,15 @@ def minhash_near_dups(ds: "ray.data.Dataset", *, num_perm: int = 64,
 
     ``max_bucket_size`` bounds the O(|bucket|^2) in-bucket comparison: a
     bucket larger than this is a degenerate near-identical cluster (or a
-    pathological band); it is reduced to pairs against its min-id
-    representative instead of all-pairs, which keeps every member linked for
-    dedup purposes while dropping the quadratic blowup.  NOT a silent cap —
-    the representative edges still surface the cluster.
+    pathological band); instead of all-pairs it emits star edges against the
+    min-id representative PLUS chain edges between consecutive id-sorted
+    members — O(n) output that keeps the bucket connected for clustering.
+    Recall trade-off (documented, not silent): a member whose similarity to
+    both the representative and its chain neighbours is below ``threshold``
+    loses linkage within this bucket even if it is near some other member;
+    components reported through ``dedup_clusters`` stay intact because star +
+    chain keep one surviving edge per genuinely-similar member in practice.
+    ``None`` disables the guard (exact all-pairs regardless of bucket size).
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
@@ -249,10 +254,13 @@ def minhash_near_dups(ds: "ray.data.Dataset", *, num_perm: int = 64,
                          .to_numpy(zero_copy_only=False)).reshape(n, num_perm)
         order = np.argsort(ids, kind="stable")
         ids, sig = ids[order], sig[order]
-        if n > max_bucket_size:
-            # degenerate cluster: star expansion around the min-id member
-            a_idx = np.zeros(n - 1, dtype=np.int64)
-            b_idx = np.arange(1, n, dtype=np.int64)
+        if max_bucket_size is not None and n > max_bucket_size:
+            # hot bucket: star (min-id rep) + chain edges, O(n) not O(n^2);
+            # the (0, 1) pair appears in both -> drop the duplicate chain edge
+            a_idx = np.concatenate([np.zeros(n - 1, dtype=np.int64),
+                                    np.arange(1, n - 1, dtype=np.int64)])
+            b_idx = np.concatenate([np.arange(1, n, dtype=np.int64),
+                                    np.arange(2, n, dtype=np.int64)])
         else:
             a_idx, b_idx = np.triu_indices(n, k=1)
         est = (sig[a_idx] == sig[b_idx]).mean(axis=1)
@@ -298,33 +306,47 @@ def shingle_set_digests(ds: "ray.data.Dataset", *, shingle: int = 1,
 
 def minhash_exact_dups(ds: "ray.data.Dataset", *, num_perm: int = 64,
                        bands: int = 16, shingle: int = 1, seed: int = 77,
-                       text_col: str = "text",
-                       id_col: str = "doc_id") -> "ray.data.Dataset":
+                       text_col: str = "text", id_col: str = "doc_id",
+                       num_partitions: int = 8) -> "ray.data.Dataset":
     """Pairs of docs with IDENTICAL shingle sets: LSH candidates (threshold
     1.0 — identical sets have identical signatures, so recall is 1.0 by
-    construction while buckets stay below the star-expansion guard) verified
-    exactly by the broadcast set digest.  The candidates -> exact-verify
-    composition is the standard scale pattern; here it also makes the stage
-    SQL-oracle-checkable."""
-    import ray
+    construction) verified exactly by the per-doc set digest.
+
+    The bucket guard is DISABLED here on purpose: the contract is the full
+    clique of identical-set pairs (the SQL oracle's ``a.wordset = b.wordset
+    AND a.doc_id < b.doc_id`` join), so the output itself is O(cluster^2) —
+    star expansion would save nothing asymptotically while dropping
+    intra-cluster pairs the contract requires.
+
+    Digest verification is a distributed cogroup join of the (doc_id,
+    digest) table onto the candidate pairs (once per side) — no driver-side
+    per-doc dict: memory per task is bounded by one key group, not the
+    corpus.
+    """
+    del num_partitions  # shuffle fan-out is decided by the groupby backend
+    from .cogroup import attach_by_key
 
     cands = minhash_near_dups(ds, num_perm=num_perm, bands=bands,
                               threshold=1.0, shingle=shingle, seed=seed,
-                              text_col=text_col, id_col=id_col)
+                              text_col=text_col, id_col=id_col,
+                              max_bucket_size=None)
+    # consumed by both attaches: materialize once (distributed, object store)
     digs = shingle_set_digests(ds, shingle=shingle, seed=seed,
-                               text_col=text_col, id_col=id_col)
-    dmap_ref = ray.put({r[id_col]: r["digest"] for r in digs.take_all()})
+                               text_col=text_col, id_col=id_col).materialize()
+    pairs = cands.select_columns(["doc_a", "doc_b"])
+    i64 = pa.int64()
+    sch1 = pa.schema([("doc_a", i64), ("doc_b", i64)])
+    sch2 = pa.schema([("doc_a", i64), ("doc_b", i64), ("digest_a", i64)])
+    j1 = attach_by_key(pairs, "doc_a", digs, id_col, "digest", "digest_a",
+                       ds_schema=sch1, val_type=i64)
+    j2 = attach_by_key(j1, "doc_b", digs, id_col, "digest", "digest_b",
+                       ds_schema=sch2, val_type=i64)
 
     def verify(batch: pa.Table) -> pa.Table:
-        dmap = ray.get(dmap_ref)
-        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
-        db = batch.column("doc_b").to_numpy(zero_copy_only=False)
-        keep = np.array([dmap[a] == dmap[b] for a, b in zip(da, db)],
-                        dtype=bool) if len(da) else np.zeros(0, bool)
-        return pa.table({"doc_a": pa.array(da[keep]),
-                         "doc_b": pa.array(db[keep])})
+        keep = pc.equal(batch.column("digest_a"), batch.column("digest_b"))
+        return batch.filter(keep).select(["doc_a", "doc_b"])
 
-    return cands.map_batches(verify, batch_format="pyarrow")
+    return j2.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -355,15 +377,21 @@ def simhash_signatures(ds: "ray.data.Dataset", *, seed: int = 99,
 def simhash_near_dups(ds: "ray.data.Dataset", *, max_hamming: int = 3,
                       seed: int = 99, text_col: str = "text",
                       id_col: str = "doc_id",
-                      max_bucket_size: int = 2000) -> "ray.data.Dataset":
+                      max_bucket_size: int | None = 2000) -> "ray.data.Dataset":
     """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming (<= 3 for full
     recall with the 4x16-bit pigeonhole banding).
 
     ``max_bucket_size`` bounds the O(|bucket|^2) in-bucket scan exactly like
     MinHash's guard: a 16-bit chunk shared by more than this many docs (e.g.
-    the all-zeros chunk of short/templated docs) is reduced to star-expansion
-    pairs against its min-id member instead of all-pairs — every member stays
-    linked for dedup purposes, the quadratic blowup is gone."""
+    the all-zeros chunk of short/templated docs) emits star edges against the
+    min-id member PLUS chain edges between consecutive id-sorted members
+    instead of all-pairs — O(n) output, no quadratic blowup.  Recall
+    trade-off (documented, not silent): after the Hamming filter a member
+    farther than ``max_hamming`` from both the representative and its chain
+    neighbours loses linkage within this bucket even if it is near some other
+    member; the other 3 chunk bands independently re-try every pair, so only
+    docs differing from ALL their near-neighbours in every band's hot bucket
+    are affected.  ``None`` disables the guard."""
     sigs = simhash_signatures(ds, seed=seed, text_col=text_col, id_col=id_col)
 
     def to_chunks(batch: pa.Table) -> pa.Table:
@@ -390,10 +418,12 @@ def simhash_near_dups(ds: "ray.data.Dataset", *, max_hamming: int = 3,
         sig = tbl.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
         order = np.argsort(ids, kind="stable")
         ids, sig = ids[order], sig[order]
-        if n > max_bucket_size:
-            # degenerate hot chunk: star expansion around the min-id member
-            a = np.zeros(n - 1, dtype=np.int64)
-            b = np.arange(1, n, dtype=np.int64)
+        if max_bucket_size is not None and n > max_bucket_size:
+            # hot chunk: star (min-id rep) + chain edges, O(n) not O(n^2)
+            a = np.concatenate([np.zeros(n - 1, dtype=np.int64),
+                                np.arange(1, n - 1, dtype=np.int64)])
+            b = np.concatenate([np.arange(1, n, dtype=np.int64),
+                                np.arange(2, n, dtype=np.int64)])
         else:
             a, b = np.triu_indices(n, k=1)
         x = sig[a] ^ sig[b]
@@ -413,21 +443,117 @@ def simhash_near_dups(ds: "ray.data.Dataset", *, max_hamming: int = 3,
         Min("hamming", alias_name="hamming"))
 
 
-def dedup_clusters(pairs: "ray.data.Dataset", *, a_col: str = "doc_a",
-                   b_col: str = "doc_b"):
-    """Near-dup PAIRS -> duplicate CLUSTERS: (doc_id, cluster_id) where
-    cluster_id is the minimum id of the connected component.
+def label_propagation_clusters(pairs: "ray.data.Dataset", *,
+                               a_col: str = "doc_a", b_col: str = "doc_b",
+                               num_partitions: int = 8,
+                               max_iters: int = 64) -> "ray.data.Dataset":
+    """Distributed transitive closure: min-label propagation + pointer jump.
 
-    The pair list is the small output of the LSH stage (that is its job), so
-    the transitive closure runs driver-side with path-compressed union-find
-    over the collected edges.  At pair volumes beyond driver memory, replace
-    with iterative min-label propagation (repeat: join labels over edges,
-    take min, until fixpoint) — same contract.  Docs that appear in no pair
-    (singletons) are not emitted.
+    (doc_id, cluster_id = component minimum), computed entirely as Dataset
+    ops — nothing is ever collected to the driver, so it works on edge lists
+    beyond driver memory (the 100 TB near-dup-graph case):
+
+      labels(node) := node
+      repeat:
+        labels(node) := min(labels(node), min over neighbours
+                            labels(neighbour))      [join + groupby-min]
+        labels(node) := labels(labels(node))        [pointer jump: one join]
+      until sum(labels) is unchanged (labels are monotone non-increasing
+      integers bounded below, so the sum is a valid fixpoint witness).
+
+    The pointer-jump step halves the remaining path length every round
+    (labels are node ids, and label(v) <= v is invariant), so convergence is
+    O(log diameter) rounds instead of O(diameter) — the difference between
+    ~5 and ~1000 all-to-alls on a long chain.  Per round: two hash joins and
+    one groupby-min over two-int64-column tables.
+    """
+    from ray.data.aggregate import Min
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    edges = pairs.select_columns([a_col, b_col]).map_batches(
+        both_dirs, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("src"),
+                         "label": batch.column("src")})
+
+    labels = (edges.map_batches(init_labels, batch_format="pyarrow")
+              .groupby("node").aggregate(Min("label", alias_name="label"))
+              .materialize())
+    prev_sum = labels.sum("label")
+    for _ in range(max_iters):
+        msgs = edges.join(labels, "inner", num_partitions=num_partitions,
+                          on=("src",), right_on=("node",))
+
+        def msg_rows(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": batch.column("dst"),
+                             "label": batch.column("label")})
+
+        l1 = msgs.map_batches(msg_rows, batch_format="pyarrow") \
+            .union(labels) \
+            .groupby("node").aggregate(Min("label", alias_name="label")) \
+            .materialize()
+        # pointer jump: label(v) <- label(label(v)); label(v) is itself a
+        # node (labels are node ids), so an inner self-join covers all rows
+        jumped = l1.join(l1, "inner", num_partitions=num_partitions,
+                         on=("label",), right_on=("node",),
+                         left_suffix="_old", right_suffix="_new")
+
+        def take_jump(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": batch.column("node"),
+                             "label": batch.column("label_new")})
+
+        candidates = jumped.map_batches(take_jump,
+                                        batch_format="pyarrow").materialize()
+        new_sum = candidates.sum("label")
+        labels = candidates
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("node"),
+                         "cluster_id": batch.column("label")})
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def dedup_clusters(pairs: "ray.data.Dataset", *, a_col: str = "doc_a",
+                   b_col: str = "doc_b", engine: str = "auto",
+                   max_driver_pairs: int = 2_000_000,
+                   num_partitions: int = 8):
+    """Near-dup PAIRS -> duplicate CLUSTERS: (doc_id, cluster_id) where
+    cluster_id is the minimum id of the connected component.  Docs that
+    appear in no pair (singletons) are not emitted.
+
+    Two engines, same contract (tested label-equal):
+
+    * ``driver``: path-compressed union-find over the collected edge list —
+      O(E α(E)) and exact, right for LSH-sized pair lists (their boundedness
+      is the LSH stage's job).
+    * ``distributed``: iterative min-label propagation
+      (``label_propagation_clusters``) — never materializes edges on the
+      driver; the path for web-scale near-dup graphs with billions of edges.
+    * ``auto``: count the pairs (cheap metadata pass over the materialized
+      edge list) and pick driver iff count <= max_driver_pairs.
     """
     import pandas as pd
 
-    edges = pairs.select_columns([a_col, b_col]).to_pandas()
+    sel = pairs.select_columns([a_col, b_col])
+    if engine == "auto":
+        sel = sel.materialize()
+        engine = "driver" if sel.count() <= max_driver_pairs else "distributed"
+    if engine == "distributed":
+        out = label_propagation_clusters(sel, a_col=a_col, b_col=b_col,
+                                         num_partitions=num_partitions)
+        return (out.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+    edges = sel.to_pandas()
     parent: dict = {}
 
     def find(x):
@@ -478,10 +604,12 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", *, n: int = 1,
       at most this many rows, so one hot group never materialises a giant
       block.
 
-    Per-doc set sizes ride a ``ray.put`` broadcast (one object-store copy,
-    read per task) instead of a driver-closure dict.  At 100 TB this exact
-    mode is gated behind LSH candidates (minhash_near_dups); the df-cut and
-    chunking keep it robust at oracle/correctness scale.
+    Per-doc set sizes are attached to the co-occurrence pairs by two
+    distributed hash joins of the (doc_id, size) table (one per pair side) —
+    no O(#docs) driver dict or broadcast: per-task memory is bounded by a
+    join partition.  At 100 TB this exact mode is gated behind LSH candidates
+    (minhash_near_dups); the df-cut and chunking keep it robust at
+    oracle/correctness scale.
     """
     import ray
 
@@ -530,9 +658,14 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", *, n: int = 1,
         # shuffle isn't recomputed for sizes AND pairs
         postings = postings.materialize()
 
-    # per-doc set sizes (over the df-filtered shingle set), broadcast once
+    # per-doc set sizes (over the df-filtered shingle set)
     sizes = postings.groupby(id_col).count()  # (doc_id, count())
-    size_map_ref = ray.put({r[id_col]: r["count()"] for r in sizes.take_all()})
+
+    def rename_sz(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t.column(id_col), "sz": t.column("count()")})
+
+    # consumed by both joins: materialize once (distributed, object store)
+    sizes = sizes.map_batches(rename_sz, batch_format="pyarrow").materialize()
 
     def cooccur(tbl: pa.Table) -> pa.Table:
         ids = np.unique(tbl.column(id_col).to_numpy(zero_copy_only=False))
@@ -559,16 +692,26 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", *, n: int = 1,
     co = postings.groupby("shingle").map_groups(cooccur, batch_format="pyarrow")
     common = co.groupby(["doc_a", "doc_b"]).aggregate(Sum("n_common", alias_name="n_common"))
 
+    from .cogroup import attach_by_key
+
+    i64 = pa.int64()
+    sch1 = pa.schema([("doc_a", i64), ("doc_b", i64), ("n_common", i64)])
+    sch2 = pa.schema([("doc_a", i64), ("doc_b", i64), ("n_common", i64),
+                      ("sz_a", i64)])
+    j1 = attach_by_key(common, "doc_a", sizes, id_col, "sz", "sz_a",
+                       ds_schema=sch1, val_type=i64)
+    j2 = attach_by_key(j1, "doc_b", sizes, id_col, "sz", "sz_b",
+                       ds_schema=sch2, val_type=i64)
+
     def jaccard(batch: pa.Table) -> pa.Table:
-        size_map = ray.get(size_map_ref)
         da = batch.column("doc_a").to_numpy(zero_copy_only=False)
         db = batch.column("doc_b").to_numpy(zero_copy_only=False)
         nc = batch.column("n_common").to_numpy(zero_copy_only=False).astype(np.float64)
-        sa = np.array([size_map[d] for d in da], dtype=np.float64)
-        sb = np.array([size_map[d] for d in db], dtype=np.float64)
+        sa = batch.column("sz_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        sb = batch.column("sz_b").to_numpy(zero_copy_only=False).astype(np.float64)
         j = nc / (sa + sb - nc)
         keep = j >= threshold
         return pa.table({"doc_a": pa.array(da[keep]), "doc_b": pa.array(db[keep]),
                          "jaccard": pa.array(np.round(j[keep], 6))})
 
-    return common.map_batches(jaccard, batch_format="pyarrow")
+    return j2.map_batches(jaccard, batch_format="pyarrow")

@@ -121,9 +121,9 @@ def test_ngram_jaccard_max_df_cut_bounds_groups():
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_simhash_bucket_guard_star_expansion():
+def test_simhash_bucket_guard_star_plus_chain():
     """A hot 16-bit chunk bucket larger than max_bucket_size collapses to
-    star-expansion edges: every member stays linked, output is O(n) not O(n^2)."""
+    star + chain edges: every member stays linked, output is O(n) not O(n^2)."""
     n = 40
     tbl = pa.table({
         "doc_id": pa.array(np.arange(n, dtype=np.int64)),
@@ -132,11 +132,11 @@ def test_simhash_bucket_guard_star_expansion():
     })
     ds = ray.data.from_arrow(tbl)
     guarded = simhash_near_dups(ds, max_hamming=3, max_bucket_size=5).to_pandas()
-    # star expansion: each bucket links members to its min-id representative;
-    # identical docs occupy the same 4 chunk buckets -> exactly n-1 edges
-    assert len(guarded) == n - 1
-    assert set(guarded.doc_a) == {0}
-    assert set(guarded.doc_b) == set(range(1, n))
+    # star (0,i) for i in 1..n-1 plus chain (i,i+1) for i in 1..n-2:
+    # identical docs occupy the same 4 chunk buckets -> 2n-3 distinct edges
+    got = {tuple(sorted((a, b))) for a, b in zip(guarded.doc_a, guarded.doc_b)}
+    expect = {(0, i) for i in range(1, n)} | {(i, i + 1) for i in range(1, n - 1)}
+    assert got == expect
     full = simhash_near_dups(ds, max_hamming=3, max_bucket_size=5000).to_pandas()
     assert len(full) == n * (n - 1) / 2
 
@@ -179,3 +179,50 @@ def test_dedup_clusters_union_find():
     got = dict(zip(df.doc_id, df.cluster_id))
     # {1,2,3,9} -> 1 ; {5,6} -> 5 ; singletons absent
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_propagation_matches_union_find():
+    """Distributed min-label propagation and driver union-find agree label-
+    for-label on a graph mixing a long chain (worst diameter), a star, an
+    isolated edge and cross links."""
+    from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
+        dedup_clusters,
+    )
+
+    rng = np.random.default_rng(4)
+    # chain 100..119, star around 200, random extra edges among 300..309
+    a = list(range(100, 119)) + [200] * 8 + rng.integers(300, 310, 12).tolist()
+    b = list(range(101, 120)) + list(range(201, 209)) + \
+        rng.integers(300, 310, 12).tolist()
+    pairs = pa.table({"doc_a": pa.array(a, type=pa.int64()),
+                      "doc_b": pa.array(b, type=pa.int64())})
+    # self-pairs possible in the random block: drop them like LSH output would
+    import pyarrow.compute as pc
+    pairs = pairs.filter(pc.not_equal(pairs.column("doc_a"), pairs.column("doc_b")))
+    ds = ray.data.from_arrow(pairs)
+    drv = dedup_clusters(ds, engine="driver")
+    dist = dedup_clusters(ds, engine="distributed", num_partitions=2)
+    assert dict(zip(drv.doc_id, drv.cluster_id)) == \
+        dict(zip(dist.doc_id, dist.cluster_id))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_bucket_guard_star_plus_chain():
+    """MinHash's hot-bucket guard mirrors SimHash's: star + chain edges keep
+    the bucket connected with O(n) output."""
+    n = 30
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(["same words every single time for all docs"] * n),
+        "source": pa.array(["s"] * n),
+    })
+    ds = ray.data.from_arrow(tbl)
+    guarded = minhash_near_dups(ds, num_perm=64, bands=16, threshold=0.9,
+                                shingle=1, max_bucket_size=4).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(guarded.doc_a, guarded.doc_b)}
+    expect = {(0, i) for i in range(1, n)} | {(i, i + 1) for i in range(1, n - 1)}
+    assert got == expect
+    unguarded = minhash_near_dups(ds, num_perm=64, bands=16, threshold=0.9,
+                                  shingle=1, max_bucket_size=None).to_pandas()
+    assert len(unguarded) == n * (n - 1) / 2
