@@ -15,10 +15,55 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
 _SIDE = "__asof_side__"
+
+
+def _arrow_tagger(side: int, all_cols: list[str], types: dict):
+    """Zero-copy Arrow column-align + side tag: existing columns pass through
+    untouched; columns owned by the other side become typed nulls.  Keeps the
+    big side out of pandas — only the per-key cogroup body (which needs
+    ``merge_asof``) pays the conversion, one group at a time."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        present = set(t.column_names)
+        cols = {}
+        for c in all_cols:
+            if c in present:
+                col = t.column(c)
+                cols[c] = col if col.type == types[c] else col.cast(types[c])
+            else:
+                cols[c] = pa.nulls(n, types[c])
+        cols[_SIDE] = pa.array(np.full(n, side, np.int8))
+        return pa.table(cols)
+
+    return fn
+
+
+def _pa_type(t) -> pa.DataType:
+    """Dataset.schema() reports pyarrow types for Arrow blocks but numpy
+    dtypes / Python classes for pandas blocks — normalize to pyarrow."""
+    if isinstance(t, pa.DataType):
+        return t
+    if t is str:
+        return pa.string()
+    try:
+        return pa.from_numpy_dtype(np.dtype(t))
+    except (pa.ArrowNotImplementedError, TypeError):
+        return pa.string()  # numpy object dtype: text column
+
+
+def _unified_types(left_schema, right_schema, all_cols: list[str]) -> dict:
+    types = {}
+    for name, typ in zip(right_schema.names, right_schema.types):
+        types[name] = _pa_type(typ)
+    for name, typ in zip(left_schema.names, left_schema.types):
+        types[name] = _pa_type(typ)  # left wins on collisions
+    return {c: types[c] for c in all_cols}
 
 
 def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
@@ -31,22 +76,19 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
     Returns left columns + the selected right columns (suffixed where they
     collide).  Rows with no match keep nulls (left join semantics).
     """
+    left_schema, right_schema = left.schema(), right.schema()
     rc = right_cols if right_cols is not None else [
-        c for c in right.schema().names if c not in (on, by)]
-    left_names = left.schema().names
+        c for c in right_schema.names if c not in (on, by)]
+    left_names = left_schema.names
     # one unified schema so the tagged union is well-formed
     all_cols = list(left_names) + [c for c in rc if c not in left_names]
+    types = _unified_types(left_schema, right_schema, all_cols)
 
-    def tag(side: int):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.reindex(columns=all_cols)
-            df[_SIDE] = np.int8(side)
-            return df
-        return fn
-
-    lt = left.map_batches(tag(0), batch_format="pandas")
+    lt = left.map_batches(_arrow_tagger(0, all_cols, types),
+                          batch_format="pyarrow")
     rt = (right.select_columns([by, on] + rc)
-          .map_batches(tag(1), batch_format="pandas"))
+          .map_batches(_arrow_tagger(1, all_cols, types),
+                       batch_format="pyarrow"))
     unioned = lt.union(rt)
 
     rename = {c: c + suffix if c in left_names else c for c in [on] + rc}
@@ -85,22 +127,19 @@ def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
     hash(by) % k at 100 TB.
     """
     right_on = right_on or on
+    left_schema, right_schema = left.schema(), right.schema()
     rc = right_cols if right_cols is not None else [
-        c for c in right.schema().names if c not in (right_on, by)]
-    left_names = left.schema().names
+        c for c in right_schema.names if c not in (right_on, by)]
+    left_names = left_schema.names
     all_cols = list(left_names) + [c for c in [right_on] + rc
                                    if c not in left_names]
+    types = _unified_types(left_schema, right_schema, all_cols)
 
-    def tag(side: int):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.reindex(columns=all_cols)
-            df[_SIDE] = np.int8(side)
-            return df
-        return fn
-
-    lt = left.map_batches(tag(0), batch_format="pandas")
+    lt = left.map_batches(_arrow_tagger(0, all_cols, types),
+                          batch_format="pyarrow")
     rt = (right.select_columns([by, right_on] + rc)
-          .map_batches(tag(1), batch_format="pandas"))
+          .map_batches(_arrow_tagger(1, all_cols, types),
+                       batch_format="pyarrow"))
     unioned = lt.union(rt)
 
     rename = {c: c + suffix if c in left_names else c for c in [right_on] + rc}
