@@ -191,6 +191,11 @@ def get_evaluation_config(name: str, num_runs: int = 3,
             num_runs=num_runs, **kwargs),
         "complete_test_with_selected_parameters": lambda:
             complete_test_with_selected_parameters(num_runs=num_runs, **kwargs),
+        "complete_frequency_test_with_selected_parameters": lambda:
+            complete_frequency_test_with_selected_parameters(
+                num_runs=num_runs, **kwargs),
+        "global_dp_stress_test": lambda:
+            global_dp_stress_test(num_runs=num_runs, **kwargs),
     }
     if name not in builders:
         raise KeyError(f"unknown evaluation {name!r}; "
@@ -299,6 +304,83 @@ def complete_test_with_selected_parameters(
 
     return EvaluationConfig(name="complete_test_with_selected_parameters",
                             num_runs=num_runs, scenarios=scenarios)
+
+
+def complete_frequency_test_with_selected_parameters(
+        num_runs: int = 3,
+        universe_size: int = 200_000,
+        num_sets: int = 10,
+        set_size: int | None = None,
+        tokens_per_row: int = 64,
+        seed: int = 44) -> EvaluationConfig:
+    """The reference's complete_frequency_test_with_selected_parameters
+    evaluation (evaluation_configs.py:634-667): frequency scenario 1
+    (homogeneous shifted-Poisson, freq_rate x freq_cap grid, :514-551),
+    scenario 2 (heterogeneous Gamma-Poisson, distribution_rate x freq_cap,
+    :553-590) and scenario 3 (publisher-constant frequency, :593-631) — 28
+    scenarios.  Defaults mirror FREQ_UNIVERSE_SIZE=200000,
+    NUM_SETS_VALUE_FREQ=10, SET_SIZE_FOR_FREQ=20000."""
+    from ..sources.set_generators import SetScenarioSpec
+
+    if set_size is None:
+        set_size = 20_000 if universe_size == 200_000 else universe_size // 10
+    mk = SetScenarioSpec.make
+    kw = dict(tokens_per_row=tokens_per_row, seed=seed)
+    scenarios: list[ScenarioConfig] = []
+
+    freq_rate_lists = [0.5, 1, 1.5, 2]
+    freq_cap_lists = [3, 5, 10]
+    for freq_rate, freq_cap in (
+            (r, c) for r in freq_rate_lists for c in freq_cap_lists):
+        scenarios.append(ScenarioConfig(
+            f"homogeneous-universe_size:{universe_size}-num_sets:{num_sets}"
+            f"-freq_rate:{freq_rate}-freq_cap:{freq_cap}",
+            mk("homogeneous", universe_size=universe_size,
+               set_sizes=[set_size] * num_sets,
+               freq_rates=[float(freq_rate)] * num_sets,
+               freq_cap=freq_cap, **kw)))
+
+    for dist_rate, freq_cap in (
+            (r, c) for r in freq_rate_lists for c in freq_cap_lists):
+        scenarios.append(ScenarioConfig(
+            f"heterogeneous-universe_size:{universe_size}-num_sets:{num_sets}"
+            f"-distribution_rate:{dist_rate}-freq_cap:{freq_cap}",
+            mk("heterogeneous", universe_size=universe_size,
+               set_sizes=[set_size] * num_sets,
+               gamma_params=[(1.0, float(dist_rate))] * num_sets,
+               freq_cap=freq_cap, **kw)))
+
+    for frequency in (2, 3, 5, 10):
+        scenarios.append(ScenarioConfig(
+            f"publisher_constant_frequency-universe_size:{universe_size}"
+            f"-num_sets:{num_sets}-frequency:{frequency}",
+            mk("publisher_constant_frequency", universe_size=universe_size,
+               set_sizes=[set_size] * num_sets, frequency=frequency, **kw)))
+
+    return EvaluationConfig(
+        name="complete_frequency_test_with_selected_parameters",
+        num_runs=num_runs, scenarios=scenarios)
+
+
+def global_dp_stress_test(num_runs: int = 3,
+                          reach_list: tuple = (1_000, 10_000, 100_000,
+                                               1_000_000, 10_000_000),
+                          tokens_per_row: int = 64,
+                          seed: int = 45) -> EvaluationConfig:
+    """The reference's cardinality global-DP stress test
+    (evaluation_configs.py:738-755): one disjoint set per scenario at
+    REACH_STRESS_TEST sizes (US_INTERNET_POPULATION-scale reach points)."""
+    from ..sources.set_generators import SetScenarioSpec
+
+    scenarios = [
+        ScenarioConfig(
+            f"{i}-reach:{reach}",
+            SetScenarioSpec.make("disjoint", set_sizes=[int(reach)],
+                                 tokens_per_row=tokens_per_row, seed=seed))
+        for i, reach in enumerate(sorted(reach_list))
+    ]
+    return EvaluationConfig(name="global_dp_stress_test", num_runs=num_runs,
+                            scenarios=scenarios)
 
 
 def frequency_end_to_end_evaluation(num_runs: int = 3,
@@ -500,8 +582,13 @@ class _ListWrap:
 
 
 def get_estimator_configs(names: list[str] | None = None,
-                          seed: int = 1) -> list[SketchEstimatorConfig]:
-    """Name -> config registry (the reference's estimator catalog shape)."""
+                          seed: int = 1,
+                          include_catalog: bool = True) -> list[SketchEstimatorConfig]:
+    """Name -> config registry (the reference's estimator catalog shape).
+
+    ``include_catalog=False`` restricts to the curated engine short names
+    (the pre-catalog registry) — used by the interoperability sweep, which
+    runs every returned config through the Simulator."""
     registry = {
         "hll-p14": SketchEstimatorConfig(
             name="hll-p14", spec=HllSpec(p=14, seed=seed)),
@@ -613,6 +700,14 @@ def get_estimator_configs(names: list[str] | None = None,
     registry["hll-p14-ertl"] = SketchEstimatorConfig(
         name="hll-p14-ertl", spec=HllSpec(p=14, seed=seed, estimator="ertl"))
 
+    # --- full reference-name catalog (catalog.py: name-for-name replica of
+    # _generate_cardinality/_frequency_estimator_configs) -------------------
+    if include_catalog:
+        from .catalog import generate_full_catalog
+
+        full = generate_full_catalog(max_frequency=5, seed=seed)
+        full.update(registry)  # engine short names win on collision
+        registry = full
     if names is None:
         return list(registry.values())
     return [registry[n] for n in names]

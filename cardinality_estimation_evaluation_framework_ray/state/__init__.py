@@ -41,8 +41,10 @@ from .legions import (  # noqa: F401
 )
 from .ska import SkaSketch, SkaSpec, StandardizedHistogramEstimator  # noqa: F401
 from .stratified import (  # noqa: F401
+    AdbfStratifiedOperator,
     ExactSetOperator,
     StratifiedSketch,
+    StratifiedSketchNoiser,
     StratifiedSpec,
     PairwiseEstimator as StratifiedPairwiseEstimator,
     SequentialEstimator as StratifiedSequentialEstimator,

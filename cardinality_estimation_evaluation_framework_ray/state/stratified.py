@@ -99,7 +99,18 @@ class StratifiedSketch(Sketch):
             self.sketches = {}
         self.underlying.merge_in(other.underlying)
 
-    def create_sketches(self, noiser: Callable | None = None) -> None:
+    def create_sketches(self, noiser: Callable | None = None,
+                        one_plus_noiser: Callable | None = None,
+                        one_plus_union: Callable | None = None) -> None:
+        """Materialize strata 1..max_freq-1, 'max+' and '1+'.
+
+        ``noiser`` perturbs each frequency stratum; ``one_plus_noiser``
+        (default: ``noiser``) perturbs the 1+ sketch.  When
+        ``one_plus_union`` is given, the 1+ sketch is the union-merge of the
+        strata (the reference's epsilon_split=0 path,
+        stratified_sketch.py:207-210); otherwise it is built from the
+        underlying exact set (epsilon_split>0, ":163-185").
+        """
         if self.sketches:
             return
         maxf = self.spec.max_freq
@@ -113,12 +124,23 @@ class StratifiedSketch(Sketch):
         sk = cspec.new()
         sk.update_tokens(self.underlying.tokens[levels == maxf])
         self.sketches[max_key] = sk
-        one_plus = cspec.new()
-        one_plus.update_tokens(self.underlying.tokens)
+        if one_plus_union is not None:
+            one_plus = None
+            for freq in range(1, maxf):
+                one_plus = one_plus_union(one_plus, self.sketches[freq])
+            one_plus = one_plus_union(one_plus, self.sketches[max_key])
+        else:
+            one_plus = cspec.new()
+            one_plus.update_tokens(self.underlying.tokens)
         self.sketches[ONE_PLUS] = one_plus
+        if one_plus_noiser is None:
+            one_plus_noiser = noiser
         if noiser is not None:
             for k in list(self.sketches):
-                self.sketches[k] = noiser(self.sketches[k])
+                if k != ONE_PLUS:
+                    self.sketches[k] = noiser(self.sketches[k])
+        if one_plus_noiser is not None:
+            self.sketches[ONE_PLUS] = one_plus_noiser(self.sketches[ONE_PLUS])
 
     def estimate(self) -> list[float]:
         return PairwiseEstimator(ExactSetOperator,
@@ -135,6 +157,71 @@ class StratifiedSketch(Sketch):
     def load_state(self, d):
         self.underlying.tokens, self.underlying.counts = d["t"], d["c"]
         self.sketches = {}
+
+
+class AdbfStratifiedOperator:
+    """Adapt a register-array ADBF SketchOperator (bloom.py:367-438, methods
+    ``(spec, this_regs, that_regs)``) to the stratified two-operand sketch
+    contract used by PairwiseEstimator.  Operands/results are BloomSketch-like
+    objects exposing ``float_registers()``; results are float views over the
+    shared spec (bloom_filter_sketch_operators.py:29-77 shape)."""
+
+    def __init__(self, op, spec):
+        self._op = op
+        self._spec = spec
+
+    @staticmethod
+    def _regs(s):
+        return None if s is None else s.float_registers()
+
+    def _wrap(self, regs):
+        from .bloom import _FloatView
+
+        return None if regs is None else _FloatView(self._spec, regs)
+
+    def union(self, this, that):
+        return self._wrap(self._op.union(self._spec, self._regs(this),
+                                         self._regs(that)))
+
+    def intersection(self, this, that):
+        return self._wrap(self._op.intersection(self._spec, self._regs(this),
+                                                self._regs(that)))
+
+    def difference(self, this, that):
+        return self._wrap(self._op.difference(self._spec, self._regs(this),
+                                              self._regs(that)))
+
+
+class StratifiedSketchNoiser:
+    """Config-level Sketch -> Sketch noiser for stratified sketches: triggers
+    stratum creation with the reference's epsilon-split local-DP semantics
+    (stratified_sketch.py:144-150 + 207-222).
+
+    epsilon_split == 0: 1+ is the union-merge of the strata (``one_plus_union``
+    required) and every sketch is noised with the full epsilon.
+    epsilon_split > 0: 1+ is built from the underlying exact set and noised
+    with epsilon*split; the strata get epsilon*(1-split).
+    """
+
+    def __init__(self, noiser_factory: Callable[[float], Callable],
+                 epsilon: float | None, epsilon_split: float = 0.5,
+                 one_plus_union: Callable | None = None):
+        assert 0 <= epsilon_split < 1, "epsilon split not in [0, 1)"
+        self._union = one_plus_union if epsilon_split == 0 else None
+        if epsilon is None or not np.isfinite(epsilon):
+            self._rest = self._one_plus = None
+        elif epsilon_split == 0:
+            self._rest = noiser_factory(epsilon)
+            self._one_plus = noiser_factory(epsilon)
+        else:
+            self._rest = noiser_factory(epsilon * (1 - epsilon_split))
+            self._one_plus = noiser_factory(epsilon * epsilon_split)
+
+    def __call__(self, sketch: "StratifiedSketch") -> "StratifiedSketch":
+        sketch.create_sketches(noiser=self._rest,
+                               one_plus_noiser=self._one_plus,
+                               one_plus_union=self._union)
+        return sketch
 
 
 class PairwiseEstimator:
