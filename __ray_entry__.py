@@ -448,6 +448,64 @@ def _q_doc_fingerprints(sf_dir: str):
     return df.groupby("doc_id", as_index=False).agg(n_fingerprints=("fingerprint", "size"))
 
 
+def _q_image_decode_stats(sf_dir: str):
+    """Real image decode end to end: synthesize deterministic PPM blobs from
+    doc_id (stages/multimodal.py:synth_oracle_image_batch formula), decode
+    with the pure-NumPy codec in an actor pool, emit per-image pixel stats.
+    The SQL oracle recomputes the stats analytically from doc_id — no blobs
+    cross into SQL, so a decode bug cannot cancel out."""
+    import pyarrow as pa
+
+    from cardinality_estimation_evaluation_framework_ray.stages.multimodal import (
+        DecodeImage,
+        synth_oracle_image_batch,
+    )
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"])
+    ds = ds.map_batches(synth_oracle_image_batch, batch_format="pyarrow")
+    ds = ds.map_batches(DecodeImage,
+                        fn_constructor_kwargs=dict(feature_dim=64),
+                        batch_format="pyarrow", batch_size=64,
+                        zero_copy_batch=True, concurrency=(1, 4))
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("media_id"),
+            "width": t.column("width"),
+            "height": t.column("height"),
+            "mean_pixel": t.column("mean_pixel"),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _q_audio_decode_stats(sf_dir: str):
+    """Real WAV PCM16 decode end to end, same oracle construction as
+    _q_image_decode_stats.  All stats are float-exact on both sides
+    (dyadic sample values, integer-exact sums), so no rounding is needed."""
+    import pyarrow as pa
+
+    from cardinality_estimation_evaluation_framework_ray.stages.multimodal import (
+        DecodeAudio,
+        synth_oracle_wav_batch,
+    )
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"])
+    ds = ds.map_batches(synth_oracle_wav_batch, batch_format="pyarrow")
+    ds = ds.map_batches(DecodeAudio, batch_format="pyarrow", batch_size=64,
+                        zero_copy_batch=True, concurrency=(1, 4))
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("media_id"),
+            "duration_ms": t.column("duration_ms"),
+            "rms": t.column("rms"),
+            "mean_abs": t.column("mean_abs"),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def _q_multi_sketch_synthetic(sf_dir: str):
     """Rows-only: HLL + count-min + KLL + t-digest + exp-ADBF in ONE pass."""
     from cardinality_estimation_evaluation_framework_ray.pipelines.reach import (
@@ -822,6 +880,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mktsegment_revenue": _q_mktsegment_revenue,
         "asof_last_order": _q_asof_last_order,
         "events_range_join": _q_events_range_join,
+        "image_decode_stats": _q_image_decode_stats,
+        "audio_decode_stats": _q_audio_decode_stats,
         # rows-only (approximate / non-SQL-expressible; bound-checked in tests/)
         "hll_synthetic": _q_hll_synthetic,
         "multi_sketch_synthetic": _q_multi_sketch_synthetic,
@@ -1036,6 +1096,41 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts >= a.ts - INTERVAL 60 MINUTE
              AND b.ts <= a.ts
              AND b.event_id <> a.event_id
+        """,
+        # analytic replicas of the deterministic media fixtures
+        # (stages/multimodal.py:synth_oracle_image_batch / _wav_batch): the
+        # oracle recomputes decoded pixel/sample statistics from doc_id
+        # alone — byte payloads never enter SQL
+        "image_decode_stats": """
+            WITH dims AS (
+              SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h
+              FROM documents),
+            pix AS (
+              SELECT d.doc_id, d.w, d.h,
+                     (d.doc_id*7 + x.v + 2*y.v + 3*c.v) % 256 AS v
+              FROM dims d
+              JOIN (SELECT range AS v FROM range(17)) x ON x.v < d.w
+              JOIN (SELECT range AS v FROM range(13)) y ON y.v < d.h
+              CROSS JOIN (SELECT range AS v FROM range(3)) c)
+            SELECT doc_id,
+                   CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   CAST(SUM(v) AS DOUBLE) / (w*h*3) AS mean_pixel
+            FROM pix GROUP BY doc_id, w, h
+        """,
+        "audio_decode_stats": """
+            WITH lens AS (
+              SELECT doc_id, 400 + (doc_id % 7) * 50 AS n FROM documents),
+            samp AS (
+              SELECT l.doc_id, l.n,
+                     ((l.doc_id*13 + i.v) % 200 - 100) * 100 / 32768.0 AS s
+              FROM lens l
+              JOIN (SELECT range AS v FROM range(700)) i ON i.v < l.n)
+            SELECT doc_id,
+                   CAST(n AS DOUBLE) / 8000 * 1000 AS duration_ms,
+                   sqrt(SUM(s*s) / n) AS rms,
+                   SUM(abs(s)) / n AS mean_abs
+            FROM samp GROUP BY doc_id, n
         """,
         "sessions": """
             WITH ordered AS (

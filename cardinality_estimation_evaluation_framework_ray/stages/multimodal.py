@@ -1,12 +1,14 @@
 """Multimodal stages: image/audio/video as opaque binary columns.
 
-The decode kernels themselves are STUBS (no image/audio libraries in this
-container): ``DecodeImage``/``DecodeAudio`` raise ``NotImplementedError``
-unless constructed with ``fake=True``, in which case a deterministic fake
-decoder (content-hash -> fixed-shape array) stands in.  Everything around
-them — schema, actor-pool signature, small-batch sizing for large payloads,
-output layout — is real and tested, so swapping in PIL/ffmpeg later is a
-one-function change.
+Image (PPM/PGM) and audio (WAV PCM16) decoding is REAL — pure-NumPy codecs
+for the uncompressed formats, no external libraries — including a real
+area-average/bilinear resize.  Compressed formats (JPEG/PNG/MP3) and video
+frame extraction still require libjpeg/ffmpeg, absent in this container:
+those paths raise ``NotImplementedError`` unless constructed with
+``fake=True``, in which case a deterministic fake decoder (content-hash ->
+fixed-shape array) stands in.  The Ray-side plumbing — schema, actor-pool
+signature, small-batch sizing for large payloads, output layout — is
+identical for both paths.
 
 Design notes for 100 TB media tables:
   * binary payloads are huge: these stages must run with SMALL ``batch_size``
@@ -24,6 +26,135 @@ import pyarrow as pa
 import ray.data
 
 from ..functions.hashing import hash64
+
+
+# ---------------------------------------------------------------------------
+# pure-NumPy codecs for uncompressed formats
+# ---------------------------------------------------------------------------
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6); (h, w) uint8 -> PGM (P5)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 3:
+        assert arr.shape[2] == 3, "PPM wants 3 channels"
+        magic = b"P6"
+    else:
+        assert arr.ndim == 2
+        magic = b"P5"
+    h, w = arr.shape[:2]
+    return b"%s\n%d %d\n255\n" % (magic, w, h) + arr.tobytes()
+
+
+def decode_ppm(blob: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8; PGM (P5) -> (h, w) uint8.
+
+    Handles the netpbm header grammar: whitespace-separated tokens with
+    ``#`` comments, maxval <= 255.
+    """
+    if blob[:2] not in (b"P6", b"P5"):
+        raise NotImplementedError(
+            f"unsupported image magic {blob[:2]!r}: only uncompressed "
+            "PPM (P6) / PGM (P5) decode without external codecs")
+    channels = 3 if blob[:2] == b"P6" else 1
+    # tokenize header: magic, width, height, maxval; '#' starts a comment
+    tokens, i, n = [], 2, len(blob)
+    while len(tokens) < 3:
+        while i < n and blob[i : i + 1].isspace():
+            i += 1
+        if blob[i : i + 1] == b"#":
+            while i < n and blob[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < n and not blob[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(blob[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    assert maxval <= 255, "16-bit netpbm not supported"
+    data = np.frombuffer(blob, dtype=np.uint8, count=w * h * channels, offset=i)
+    return data.reshape((h, w, 3) if channels == 3 else (h, w))
+
+
+def resize_image(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Area-average downscale / bilinear upscale, separable, vectorized."""
+    arr = np.asarray(arr)
+    squeeze = arr.ndim == 2
+    if squeeze:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+
+    def _axis(a: np.ndarray, src: int, dst: int) -> np.ndarray:
+        # a: (src, ...) -> (dst, ...) along axis 0
+        if dst == src:
+            return a
+        if dst < src:
+            # area average: each output pixel integrates src/dst input pixels
+            edges = np.linspace(0, src, dst + 1)
+            cs = np.concatenate([np.zeros((1,) + a.shape[1:]),
+                                 np.cumsum(a, axis=0, dtype=np.float64)])
+            idx = np.floor(edges).astype(np.int64)
+            frac = edges - idx
+            # integral from 0 to edge e = cs[floor(e)] + frac * row(floor(e))
+            row = np.concatenate([a.astype(np.float64),
+                                  np.zeros((1,) + a.shape[1:])])
+            integ = cs[idx] + frac.reshape((-1,) + (1,) * (a.ndim - 1)) * row[idx]
+            return (integ[1:] - integ[:-1]) / (src / dst)
+        # bilinear upscale, edge-aligned centers
+        pos = (np.arange(dst) + 0.5) * src / dst - 0.5
+        lo = np.clip(np.floor(pos).astype(np.int64), 0, src - 1)
+        hi = np.clip(lo + 1, 0, src - 1)
+        t = np.clip(pos - lo, 0.0, 1.0).reshape((-1,) + (1,) * (a.ndim - 1))
+        return a[lo] * (1 - t) + a[hi] * t
+
+    out = _axis(arr.astype(np.float64), h, target_h)
+    out = _axis(out.transpose(1, 0, 2), w, target_w).transpose(1, 0, 2)
+    out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if squeeze else out
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """(n,) int16 mono -> RIFF/WAVE PCM16 bytes."""
+    import struct
+
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, 1, 1,
+        sample_rate, sample_rate * 2, 2, 16, b"data", len(data))
+    return hdr + data
+
+
+def decode_wav_pcm16(blob: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 -> (float64 samples in [-1, 1), sample_rate).
+
+    Walks RIFF chunks (fmt / data), mono or interleaved-averaged stereo.
+    """
+    import struct
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "unsupported audio container: only RIFF/WAVE PCM16 decodes "
+            "without external codecs")
+    i, n = 12, len(blob)
+    rate, channels, bits, data = None, 1, 16, None
+    while i + 8 <= n:
+        cid, size = blob[i : i + 4], struct.unpack("<I", blob[i + 4 : i + 8])[0]
+        body = blob[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            assert fmt == 1 and bits == 16, "PCM16 only"
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    assert rate is not None and data is not None, "missing fmt/data chunk"
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    if channels > 1:
+        samples = samples[: len(samples) // channels * channels]
+        samples = samples.reshape(-1, channels).mean(axis=1)
+    return samples, rate
 
 MEDIA_SCHEMA = {
     "media_id": pa.int64(),
@@ -62,10 +193,14 @@ def _fake_feature(blob: bytes, dim: int, seed: int) -> np.ndarray:
 
 
 class DecodeImage:
-    """Actor-pool stage: image binary -> feature vector (+ size metadata).
+    """Actor-pool stage: image binary -> feature vector (+ size/pixel stats).
 
-    Real decode (PIL / turbojpeg) is not available in this container; stub
-    per the driver brief.  Constructor args are the actor-init state.
+    The REAL path decodes uncompressed PPM (P6) / PGM (P5) with the
+    pure-NumPy codec above and emits an s x s area-averaged grayscale
+    thumbnail as the feature vector (feature_dim must be a square), plus
+    ``width``/``height``/``mean_pixel``.  Compressed formats raise
+    ``NotImplementedError`` (libjpeg absent); ``fake=True`` keeps the
+    deterministic content-hash feature for plumbing tests.
     """
 
     def __init__(self, feature_dim: int = 64, fake: bool = False, seed: int = 11):
@@ -73,40 +208,104 @@ class DecodeImage:
         self.fake = fake
         self.seed = seed
         if not fake:
-            raise NotImplementedError(
-                "image decoding requires PIL/libjpeg, absent in this container; "
-                "construct with fake=True for the deterministic test decoder")
+            side = int(round(feature_dim ** 0.5))
+            assert side * side == feature_dim, (
+                "real decode emits a square thumbnail feature; "
+                f"feature_dim={feature_dim} is not a square")
+            self.side = side
+
+    def _decode_one(self, blob: bytes) -> tuple[np.ndarray, int, int, float]:
+        img = decode_ppm(blob)
+        h, w = img.shape[:2]
+        gray = img.mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
+        thumb = resize_image(gray, self.side, self.side)
+        return (thumb.astype(np.float32).reshape(-1) / 255.0,
+                w, h, float(img.mean()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch.column("media").to_pylist()
-        feats = np.stack([_fake_feature(b, self.feature_dim, self.seed) for b in blobs])
+        if self.fake:
+            feats = np.stack([_fake_feature(b, self.feature_dim, self.seed)
+                              for b in blobs])
+            widths = heights = np.zeros(len(blobs), dtype=np.int32)
+            means = np.zeros(len(blobs))
+        else:
+            decoded = [self._decode_one(b) for b in blobs]
+            feats = np.stack([d[0] for d in decoded])
+            widths = np.array([d[1] for d in decoded], dtype=np.int32)
+            heights = np.array([d[2] for d in decoded], dtype=np.int32)
+            means = np.array([d[3] for d in decoded])
         feat_arr = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.reshape(-1)), self.feature_dim)
         return pa.table({
             "media_id": batch.column("media_id"),
             "feature": feat_arr,
             "n_bytes": pa.array(np.array([len(b) for b in blobs], dtype=np.int64)),
+            "width": pa.array(widths),
+            "height": pa.array(heights),
+            "mean_pixel": pa.array(means),
         })
 
 
 class ResizeImage:
-    """Actor-pool stage: stub resize; emits target-size metadata row."""
+    """Actor-pool stage: real PPM/PGM resize (area-average down, bilinear
+    up), re-encoded in place; ``fake=True`` passes payloads through with
+    updated size metadata only."""
 
     def __init__(self, target_w: int = 224, target_h: int = 224, fake: bool = False):
         self.target_w = target_w
         self.target_h = target_h
-        if not fake:
-            raise NotImplementedError(
-                "image resize requires an image library, absent here; fake=True "
-                "passes payloads through with updated size metadata")
+        self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        if self.fake:
+            media = batch.column("media")
+        else:
+            media = pa.array(
+                [encode_ppm(resize_image(decode_ppm(b), self.target_w,
+                                         self.target_h))
+                 for b in batch.column("media").to_pylist()],
+                type=pa.binary())
         return pa.table({
             "media_id": batch.column("media_id"),
-            "media": batch.column("media"),
+            "media": media,
             "width": pa.array(np.full(n, self.target_w, dtype=np.int32)),
             "height": pa.array(np.full(n, self.target_h, dtype=np.int32)),
+        })
+
+
+class DecodeAudio:
+    """Actor-pool stage: WAV PCM16 binary -> scalar audio features
+    (duration, RMS, mean |amplitude|, zero-crossing rate).  Compressed
+    audio raises ``NotImplementedError``; ``fake=True`` emits the
+    content-hash feature instead."""
+
+    def __init__(self, fake: bool = False, seed: int = 13):
+        self.fake = fake
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column("media").to_pylist()
+        if self.fake:
+            f = np.stack([_fake_feature(b, 4, self.seed) for b in blobs])
+            dur, rms, mean_abs, zcr = (f[:, 0] * 1e3), f[:, 1], f[:, 2], f[:, 3]
+        else:
+            rows = []
+            for b in blobs:
+                s, rate = decode_wav_pcm16(b)
+                zc = (np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1]))
+                      / max(len(s) - 1, 1))
+                rows.append((len(s) / rate * 1e3,
+                             float(np.sqrt(np.mean(s ** 2))) if len(s) else 0.0,
+                             float(np.mean(np.abs(s))) if len(s) else 0.0, zc))
+            dur, rms, mean_abs, zcr = map(np.array, zip(*rows))
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "duration_ms": pa.array(dur.astype(np.float64)),
+            "rms": pa.array(rms.astype(np.float64)),
+            "mean_abs": pa.array(mean_abs.astype(np.float64)),
+            "zero_crossing_rate": pa.array(zcr.astype(np.float64)),
         })
 
 
@@ -136,6 +335,46 @@ class SampleFrames:
             "frame_index": pa.array(frame_idx.astype(np.int64)),
             "ts_ms": pa.array((frame_idx * self.every_ms).astype(np.int64)),
         })
+
+
+def synth_oracle_image_batch(batch: pa.Table) -> pa.Table:
+    """doc_id -> real PPM media, deterministically: w = 8 + id%9,
+    h = 8 + id%5, pixel(y, x, c) = (id*7 + x + 2y + 3c) mod 256.
+
+    The formula is chosen so a SQL oracle can compute the decoded pixel
+    statistics analytically from doc_id alone (no blobs in SQL) — the
+    encode -> decode -> stats chain is then hash-verified end to end.
+    """
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    blobs = []
+    for a in ids.tolist():
+        w, h = 8 + a % 9, 8 + a % 5
+        y = np.arange(h)[:, None, None]
+        x = np.arange(w)[None, :, None]
+        c = np.arange(3)[None, None, :]
+        img = ((a * 7 + x + 2 * y + 3 * c) % 256).astype(np.uint8)
+        blobs.append(encode_ppm(img))
+    return pa.table({
+        "media_id": pa.array(ids.astype(np.int64)),
+        "media": pa.array(blobs, type=pa.binary()),
+    })
+
+
+def synth_oracle_wav_batch(batch: pa.Table, sample_rate: int = 8000) -> pa.Table:
+    """doc_id -> real WAV PCM16 media: n = 400 + (id%7)*50 samples of
+    v_i = ((id*13 + i) mod 200 - 100) * 100 at ``sample_rate`` Hz — same
+    SQL-oracle-able construction as synth_oracle_image_batch."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    blobs = []
+    for a in ids.tolist():
+        n = 400 + (a % 7) * 50
+        i = np.arange(n)
+        v = (((a * 13 + i) % 200 - 100) * 100).astype(np.int16)
+        blobs.append(encode_wav_pcm16(v, sample_rate))
+    return pa.table({
+        "media_id": pa.array(ids.astype(np.int64)),
+        "media": pa.array(blobs, type=pa.binary()),
+    })
 
 
 def decode_features(ds: "ray.data.Dataset", *, feature_dim: int = 64,

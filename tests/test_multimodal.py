@@ -12,13 +12,115 @@ from cardinality_estimation_evaluation_framework_ray.stages.multimodal import (
 )
 
 
-def test_stub_raises_without_fake():
+def test_compressed_formats_still_raise():
+    """PPM/PGM/WAV decode is real; compressed formats (and video) remain
+    honest NotImplementedError paths."""
+    import pyarrow as pa
+
+    from cardinality_estimation_evaluation_framework_ray.stages.multimodal import (
+        DecodeAudio,
+        decode_ppm,
+        decode_wav_pcm16,
+    )
+
     with pytest.raises(NotImplementedError):
-        DecodeImage()
+        decode_ppm(b"\xff\xd8\xff\xe0 jpeg-ish")
     with pytest.raises(NotImplementedError):
-        ResizeImage()
+        decode_wav_pcm16(b"ID3\x04 mp3-ish tag")
     with pytest.raises(NotImplementedError):
         SampleFrames()
+    jpeg_batch = pa.table({
+        "media_id": pa.array([1], type=pa.int64()),
+        "media": pa.array([b"\xff\xd8\xff\xe0"], type=pa.binary()),
+    })
+    with pytest.raises(NotImplementedError):
+        DecodeImage(feature_dim=16)(jpeg_batch)
+    with pytest.raises(NotImplementedError):
+        DecodeAudio()(jpeg_batch)
+
+
+def test_ppm_codec_roundtrip():
+    from cardinality_estimation_evaluation_framework_ray.stages.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 256, (13, 17, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    gray = rs.randint(0, 256, (9, 5), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(gray)), gray)
+    # netpbm comment in the header
+    blob = b"P5\n# comment line\n5 9\n255\n" + gray.tobytes()
+    assert np.array_equal(decode_ppm(blob), gray)
+
+
+def test_resize_semantics():
+    from cardinality_estimation_evaluation_framework_ray.stages.multimodal import (
+        resize_image,
+    )
+
+    const = np.full((64, 48, 3), 77, dtype=np.uint8)
+    assert np.all(resize_image(const, 8, 8) == 77)       # area-average down
+    assert np.all(resize_image(const, 100, 90) == 77)    # bilinear up
+    # exact-multiple downscale preserves the mean
+    rs = np.random.RandomState(1)
+    x = rs.randint(0, 256, (32, 32), dtype=np.uint8)
+    assert abs(resize_image(x, 8, 8).astype(float).mean() - x.mean()) < 1.0
+    # checkerboard at 2x downscale averages to ~127.5
+    cb = (np.indices((8, 8)).sum(0) % 2 * 255).astype(np.uint8)
+    r = resize_image(cb, 4, 4)
+    assert np.all((r >= 127) & (r <= 128))
+
+
+def test_wav_codec_roundtrip_and_stereo():
+    import struct
+
+    from cardinality_estimation_evaluation_framework_ray.stages.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    rs = np.random.RandomState(2)
+    s = rs.randint(-32768, 32768, 1000).astype(np.int16)
+    dec, rate = decode_wav_pcm16(encode_wav_pcm16(s, 8000))
+    assert rate == 8000 and np.allclose(dec, s / 32768.0)
+    # stereo: channels are averaged
+    inter = np.empty(20, dtype="<i2")
+    inter[0::2], inter[1::2] = 100, 300
+    data = inter.tobytes()
+    hdr = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data), b"WAVE",
+                      b"fmt ", 16, 1, 2, 16000, 16000 * 4, 4, 16, b"data",
+                      len(data))
+    dec2, rate2 = decode_wav_pcm16(hdr + data)
+    assert rate2 == 16000 and np.allclose(dec2, 200 / 32768.0)
+
+
+def test_real_image_decode_stage_stats():
+    """DecodeImage real path: thumbnail feature + exact pixel stats."""
+    import pyarrow as pa
+
+    from cardinality_estimation_evaluation_framework_ray.stages.multimodal import (
+        encode_ppm,
+    )
+
+    rs = np.random.RandomState(3)
+    imgs = [rs.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            for h, w in ((12, 20), (33, 7), (8, 8))]
+    batch = pa.table({
+        "media_id": pa.array(np.arange(3, dtype=np.int64)),
+        "media": pa.array([encode_ppm(i) for i in imgs], type=pa.binary()),
+    })
+    out = DecodeImage(feature_dim=16)(batch)
+    assert out.column("width").to_pylist() == [20, 7, 8]
+    assert out.column("height").to_pylist() == [12, 33, 8]
+    for got, img in zip(out.column("mean_pixel").to_pylist(), imgs):
+        assert got == pytest.approx(img.mean(), abs=1e-12)
+    feats = np.asarray(out.column("feature").combine_chunks().flatten()
+                       .to_numpy()).reshape(3, 16)
+    # thumbnail of a whole image preserves the grayscale mean closely
+    gray_means = np.array([i.mean() for i in imgs]) / 255.0
+    assert np.allclose(feats.mean(axis=1), gray_means, atol=0.02)
 
 
 def test_fake_decode_deterministic():
@@ -42,7 +144,8 @@ def test_decode_features_actor_pool_small_batches():
                           concurrency=(1, 2)).to_pandas()
     assert len(out) == 100
     assert "media" not in out.columns  # raw bytes dropped before any shuffle
-    assert set(out.columns) == {"media_id", "feature", "n_bytes"}
+    assert set(out.columns) == {"media_id", "feature", "n_bytes",
+                                "width", "height", "mean_pixel"}
 
 
 @pytest.mark.usefixtures("ray_session")
