@@ -79,6 +79,74 @@ def read_evaluation_results(eval_dir: str) -> pd.DataFrame:
     return pd.concat(frames, ignore_index=True)
 
 
+def convert_raw_to_long(raw: pd.DataFrame) -> pd.DataFrame:
+    """Wide -> long frequency format via the distributed melt stage
+    (the reference's convert_raw_df_to_long_format, analyzer.py:315-369):
+    one row per (case, cardinality_source, frequency_level)."""
+    import ray.data
+
+    from ..stages.relational import melt
+
+    value_vars = [c for c in raw.columns
+                  if c.startswith(("estimated_cardinality_",
+                                   "true_cardinality_"))]
+    id_vars = [c for c in ("sketch_estimator", "scenario", "run_index",
+                           "num_sets") if c in raw.columns]
+    long_df = melt(ray.data.from_pandas(raw[id_vars + value_vars]),
+                   id_vars=id_vars, value_vars=value_vars,
+                   var_name="cardinality_source",
+                   value_name="cardinality_value").to_pandas()
+    split = long_df["cardinality_source"].str.rsplit("_", n=1)
+    long_df["frequency_level"] = split.str[1].astype(int)
+    long_df["cardinality_source"] = split.str[0]
+    return long_df
+
+
+def per_frequency_cardinality(long_df: pd.DataFrame) -> pd.DataFrame:
+    """Cumulative k+ reach -> per-level frequency histogram via the
+    distributed lag-diff stage (_get_per_frequency_cardinality,
+    analyzer.py:371-427): level k gets card(k) - card(k+1), the max level
+    keeps its k+ value."""
+    import ray.data
+
+    from ..stages.relational import lag_diff_per_group
+
+    keys = [c for c in ("sketch_estimator", "scenario", "run_index",
+                        "num_sets", "cardinality_source")
+            if c in long_df.columns]
+    df = long_df.copy()
+    df["__case__"] = df[keys].astype(str).agg("|".join, axis=1)
+    # descending frequency order makes lag-diff produce card(k) - card(k+1)
+    # and fillna the top level with its own k+ value
+    df["__neg_level__"] = -df["frequency_level"]
+    out = lag_diff_per_group(ray.data.from_pandas(df), key="__case__",
+                             order_col="__neg_level__",
+                             value_col="cardinality_value",
+                             out_col="per_level_cardinality").to_pandas()
+    return (out.drop(columns=["__case__", "__neg_level__"])
+            .sort_values(keys + ["frequency_level"])
+            .reset_index(drop=True))
+
+
+def frequency_criterion(raw: pd.DataFrame, distance_margin: float = 0.2,
+                        proportion_of_runs: float = 0.8) -> pd.DataFrame:
+    """The frequency criterion table, per (estimator, scenario, num_sets):
+    the proportion of runs whose shuffle distance to the true frequency
+    histogram is within ``distance_margin``, and whether that proportion
+    meets ``proportion_of_runs`` (doc/cardinality_...md:300-318 — 'at least
+    80% of runs within 20% shuffle distance')."""
+    keys = [c for c in ("sketch_estimator", "scenario") if c in raw.columns]
+    grouped = (raw[raw["num_sets"] > 1]
+               .groupby(keys + ["num_sets"])["shuffle_distance"]
+               .agg(proportion_within=lambda d:
+                    float(np.mean(np.abs(d) < distance_margin)),
+                    n_runs="size")
+               .reset_index())
+    grouped["meets_criterion"] = (
+        grouped["proportion_within"] >= proportion_of_runs)
+    return grouped
+
+
 def analyze(eval_dir: str, error_margin: float = 0.05,
             proportion_of_runs: float = 0.95,
             out_csv: str | None = None) -> pd.DataFrame:

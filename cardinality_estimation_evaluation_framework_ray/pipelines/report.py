@@ -127,6 +127,29 @@ def generate_report(eval_dir: str, out_dir: str,
                     std_rel_err=("relative_error_1", "std"))
                .reset_index())
         sections.append(("Relative error by (estimator, scenario, num_sets)", agg))
+    # frequency sections (reference FrequencyEstimatorEvaluationAnalyzer,
+    # analyzer.py:292-526): only when the run carries frequency levels
+    if "estimated_cardinality_2" in raw.columns and "shuffle_distance" in raw.columns:
+        from .analyzer import (
+            convert_raw_to_long,
+            frequency_criterion,
+            per_frequency_cardinality,
+        )
+
+        crit = frequency_criterion(raw)
+        sections.append(
+            ("Frequency criterion: proportion of runs within 0.2 shuffle "
+             "distance (meets = >= 80%)", crit))
+        per_freq = per_frequency_cardinality(convert_raw_to_long(raw))
+        freq_dist = (per_freq.groupby(["sketch_estimator", "scenario",
+                                       "cardinality_source",
+                                       "frequency_level"])
+                     ["per_level_cardinality"].mean().reset_index()
+                     .rename(columns={"per_level_cardinality":
+                                      "mean_cardinality"}))
+        sections.append(
+            ("Mean per-frequency-level cardinality (estimated vs true)",
+             freq_dist))
     if not times.empty:
         sections.append(("Evaluation run times", times))
 

@@ -74,3 +74,98 @@ def _run_one_cell(tmp_path):
     ev.run()
     return os.path.join(tmp_path, "c3", "run", "c3", "exact-freq",
                         "freq_constant_3", "df.csv")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_per_frequency_cardinality_hand_computed():
+    """The reference's own docstring example (analyzer.py:374-390):
+    cumulative k+ reach [10, 8, 7] -> per-level [2, 1, 7]."""
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.pipelines.analyzer import (
+        convert_raw_to_long,
+        per_frequency_cardinality,
+    )
+
+    raw = pd.DataFrame({
+        "sketch_estimator": ["e"], "scenario": ["s"], "run_index": [0],
+        "num_sets": [2],
+        "estimated_cardinality_1": [11.0], "estimated_cardinality_2": [9.0],
+        "estimated_cardinality_3": [6.0],
+        "true_cardinality_1": [10.0], "true_cardinality_2": [8.0],
+        "true_cardinality_3": [7.0],
+    })
+    long_df = convert_raw_to_long(raw)
+    assert len(long_df) == 6
+    per = per_frequency_cardinality(long_df)
+    true_rows = per[per.cardinality_source == "true_cardinality"]
+    assert true_rows.sort_values("frequency_level")[
+        "per_level_cardinality"].tolist() == [2.0, 1.0, 7.0]
+    est_rows = per[per.cardinality_source == "estimated_cardinality"]
+    assert est_rows.sort_values("frequency_level")[
+        "per_level_cardinality"].tolist() == [2.0, 3.0, 6.0]
+
+
+def test_frequency_criterion_hand_computed():
+    """80/20 rule: >= 80% of runs within 0.2 shuffle distance."""
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.pipelines.analyzer import (
+        frequency_criterion,
+    )
+
+    rows = []
+    for run, d in enumerate([0.1, 0.15, 0.19, 0.25, 0.05]):   # 4/5 within
+        rows.append(dict(sketch_estimator="e", scenario="s", num_sets=2,
+                         run_index=run, shuffle_distance=d))
+    for run, d in enumerate([0.3, 0.1, 0.25, 0.21, 0.15]):    # 2/5 within
+        rows.append(dict(sketch_estimator="e", scenario="s", num_sets=3,
+                         run_index=run, shuffle_distance=d))
+    # num_sets == 1 rows are excluded from the criterion
+    rows.append(dict(sketch_estimator="e", scenario="s", num_sets=1,
+                     run_index=0, shuffle_distance=9.9))
+    crit = frequency_criterion(pd.DataFrame(rows))
+    assert len(crit) == 2
+    two = crit[crit.num_sets == 2].iloc[0]
+    three = crit[crit.num_sets == 3].iloc[0]
+    assert two.proportion_within == pytest.approx(0.8) and bool(two.meets_criterion)
+    assert three.proportion_within == pytest.approx(0.4) and not bool(three.meets_criterion)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_frequency_report_sections(tmp_path):
+    """frequency_end_to_end evaluator output gains the 80/20 criterion and
+    per-frequency distribution sections in the generated report."""
+    from cardinality_estimation_evaluation_framework_ray.pipelines.configs import (
+        get_frequency_estimator_configs,
+    )
+    from cardinality_estimation_evaluation_framework_ray.pipelines.evaluator import (
+        EvaluationConfig,
+        Evaluator,
+        ScenarioConfig,
+    )
+    from cardinality_estimation_evaluation_framework_ray.pipelines.report import (
+        generate_report,
+    )
+    from cardinality_estimation_evaluation_framework_ray.sources.set_generators import (
+        SetScenarioSpec,
+    )
+
+    scen = ScenarioConfig("homog", SetScenarioSpec.make(
+        "homogeneous", universe_size=2_000, set_sizes=[300] * 3,
+        freq_rates=[1.0] * 3, freq_cap=5, tokens_per_row=8, seed=3))
+    ev = Evaluator(
+        EvaluationConfig("freq_mini", 2, [scen]),
+        [c for c in get_frequency_estimator_configs()
+         if c.name in ("exact-freq", "fll-p14-freq")],
+        str(tmp_path), run_name="r", global_seed=5)
+    ev.run()
+    import os
+
+    md = generate_report(os.path.join(str(tmp_path), "r", "freq_mini"),
+                         str(tmp_path / "report"))
+    text = open(md).read()
+    assert "Frequency criterion" in text
+    assert "Mean per-frequency-level cardinality" in text
+    # the exact estimator meets the criterion everywhere
+    assert "| True |" in text or "True" in text
