@@ -248,10 +248,13 @@ def run_scaling() -> dict:
     # Best-of-reps per leg, legs alternated: the sandbox CPU is noisy-neighbor
     # contended, so the best run is the closest view of the engine's capacity.
     results: dict[int, list[dict]] = {lo: [], hi: []}
-    cals: dict[int, list[float]] = {lo: [], hi: []}
     for _ in range(reps):
         for n in (lo, hi):
-            cals[n].append(calibrate_single_core())
+            # pair each leg run with its OWN adjacent calibration sample so
+            # the contention correction reflects the ambient load of the rep
+            # that is actually selected below (not a max across reps taken
+            # under different conditions)
+            cal = calibrate_single_core()
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
                        GRAFT_BENCH_ONLY=HEADLINE,
                        GRAFT_BENCH_REPS="1")  # outer loop does the reps
@@ -259,15 +262,19 @@ def run_scaling() -> dict:
                                  capture_output=True, text=True, check=True)
             line = [l for l in out.stdout.strip().splitlines()
                     if l.startswith("{")][-1]
-            results[n].append(json.loads(line))
+            rec = json.loads(line)
+            rec["cal_tokens_per_sec_1core"] = cal
+            results[n].append(rec)
     best = {n: max(rs, key=lambda r: r["tokens_per_sec"])
             for n, rs in results.items()}
     eff = (best[hi]["tokens_per_sec"] / best[lo]["tokens_per_sec"]) / (hi / lo)
     # ambient-contention-corrected efficiency: scale by the single-core
-    # calibration ratio measured next to each leg (the engine cannot scale
-    # better than the host lets ONE core run)
-    cal = {n: max(cals[n]) for n in (lo, hi)}
+    # calibration ratio of the SELECTED rep on each leg (the engine cannot
+    # scale better than the host lets ONE core run at that moment)
+    cal = {n: best[n]["cal_tokens_per_sec_1core"] for n in (lo, hi)}
     eff_corrected = round(eff * cal[lo] / cal[hi], 3) if cal[hi] else None
+    cals = {n: [r["cal_tokens_per_sec_1core"] for r in results[n]]
+            for n in (lo, hi)}
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),

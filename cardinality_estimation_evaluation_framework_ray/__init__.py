@@ -17,3 +17,12 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Tune the allocator once per process (driver AND Ray workers — workers
+# import this package when deserializing UDFs).  See functions/memtune.py:
+# without it, NumPy kernels over >32 MB arrays pay a hypervisor page-fault
+# per 4 KB on every call on lazily-faulted-memory hosts.
+from .functions.memtune import tune_malloc as _tune_malloc  # noqa: E402
+
+_tune_malloc()
+del _tune_malloc

@@ -58,11 +58,13 @@ def main(argv=None) -> int:
         ev_cfg = get_evaluation_config(args.evaluation, num_runs=args.num_runs)
     except KeyError as e:
         raise SystemExit(str(e))
-    if args.evaluation.startswith("frequency"):
+    if args.estimators:
+        est_cfgs = get_estimator_configs(args.estimators.split(","),
+                                         seed=args.seed)
+    elif "frequency" in args.evaluation:
         est_cfgs = get_frequency_estimator_configs(seed=args.seed)
     else:
-        names = args.estimators.split(",") if args.estimators else None
-        est_cfgs = get_estimator_configs(names, seed=args.seed)
+        est_cfgs = get_estimator_configs(None, seed=args.seed)
 
     ev = Evaluator(ev_cfg, est_cfgs, args.out, run_name=args.run_name,
                    global_seed=args.seed, overwrite=args.overwrite,
