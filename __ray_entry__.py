@@ -858,6 +858,62 @@ def _q_smoke_eval(sf_dir: str):
         return analyze(os.path.join(tmp, "r", "mini"))
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs sharing any word 8-gram with the
+    held-out 'benchmark' slice (doc_id % 37 == 0) get flagged.  Broadcast
+    semi-join: benchmark gram hashes ray.put once, corpus never shuffles."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        decontaminate,
+    )
+
+    def bench_slice(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 37 == 0))
+
+    docs = _read(sf_dir, "documents")
+    bench = docs.map_batches(bench_slice, batch_format="pyarrow")
+    return decontaminate(docs, bench, n=8).to_pandas()
+
+
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style within-doc duplicate-bigram fraction per document."""
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        repetition_stats,
+    )
+
+    return repetition_stats(_read(sf_dir, "documents"), n=2).to_pandas()
+
+
+def _q_scrub_pii(sf_dir: str):
+    """PII scrub over documents augmented with deterministic synthetic PII
+    (both sides derive ``text || ' contact<id>@example.com call +1 555 0<id>'``
+    so the regex path is actually exercised on PII-free synthetic text)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        scrub_pii,
+    )
+
+    def augment(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        did = pc.cast(batch.column("doc_id"), pa.string())
+        aug = pc.binary_join_element_wise(
+            text, " contact", did, "@example.com call +1 555 0", did, "")
+        return pa.table({"doc_id": batch.column("doc_id"), "text": aug})
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    aug = docs.map_batches(augment, batch_format="pyarrow")
+    return scrub_pii(aug).to_pandas()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # oracle-matched
@@ -882,6 +938,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": _q_events_range_join,
         "image_decode_stats": _q_image_decode_stats,
         "audio_decode_stats": _q_audio_decode_stats,
+        "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition_stats,
+        "scrub_pii": _q_scrub_pii,
         # rows-only (approximate / non-SQL-expressible; bound-checked in tests/)
         "hll_synthetic": _q_hll_synthetic,
         "multi_sketch_synthetic": _q_multi_sketch_synthetic,
@@ -1131,6 +1190,72 @@ def oracle_sql() -> dict[str, str]:
                    sqrt(SUM(s*s) / n) AS rms,
                    SUM(abs(s)) / n AS mean_abs
             FROM samp GROUP BY doc_id, n
+        """,
+        "decontaminate": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                 '[^a-z0-9]+'), x -> x <> '') AS w
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(w) >= 8
+                            THEN [array_to_string(w[i:i+7], ' ')
+                                  for i in range(1, len(w) - 6)]
+                            ELSE [array_to_string(w, ' ')] END) AS g
+              FROM words),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0),
+            hits AS (SELECT gr.doc_id, count(*) AS nc
+                     FROM grams gr JOIN bench b ON gr.g = b.g
+                     GROUP BY gr.doc_id)
+            SELECT w.doc_id,
+                   CAST(CASE WHEN len(w.w) >= 8 THEN len(w.w) - 7
+                        ELSE 1 END AS BIGINT) AS n_grams,
+                   CAST(coalesce(h.nc, 0) AS BIGINT) AS n_contaminated,
+                   coalesce(h.nc, 0) > 0 AS contaminated
+            FROM words w LEFT JOIN hits h USING (doc_id)
+        """,
+        "repetition_stats": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                 '[^a-z0-9]+'), x -> x <> '') AS w
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(w) >= 2
+                            THEN [array_to_string(w[i:i+1], ' ')
+                                  for i in range(1, len(w))]
+                            ELSE [array_to_string(w, ' ')] END) AS g
+              FROM words)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+                   round(1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6)
+                       AS dup_frac
+            FROM grams GROUP BY doc_id
+        """,
+        "scrub_pii": """
+            WITH aug AS (
+              SELECT doc_id,
+                     coalesce(text, '') || ' contact' || doc_id ||
+                     '@example.com call +1 555 0' || doc_id AS t
+              FROM documents),
+            e AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(t,
+                         '[a-zA-Z0-9._%+\\-]+@[a-zA-Z0-9.\\-]+\\.[a-zA-Z]{2,}'))
+                         AS BIGINT) AS n_email,
+                     regexp_replace(t,
+                         '[a-zA-Z0-9._%+\\-]+@[a-zA-Z0-9.\\-]+\\.[a-zA-Z]{2,}',
+                         '<EMAIL>', 'g') AS t1
+              FROM aug)
+            SELECT doc_id, n_email,
+                   CAST(len(regexp_extract_all(t1,
+                       '\\+?[0-9][0-9()\\- ]{6,}[0-9]')) AS BIGINT) AS n_phone,
+                   regexp_replace(t1, '\\+?[0-9][0-9()\\- ]{6,}[0-9]',
+                                  '<PHONE>', 'g') AS text
+            FROM e
         """,
         "sessions": """
             WITH ordered AS (

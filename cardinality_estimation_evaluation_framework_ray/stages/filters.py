@@ -1,0 +1,195 @@
+"""Corpus-filter stages: benchmark decontamination, repetition quality
+scores, PII scrubbing.
+
+Training-data-pipeline operators beyond the reference's scope (the reference
+evaluates sketches over id sets; a production corpus pipeline also has to
+REMOVE data: held-out-benchmark contamination, pathological repetition, and
+personally identifying strings).
+
+All three keep the tokenizer's SQL-reproducible word contract
+(``stages/text.py``: lowercase, split ``[^a-z0-9]+``, drop empties) so each
+operator has an exact DuckDB oracle.  Word n-grams are ``n`` consecutive
+words joined by a single space; a doc with fewer than ``n`` words yields ONE
+gram = all its words joined (mirrors ``_shingle_hashes``'s short-doc fold).
+
+Scale notes (100 TB design point):
+  * ``decontaminate`` is a broadcast semi-join: the benchmark side (test
+    sets, by contract MBs not TBs) is reduced to a sorted unique gram-hash
+    array, ``ray.put`` ONCE, and every task runs a binary-search membership
+    probe — the corpus never shuffles;
+  * ``repetition_stats`` is embarrassingly parallel (per-doc reduction
+    inside ``map_batches``, no wide op at all);
+  * ``scrub_pii`` is a pure Arrow compute stage (RE2 kernels, zero-copy).
+
+Gram identity is hash-based (mixed 64-bit FNV over word hashes,
+``stages/dedup.py::_shingle_hashes``); a collision across 2^64 would flag a
+clean doc, which the oracle gate would catch — same digest contract as
+``minhash_exact_dups``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..functions.segments import segment_sums
+from .dedup import _doc_word_hashes, _shingle_hashes
+
+__all__ = ["benchmark_gram_hashes", "decontaminate", "repetition_stats",
+           "scrub_pii", "PII_PATTERNS"]
+
+
+def _doc_gram_hashes(batch: pa.Table, text_col: str, n: int, seed: int):
+    """(gram-hash values, per-doc gram counts) for a documents batch."""
+    word_h, lengths = _doc_word_hashes(batch, text_col, seed)
+    return _shingle_hashes(word_h, lengths, n)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def benchmark_gram_hashes(benchmark: "ray.data.Dataset", *, n: int = 8,
+                          seed: int = 101,
+                          text_col: str = "text") -> np.ndarray:
+    """Sorted unique n-gram hashes of the (small) benchmark set.
+
+    The benchmark is map-reduced distributedly (per-batch unique inside
+    ``map_batches``), and only the DEDUPED gram hashes come back to the
+    driver — memory is bounded by the benchmark's distinct-gram count (test
+    sets are MBs by contract), never by the corpus.
+    """
+
+    def grams(batch: pa.Table) -> pa.Table:
+        g, _ = _doc_gram_hashes(batch, text_col, n, seed)
+        return pa.table({"gram": pa.array(np.unique(g).view(np.int64))})
+
+    parts = benchmark.select_columns([text_col]).map_batches(
+        grams, batch_format="pyarrow", zero_copy_batch=True)
+    arrs = [b.column("gram").to_numpy(zero_copy_only=False)
+            for b in parts.iter_batches(batch_format="pyarrow")]
+    if not arrs:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(arrs)).astype(np.int64).view(np.uint64)
+
+
+def decontaminate(ds: "ray.data.Dataset", benchmark: "ray.data.Dataset", *,
+                  n: int = 8, seed: int = 101, text_col: str = "text",
+                  id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Flag corpus docs sharing any word n-gram with a benchmark set.
+
+    Output: (doc_id, n_grams, n_contaminated, contaminated) — callers filter
+    ``contaminated == False`` to drop leakage before training.
+
+    Broadcast semi-join: the benchmark's sorted unique gram hashes are
+    ``ray.put`` once; each task probes membership with ``searchsorted``
+    (binary search per gram, no shuffle of the corpus).
+    """
+    bench = np.sort(benchmark_gram_hashes(benchmark, n=n, seed=seed,
+                                          text_col=text_col))
+    bench_ref = ray.put(bench)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ref = ray.get(bench_ref)
+        g, counts = _doc_gram_hashes(batch, text_col, n, seed)
+        if len(ref):
+            pos = np.searchsorted(ref, g)
+            hit = (pos < len(ref)) & (ref[np.minimum(pos, len(ref) - 1)] == g)
+        else:
+            hit = np.zeros(len(g), dtype=bool)
+        n_cont = segment_sums(hit.astype(np.int64), counts)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_grams": pa.array(counts.astype(np.int64)),
+            "n_contaminated": pa.array(n_cont),
+            "contaminated": pa.array(n_cont > 0),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition (Gopher-style quality rule)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(ds: "ray.data.Dataset", *, n: int = 2, seed: int = 101,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Per-doc duplicate n-gram fraction (Rae et al. 2021 "Gopher" repetition
+    filters): (doc_id, n_grams, n_distinct, dup_frac).
+
+    ``dup_frac = 1 - n_distinct / n_grams`` — high values mean boilerplate /
+    looping text.  Embarrassingly parallel: distinct-counting happens inside
+    the batch via one sort over the doc-id-prefixed gram array.
+    """
+
+    def stats(batch: pa.Table) -> pa.Table:
+        g, counts = _doc_gram_hashes(batch, text_col, n, seed)
+        n_docs = len(counts)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        order = np.lexsort((g, doc_idx))
+        dd, gg = doc_idx[order], g[order]
+        first = np.ones(len(dd), dtype=bool)
+        first[1:] = (dd[1:] != dd[:-1]) | (gg[1:] != gg[:-1])
+        n_distinct = np.bincount(dd[first], minlength=n_docs).astype(np.int64)
+        total = counts.astype(np.int64)
+        dup = 1.0 - n_distinct / np.maximum(total, 1)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_grams": pa.array(total),
+            "n_distinct": pa.array(n_distinct),
+            "dup_frac": pa.array(np.round(dup, 6)),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# RE2 syntax only (both Arrow and DuckDB compile these with RE2, so the
+# engine and the SQL oracle redact identically).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"),
+    ("phone", r"\+?[0-9][0-9()\- ]{6,}[0-9]"),
+)
+
+
+def scrub_pii(ds: "ray.data.Dataset", *, text_col: str = "text",
+              id_col: str = "doc_id",
+              patterns: tuple[tuple[str, str], ...] = PII_PATTERNS
+              ) -> "ray.data.Dataset":
+    """Redact PII spans with ``<NAME>`` placeholders, counting matches.
+
+    Output: (doc_id, text [redacted], n_<name> per pattern).  Pure Arrow RE2
+    kernels (``count_substring_regex`` + ``replace_substring_regex``) — no
+    Python per row, zero-copy in.  Patterns apply in declaration order, each
+    over the previous pattern's output (emails are consumed before the phone
+    pattern can see their digit runs, deterministically on both sides of the
+    oracle).
+    """
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+        cols: dict = {id_col: batch.column(id_col)}
+        counts = {}
+        for name, pat in patterns:
+            counts[f"n_{name}"] = pc.count_substring_regex(text, pat)
+            text = pc.replace_substring_regex(text, pat, f"<{name.upper()}>")
+        cols["text"] = text
+        for k, v in counts.items():
+            cols[k] = pc.cast(v, pa.int64())
+        return pa.table(cols)
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        scrub, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,97 @@
+"""Corpus-filter stages: decontamination, repetition stats, PII scrub."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+    benchmark_gram_hashes,
+    decontaminate,
+    repetition_stats,
+    scrub_pii,
+)
+
+
+def _docs(texts, ids=None):
+    ids = list(range(len(texts))) if ids is None else ids
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+WORDS8 = "alpha bravo charlie delta echo foxtrot golf hotel"
+
+
+def test_decontaminate_flags_shared_ngram(ray_session):
+    bench = _docs([f"{WORDS8} india juliett"], ids=[100])
+    corpus = _docs([
+        f"prefix words then {WORDS8} and a tail",   # contains a bench 8-gram
+        "completely different words with no overlap at all here ok",
+        WORDS8,                                      # exactly one bench gram
+    ])
+    out = decontaminate(corpus, bench, n=8).to_pandas().sort_values("doc_id")
+    assert out["contaminated"].tolist() == [True, False, True]
+    # doc 0 has 14 words -> 7 grams, exactly one of which is the bench gram
+    assert out["n_grams"].tolist() == [7, 3, 1]
+    assert out["n_contaminated"].tolist() == [1, 0, 1]
+
+
+def test_decontaminate_short_and_empty_docs(ray_session):
+    # whole-doc fold: a <n-word doc matches only an identical short bench doc
+    bench = _docs(["tiny doc"], ids=[0])
+    corpus = _docs(["tiny doc", "tiny doc extra", "", "tiny"])
+    out = decontaminate(corpus, bench, n=8).to_pandas().sort_values("doc_id")
+    assert out["contaminated"].tolist() == [True, False, False, False]
+    assert out["n_grams"].tolist() == [1, 1, 1, 1]
+
+
+def test_decontaminate_empty_benchmark(ray_session):
+    bench = _docs([]).filter(expr="doc_id < 0")
+    corpus = _docs(["some words here"])
+    out = decontaminate(corpus, bench, n=2).to_pandas()
+    assert not out["contaminated"].any()
+
+
+def test_benchmark_gram_hashes_dedup(ray_session):
+    # identical docs contribute each gram once
+    bench = _docs([WORDS8, WORDS8], ids=[0, 1])
+    g = benchmark_gram_hashes(bench, n=8)
+    assert len(g) == 1
+
+
+def test_repetition_stats_exact(ray_session):
+    out = repetition_stats(_docs([
+        "a b a b a",       # bigrams: ab ba ab ba -> 4 total, 2 distinct
+        "x y z",           # xy yz -> 2/2
+        "solo",            # short fold -> 1/1
+        "",                # empty fold -> 1/1
+    ]), n=2).to_pandas().sort_values("doc_id")
+    assert out["n_grams"].tolist() == [4, 2, 1, 1]
+    assert out["n_distinct"].tolist() == [2, 2, 1, 1]
+    assert out["dup_frac"].tolist() == pytest.approx([0.5, 0.0, 0.0, 0.0])
+
+
+def test_repetition_partition_invariance(ray_session):
+    texts = [f"w{i % 3} w{(i + 1) % 3} w{i % 3} filler{i}" for i in range(40)]
+    a = repetition_stats(_docs(texts).repartition(1), n=2).to_pandas()
+    b = repetition_stats(_docs(texts).repartition(16), n=2).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_scrub_pii_redacts_and_counts(ray_session):
+    out = scrub_pii(_docs([
+        "mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567 now",
+        "no pii here",
+        "two mails a@b.io c@d.org",
+    ])).to_pandas().sort_values("doc_id")
+    assert out["n_email"].tolist() == [1, 0, 2]
+    assert out["n_phone"].tolist() == [1, 0, 0]
+    t0 = out["text"].iloc[0]
+    assert "<EMAIL>" in t0 and "<PHONE>" in t0
+    assert "jane" not in t0 and "555" not in t0
+    assert out["text"].iloc[1] == "no pii here"
