@@ -914,6 +914,33 @@ def _q_scrub_pii(sf_dir: str):
     return scrub_pii(aug).to_pandas()
 
 
+def _q_per_key_sample(sf_dir: str):
+    """Anti-domination cap: deterministic 20-doc sample per source (Knuth
+    multiplicative-hash priorities; two-stage top-n, candidates-only shuffle)."""
+    from cardinality_estimation_evaluation_framework_ray.stages.sampling import (
+        per_key_sample,
+    )
+
+    docs = _read(sf_dir, "documents")
+    return per_key_sample(docs, key="source", n_per_key=20).to_pandas()
+
+
+def _q_train_test_split(sf_dir: str):
+    """Deterministic hash split (10% test) -> per-(source, split) counts."""
+    from ray.data.aggregate import Count
+
+    from cardinality_estimation_evaluation_framework_ray.stages.sampling import (
+        hash_split,
+    )
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "source"])
+    tagged = hash_split(docs, test_permille=100)
+    out = tagged.groupby(["source", "split"]).aggregate(
+        Count(alias_name="n_docs")).to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # oracle-matched
@@ -941,6 +968,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
         "scrub_pii": _q_scrub_pii,
+        "per_key_sample": _q_per_key_sample,
+        "train_test_split": _q_train_test_split,
         # rows-only (approximate / non-SQL-expressible; bound-checked in tests/)
         "hll_synthetic": _q_hll_synthetic,
         "multi_sketch_synthetic": _q_multi_sketch_synthetic,
@@ -1256,6 +1285,25 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(t1, '\\+?[0-9][0-9()\\- ]{6,}[0-9]',
                                   '<PHONE>', 'g') AS text
             FROM e
+        """,
+        "per_key_sample": """
+            WITH pr AS (
+              SELECT source, doc_id,
+                     (doc_id * 2654435761) % 4294967296 AS p
+              FROM documents),
+            r AS (
+              SELECT source, doc_id,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY p, doc_id) AS rk
+              FROM pr)
+            SELECT doc_id, source FROM r WHERE rk <= 20
+        """,
+        "train_test_split": """
+            SELECT source,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 100
+                        THEN 'test' ELSE 'train' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1, 2
         """,
         "sessions": """
             WITH ordered AS (
