@@ -941,6 +941,26 @@ def _q_train_test_split(sf_dir: str):
     return out
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Sequence packing: each doc's offset and example ids in its source's
+    concat stream (seq_len=256). Metadata-only shuffle; tokens never move."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cardinality_estimation_evaluation_framework_ray.stages.packing import (
+        pack_sequences,
+    )
+
+    toks = _tokens_ds(sf_dir).select_columns(["doc_id", "source", "n_tok"])
+
+    def cast_ids(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("doc_id")
+        return t.set_column(i, "doc_id", pc.cast(t.column("doc_id"), pa.int64()))
+
+    toks = toks.map_batches(cast_ids, batch_format="pyarrow")
+    return pack_sequences(toks, seq_len=256).to_pandas()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # oracle-matched
@@ -970,6 +990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_pii": _q_scrub_pii,
         "per_key_sample": _q_per_key_sample,
         "train_test_split": _q_train_test_split,
+        "pack_sequences": _q_pack_sequences,
         # rows-only (approximate / non-SQL-expressible; bound-checked in tests/)
         "hll_synthetic": _q_hll_synthetic,
         "multi_sketch_synthetic": _q_multi_sketch_synthetic,
@@ -1304,6 +1325,27 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'test' ELSE 'train' END AS split,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY 1, 2
+        """,
+        "pack_sequences": """
+            WITH tok AS (
+              SELECT source, doc_id,
+                     len(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                         '[^a-z0-9]+'), x -> x <> '')) AS n_tok
+              FROM documents),
+            c AS (
+              SELECT source, doc_id, n_tok,
+                     coalesce(sum(n_tok) OVER (PARTITION BY source
+                         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS start_off
+              FROM tok)
+            SELECT doc_id, source,
+                   CAST(start_off AS BIGINT) AS start_off,
+                   CAST(start_off + n_tok AS BIGINT) AS end_off,
+                   CAST(start_off // 256 AS BIGINT) AS first_pack,
+                   CAST(CASE WHEN n_tok = 0 THEN start_off // 256
+                        ELSE (start_off + n_tok - 1) // 256 END AS BIGINT)
+                       AS last_pack
+            FROM c
         """,
         "sessions": """
             WITH ordered AS (
