@@ -961,6 +961,16 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(toks, seq_len=256).to_pandas()
 
 
+def _q_lm_perplexity(sf_dir: str):
+    """CCNet-style quality score: add-1 bigram-LM perplexity per doc, model
+    trained on the corpus itself (two passes; model broadcast once)."""
+    from cardinality_estimation_evaluation_framework_ray.stages.lm import (
+        lm_perplexity,
+    )
+
+    return lm_perplexity(_read(sf_dir, "documents")).to_pandas()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # oracle-matched
@@ -991,6 +1001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_key_sample": _q_per_key_sample,
         "train_test_split": _q_train_test_split,
         "pack_sequences": _q_pack_sequences,
+        "lm_perplexity": _q_lm_perplexity,
         # rows-only (approximate / non-SQL-expressible; bound-checked in tests/)
         "hll_synthetic": _q_hll_synthetic,
         "multi_sketch_synthetic": _q_multi_sketch_synthetic,
@@ -1346,6 +1357,33 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (start_off + n_tok - 1) // 256 END AS BIGINT)
                        AS last_pack
             FROM c
+        """,
+        "lm_perplexity": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                 '[^a-z0-9]+'), x -> x <> '') AS w
+              FROM documents),
+            big AS (
+              SELECT doc_id,
+                     unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg,
+                     unnest([w[i] for i in range(1, len(w))]) AS pf
+              FROM words),
+            c12 AS (SELECT bg, count(*) AS c FROM big GROUP BY bg),
+            c1 AS (SELECT pf, count(*) AS c FROM big GROUP BY pf),
+            v AS (SELECT count(DISTINCT u) AS n
+                  FROM (SELECT unnest(w) AS u FROM words)),
+            scored AS (
+              SELECT b.doc_id,
+                     ln((c12.c + 1.0) / (c1.c + 1.0 * (SELECT n FROM v))) AS lp
+              FROM big b JOIN c12 USING (bg) JOIN c1 USING (pf)),
+            agg AS (SELECT doc_id, count(*) AS nb, avg(lp) AS m
+                    FROM scored GROUP BY doc_id)
+            SELECT w.doc_id,
+                   CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bigrams,
+                   round(CASE WHEN a.nb IS NULL THEN 1.0 ELSE exp(-a.m) END, 4)
+                       AS ppl
+            FROM words w LEFT JOIN agg a USING (doc_id)
         """,
         "sessions": """
             WITH ordered AS (

@@ -148,12 +148,50 @@ def q_ann_topk(_: str) -> dict:
     return {"rows": len(brute_force_topk(ds, q, k=10))}
 
 
+def q_pack_sequences(tokens_dir: str) -> dict:
+    """Sequence packing over the full 8M-row tokens table: a metadata-only
+    groupby prefix-sum at corpus row count (tokens column never read)."""
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.packing import (
+        pack_sequences,
+    )
+
+    ds = ray.data.read_parquet(tokens_dir, columns=["doc_id", "source", "n_tok"],
+                               override_num_blocks=32)
+    return {"rows": pack_sequences(ds, seq_len=2048).count()}
+
+
+def q_decontaminate(_: str) -> dict:
+    """Broadcast-semi-join decontamination of the sf documents table against
+    a 1-in-37 held-out slice."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        decontaminate,
+    )
+
+    def bench_slice(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 37 == 0))
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.map_batches(bench_slice, batch_format="pyarrow")
+    out = decontaminate(docs, bench, n=8)
+    return {"rows": out.count()}
+
+
 QUERIES = {
     "build_hll": q_build_hll,
     "build_multi": q_build_multi,
     "tokenize": q_tokenize,
     "minhash_dedup": q_minhash_dedup,
     "ann_topk": q_ann_topk,
+    "pack_sequences": q_pack_sequences,
+    "decontaminate": q_decontaminate,
 }
 HEADLINE = "build_multi"
 
