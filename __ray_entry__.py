@@ -971,6 +971,24 @@ def _q_lm_perplexity(sf_dir: str):
     return lm_perplexity(_read(sf_dir, "documents")).to_pandas()
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Rows-only (iterative, non-SQL-expressible): full-corpus Lloyd's
+    k-means over the embeddings table -> per-cluster sizes."""
+    from ray.data.aggregate import Count
+
+    from cardinality_estimation_evaluation_framework_ray.stages.cluster import (
+        assign_clusters,
+        kmeans,
+    )
+
+    ds = _read(sf_dir, "embeddings")
+    centroids, _ = kmeans(ds, 8, iters=10)
+    out = assign_clusters(ds, centroids).groupby("cluster").aggregate(
+        Count(alias_name="n_vecs")).to_pandas()
+    out["n_vecs"] = out["n_vecs"].astype("int64")
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # oracle-matched
@@ -1017,6 +1035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "legions_reach": _q_legions_reach,
         "stratified_union": _q_stratified_union,
         "smoke_eval": _q_smoke_eval,
+        "kmeans_clusters": _q_kmeans_clusters,
     }
 
 
