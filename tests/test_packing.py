@@ -39,6 +39,16 @@ def test_pack_empty_doc_and_exact_boundary(ray_session):
     assert out["first_pack"].tolist() == [0, 1, 1]
 
 
+def test_two_level_scan_equals_single_level(ray_session):
+    rows = [(i, "k%d" % (i % 2), (i * 53) % 300) for i in range(300)]
+    a = pack_sequences(_ds(rows, 8), seq_len=512).to_pandas()
+    b = pack_sequences(_ds(rows, 8), seq_len=512,
+                       bucket_size=37).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_pack_keys_independent_and_partition_invariant(ray_session):
     rows = [(i, "k%d" % (i % 3), (i * 37) % 400) for i in range(200)]
     a = pack_sequences(_ds(rows, 1), seq_len=128).to_pandas()
