@@ -20,6 +20,9 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CACHE_ROOT = os.environ.get("GRAFT_BENCH_CACHE", "/tmp/ceef_bench")
+# "tasks" (stateless partials -> combiner -> groupby) or "epoch"
+# (streaming_split accumulator actors, states serialized once)
+BUILD_MODE = os.environ.get("GRAFT_BUILD_MODE", "tasks")
 
 
 def _sf_tag() -> str:
@@ -68,7 +71,7 @@ def q_build_hll(tokens_dir: str) -> dict:
     ds = ray.data.read_parquet(tokens_dir, columns=["tokens", "source"],
                                override_num_blocks=32)
     df = reach_report(ds, {"hll": HllSpec(p=14, seed=42, sparse=False)},
-                      batch_size=16384)
+                      batch_size=16384, mode=BUILD_MODE)
     return {"rows": len(df)}
 
 
@@ -98,7 +101,7 @@ def q_build_multi(tokens_dir: str) -> dict:
     # fixed block count => identical physical job at every parallelism level
     ds = ray.data.read_parquet(tokens_dir, columns=["tokens", "source"],
                                override_num_blocks=32)
-    df = reach_report(ds, specs, batch_size=16384)
+    df = reach_report(ds, specs, batch_size=16384, mode=BUILD_MODE)
     return {"rows": len(df), "sketches": len(specs)}
 
 
@@ -280,6 +283,7 @@ def run_once() -> dict:
         "reps": reps,
         "sf": _sf_tag(),
         "num_cpus": NUM_CPUS,
+        "build_mode": BUILD_MODE,
         "corpus_tokens": n_tokens,
         "tokens_per_sec": round(n_tokens / headline, 1),
     }
@@ -359,6 +363,7 @@ def run_scaling() -> dict:
         "calibration_tokens_per_sec_1core": {str(n): cals[n] for n in (lo, hi)},
         "efficiency_contention_corrected": eff_corrected,
         "sf": _sf_tag(),
+        "build_mode": BUILD_MODE,
     }
 
 

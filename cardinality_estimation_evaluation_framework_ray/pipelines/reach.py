@@ -16,24 +16,48 @@ import ray.data
 
 from ..stages.build import (
     build_sketch_states,
+    build_sketch_states_epoch,
     collect_states,
+    state_col,
     union_across_keys,
 )
-from ..state.base import SketchSpec
+from ..state.base import Sketch, SketchSpec
+
+
+def _build_per_key(ds, specs, key, tokens_col, batch_size, tree_width, mode):
+    if mode == "epoch":
+        tbl = build_sketch_states_epoch(ds, specs, key, tokens_col, batch_size)
+        return {
+            tbl.column(key)[i].as_py(): {
+                name: Sketch.from_bytes(spec,
+                                        tbl.column(state_col(name))[i].as_py())
+                for name, spec in specs.items()}
+            for i in range(tbl.num_rows)
+        }
+    states_ds = build_sketch_states(ds, specs, key, tokens_col, batch_size,
+                                    tree_width)
+    return collect_states(states_ds, specs, key)
 
 
 def reach_report(ds: "ray.data.Dataset", specs: dict[str, SketchSpec],
                  key: str = "source", tokens_col: str = "tokens",
                  batch_size: int | None = 8192,
                  tree_width: int = 0,
-                 include_union: bool = True) -> pd.DataFrame:
+                 include_union: bool = True,
+                 mode: str = "tasks") -> pd.DataFrame:
     """Build all sketches in one pass; emit per-key and union estimates.
 
     Output columns: ``{key}``, then one ``est_{name}`` float per sketch (the
     first histogram entry, i.e. 1+ reach / cardinality).
+
+    ``mode="tasks"`` (default) is the stateless task-pool plan (per-batch
+    partials -> combiner -> one groupby); ``mode="epoch"`` is the
+    epoch-flush actor plan (``build.build_sketch_states_epoch``): states
+    accumulate per actor and serialize once — faster where per-batch state
+    serialization dominates, at the cost of per-batch retryability.
     """
-    states_ds = build_sketch_states(ds, specs, key, tokens_col, batch_size, tree_width)
-    per_key = collect_states(states_ds, specs, key)
+    per_key = _build_per_key(ds, specs, key, tokens_col, batch_size,
+                             tree_width, mode)
     rows = []
     for k in sorted(per_key):
         row = {key: k}

@@ -222,6 +222,96 @@ def build_sketch_states(ds: "ray.data.Dataset", specs: dict[str, SketchSpec],
 
 
 # ---------------------------------------------------------------------------
+# epoch-flush actor build (SURVEY §4.2 variant)
+# ---------------------------------------------------------------------------
+
+def build_sketch_states_epoch(ds: "ray.data.Dataset",
+                              specs: dict[str, SketchSpec],
+                              key: str = "source",
+                              tokens_col: str = "tokens",
+                              batch_size: int | None = 8192,
+                              num_actors: int | None = None) -> pa.Table:
+    """Epoch-flush build: per-ACTOR accumulated states, serialized ONCE.
+
+    The task-pool path (``build_sketch_states``) re-allocates and serializes
+    a fresh state set per (batch, key) — ~100s of KB per batch — and needs a
+    combiner + one groupby to fold them.  Here ``streaming_split`` feeds
+    ``num_actors`` accumulator actors; each actor updates ITS running
+    sketches in place across every batch of its shard and emits one state
+    set at end of stream.  Serialization drops from O(#batches x #keys) to
+    O(#actors x #keys) state blobs, and the shuffle disappears entirely —
+    the driver folds #actors partials (KBs).
+
+    Returns the merged per-key state TABLE (same schema as
+    ``build_sketch_states`` rows).  Estimates are identical to the task-pool
+    path for associative sketches (property-tested); like any partitioned
+    build, compaction-sampling sketches (KLL/t-digest) may differ within
+    their rank-error bounds.
+
+    Trade-off vs the task path (documented, both kept): actors pin memory
+    for the whole epoch and a dead actor loses its accumulated state (the
+    task path is stateless/retryable per batch) — at 100 TB, checkpoint
+    epochs per input shard (stages/checkpoint.py) bound the blast radius.
+    """
+    import ray
+
+    if num_actors is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        # leave headroom for the upstream read tasks feeding the split
+        num_actors = max(1, int(cpus * 0.8))
+    shards = ds.select_columns([key, tokens_col]).streaming_split(
+        num_actors, equal=False)
+
+    @ray.remote(num_cpus=1)
+    def run_shard(shard, specs, key, tokens_col, batch_size):
+        states: dict = {}
+        meta: dict = {}
+        for batch in shard.iter_batches(batch_format="pyarrow",
+                                        batch_size=batch_size):
+            keys_np = batch.column(key).to_numpy(zero_copy_only=False)
+            uk, cnt = np.unique(keys_np, return_counts=True)
+            rows_per_key = dict(zip(uk.tolist(), cnt.tolist()))
+            for kv, toks in iter_key_tokens(batch, key, tokens_col):
+                st = states.get(kv)
+                if st is None:
+                    st = {name: spec.new() for name, spec in specs.items()}
+                    states[kv] = st
+                    meta[kv] = [0, 0]
+                for name in specs:
+                    st[name].update_tokens(toks)
+                meta[kv][0] += int(rows_per_key.get(kv, 0))
+                meta[kv][1] += len(toks)
+        return {kv: ({n: s.to_bytes() for n, s in st.items()}, meta[kv])
+                for kv, st in states.items()}
+
+    results = ray.get([run_shard.remote(s, specs, key, tokens_col, batch_size)
+                       for s in shards])
+    merged: dict = {}
+    counts: dict = {}
+    for part in results:
+        for kv, (blobs, (n_rows, n_toks)) in part.items():
+            if kv not in merged:
+                merged[kv] = {n: Sketch.from_bytes(specs[n], b)
+                              for n, b in blobs.items()}
+                counts[kv] = [n_rows, n_toks]
+            else:
+                for n, b in blobs.items():
+                    merged[kv][n].merge_in(Sketch.from_bytes(specs[n], b))
+                counts[kv][0] += n_rows
+                counts[kv][1] += n_toks
+    keys_sorted = sorted(merged)
+    out = {
+        key: keys_sorted,
+        "n_rows": [counts[k][0] for k in keys_sorted],
+        "n_tokens": [counts[k][1] for k in keys_sorted],
+    }
+    for name in specs:
+        out[state_col(name)] = [merged[k][name].to_bytes()
+                                for k in keys_sorted]
+    return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
 # driver-side finalize (small data only)
 # ---------------------------------------------------------------------------
 

@@ -82,3 +82,24 @@ def test_combiner_matches_no_combiner():
         specs)
     for k in flat:
         assert np.array_equal(flat[k]["hll"].buckets, combined[k]["hll"].buckets)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_epoch_mode_matches_task_mode():
+    from cardinality_estimation_evaluation_framework_ray.pipelines.reach import (
+        reach_report,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import (
+        BloomSpec,
+        CountMinSpec,
+    )
+
+    specs = {"hll": HllSpec(p=10, seed=5),
+             "cm": CountMinSpec(depth=4, width=512, seed=5),
+             "adbf": BloomSpec(length=5_000, distribution="exp",
+                               decay_rate=10.0, seed=5)}
+    ds = tokens_dataset(TINY, override_num_blocks=8)
+    a = reach_report(ds, specs, mode="tasks").set_index("source").sort_index()
+    b = reach_report(tokens_dataset(TINY, override_num_blocks=8), specs,
+                     mode="epoch").set_index("source").sort_index()
+    assert a.equals(b)
