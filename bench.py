@@ -333,8 +333,18 @@ def run_scaling() -> dict:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
                        GRAFT_BENCH_ONLY=HEADLINE,
                        GRAFT_BENCH_REPS="1")  # outer loop does the reps
-            out = subprocess.run([sys.executable, __file__], env=env,
-                                 capture_output=True, text=True, check=True)
+            # one retry: a leg can die on transient Ray node-startup timeouts
+            # (stale session dirs from a killed run); surface stderr if both
+            # attempts fail instead of an opaque CalledProcessError
+            for attempt in (0, 1):
+                out = subprocess.run([sys.executable, __file__], env=env,
+                                     capture_output=True, text=True)
+                if out.returncode == 0:
+                    break
+                if attempt == 1:
+                    raise RuntimeError(
+                        f"scaling leg num_cpus={n} failed twice; stderr tail:\n"
+                        + "\n".join(out.stderr.strip().splitlines()[-15:]))
             line = [l for l in out.stdout.strip().splitlines()
                     if l.startswith("{")][-1]
             rec = json.loads(line)
