@@ -506,6 +506,37 @@ def _q_audio_decode_stats(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def _q_video_frame_stats(sf_dir: str):
+    """Real y4m video decode + frame-stride sampling end to end, same
+    analytic-oracle construction as _q_image_decode_stats: deterministic
+    4-fps videos from doc_id, every-500ms sampling (stride 2), per-sampled-
+    frame mean luma.  Exact on both sides (integer pixel sums, one float64
+    division)."""
+    import pyarrow as pa
+
+    from cardinality_estimation_evaluation_framework_ray.stages.multimodal import (
+        SampleFrames,
+        synth_oracle_video_batch,
+    )
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"])
+    ds = ds.map_batches(synth_oracle_video_batch, batch_format="pyarrow")
+    ds = ds.map_batches(SampleFrames,
+                        fn_constructor_kwargs=dict(every_ms=500),
+                        batch_format="pyarrow", batch_size=64,
+                        zero_copy_batch=True, concurrency=(1, 4))
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("media_id"),
+            "frame_index": t.column("frame_index"),
+            "ts_ms": t.column("ts_ms"),
+            "mean_luma": t.column("mean_luma"),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def _q_multi_sketch_synthetic(sf_dir: str):
     """Rows-only: HLL + count-min + KLL + t-digest + exp-ADBF in ONE pass."""
     from cardinality_estimation_evaluation_framework_ray.pipelines.reach import (
@@ -1013,6 +1044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": _q_events_range_join,
         "image_decode_stats": _q_image_decode_stats,
         "audio_decode_stats": _q_audio_decode_stats,
+        "video_frame_stats": _q_video_frame_stats,
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
         "scrub_pii": _q_scrub_pii,
@@ -1270,6 +1302,28 @@ def oracle_sql() -> dict[str, str]:
                    sqrt(SUM(s*s) / n) AS rms,
                    SUM(abs(s)) / n AS mean_abs
             FROM samp GROUP BY doc_id, n
+        """,
+        "video_frame_stats": """
+            WITH dims AS (
+              SELECT doc_id, 2 + doc_id % 4 AS nf,
+                     8 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
+              FROM documents),
+            frames AS (
+              SELECT d.*, t.v AS frame_index
+              FROM dims d
+              JOIN (SELECT range AS v FROM range(5)) t
+                ON t.v < d.nf AND t.v % 2 = 0),
+            pix AS (
+              SELECT f.doc_id, f.frame_index, f.w, f.h,
+                     (f.doc_id*11 + 5*f.frame_index + x.v + 3*y.v) % 256 AS v
+              FROM frames f
+              JOIN (SELECT range AS v FROM range(12)) x ON x.v < f.w
+              JOIN (SELECT range AS v FROM range(6)) y ON y.v < f.h)
+            SELECT doc_id,
+                   CAST(frame_index AS BIGINT) AS frame_index,
+                   CAST(frame_index * 250 AS BIGINT) AS ts_ms,
+                   CAST(SUM(v) AS DOUBLE) / (w*h) AS mean_luma
+            FROM pix GROUP BY doc_id, frame_index, w, h
         """,
         "decontaminate": """
             WITH words AS (

@@ -1,12 +1,13 @@
 """Multimodal stages: image/audio/video as opaque binary columns.
 
-Image (PPM/PGM) and audio (WAV PCM16) decoding is REAL — pure-NumPy codecs
-for the uncompressed formats, no external libraries — including a real
-area-average/bilinear resize.  Compressed formats (JPEG/PNG/MP3) and video
-frame extraction still require libjpeg/ffmpeg, absent in this container:
-those paths raise ``NotImplementedError`` unless constructed with
-``fake=True``, in which case a deterministic fake decoder (content-hash ->
-fixed-shape array) stands in.  The Ray-side plumbing — schema, actor-pool
+Image (PPM/PGM), audio (WAV PCM16) and video (YUV4MPEG2/y4m) decoding is
+REAL — pure-NumPy codecs for the uncompressed formats, no external
+libraries — including a real area-average/bilinear resize and real
+frame-stride sampling.  Compressed formats (JPEG/PNG/MP3/MP4) still require
+libjpeg/ffmpeg, absent in this container: those payloads raise
+``NotImplementedError`` unless the stage is constructed with ``fake=True``,
+in which case a deterministic fake decoder (content-hash -> fixed-shape
+array) stands in.  The Ray-side plumbing — schema, actor-pool
 signature, small-batch sizing for large payloads, output layout — is
 identical for both paths.
 
@@ -155,6 +156,70 @@ def decode_wav_pcm16(blob: bytes) -> tuple[np.ndarray, int]:
         samples = samples[: len(samples) // channels * channels]
         samples = samples.reshape(-1, channels).mean(axis=1)
     return samples, rate
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (4, 1)) -> bytes:
+    """(n, h, w) uint8 luma frames -> YUV4MPEG2 (y4m) bytes, Cmono.
+
+    y4m is the standard UNCOMPRESSED video interchange container (mjpegtools
+    / ffmpeg): one ASCII stream header, then per frame an ASCII ``FRAME``
+    header followed by raw planes.  ``Cmono`` carries the luma plane only.
+    """
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    assert frames.ndim == 3, "want (n_frames, h, w) luma"
+    n, h, w = frames.shape
+    hdr = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 Cmono\n" % (w, h, fps[0], fps[1])
+    return hdr + b"".join(b"FRAME\n" + frames[i].tobytes() for i in range(n))
+
+
+def decode_y4m(blob: bytes) -> tuple[np.ndarray, int, int]:
+    """y4m bytes -> ((n, h, w) uint8 LUMA frames, fps_num, fps_den).
+
+    Parses the stream-header parameter tags (W/H/F/C...) and per-frame
+    ``FRAME`` headers.  Chroma planes of C420*/C422/C444 streams are
+    validated for length but only the luma plane is returned — every decoded
+    feature downstream is luma-based.  Non-y4m payloads (compressed
+    containers: mp4/webm/mkv need ffmpeg) raise ``NotImplementedError``.
+    """
+    if not blob.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            f"unsupported video container (magic {blob[:9]!r}): only "
+            "uncompressed YUV4MPEG2 (y4m) decodes without external codecs")
+    eol = blob.index(b"\n")
+    w = h = None
+    num, den = 25, 1  # y4m default frame rate when F is absent
+    chroma = "420"    # y4m default colorspace
+    for tok in blob[9:eol].split():
+        tag, val = tok[:1], tok[1:].decode("ascii")
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num, den = (int(x) for x in val.split(":"))
+        elif tag == b"C":
+            chroma = val
+    assert w is not None and h is not None, "y4m header missing W/H"
+    if chroma.startswith("mono"):
+        frame_len = w * h
+    elif chroma.startswith("420"):
+        frame_len = w * h + 2 * ((w // 2) * (h // 2))
+    elif chroma.startswith("422"):
+        frame_len = w * h + 2 * ((w // 2) * h)
+    elif chroma.startswith("444"):
+        frame_len = 3 * w * h
+    else:
+        raise NotImplementedError(f"y4m colorspace C{chroma} not supported")
+    frames, i, n = [], eol + 1, len(blob)
+    while i < n:
+        assert blob[i : i + 5] == b"FRAME", "corrupt y4m: FRAME marker missing"
+        i = blob.index(b"\n", i) + 1  # frame headers may carry parameters
+        luma = np.frombuffer(blob, dtype=np.uint8, count=w * h, offset=i)
+        frames.append(luma.reshape(h, w))
+        i += frame_len
+    stack = (np.stack(frames) if frames
+             else np.zeros((0, h, w), dtype=np.uint8))
+    return stack, num, den
+
 
 MEDIA_SCHEMA = {
     "media_id": pa.int64(),
@@ -310,30 +375,60 @@ class DecodeAudio:
 
 
 class SampleFrames:
-    """Actor-pool stage: video -> every-Nth-frame sample (stubbed).
+    """Actor-pool stage: video -> every-``every_ms`` frame sample.
 
-    Emits one row per sampled frame index; the fake path derives frame count
-    from duration so the fan-out shape is realistic.
+    The REAL path decodes uncompressed YUV4MPEG2 (y4m) with the pure-NumPy
+    codec above, keeps frames on an exact integer stride
+    ``max(1, every_ms * fps_num // (1000 * fps_den))``, and emits one row per
+    sampled frame with its original ``frame_index``, exact integer ``ts_ms``
+    and decoded ``mean_luma``.  Compressed containers (mp4/webm) raise
+    ``NotImplementedError`` at decode (ffmpeg absent); ``fake=True`` derives
+    the fan-out shape from ``duration_ms`` metadata without touching bytes.
     """
 
     def __init__(self, every_ms: int = 1000, fake: bool = False, seed: int = 12):
         self.every_ms = every_ms
+        self.fake = fake
         self.seed = seed
-        if not fake:
-            raise NotImplementedError(
-                "video frame sampling requires ffmpeg, absent here; fake=True "
-                "emits deterministic frame-index rows")
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _fake_rows(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_numpy(zero_copy_only=False)
         dur = batch.column("duration_ms").to_numpy(zero_copy_only=False)
         counts = np.maximum(dur // self.every_ms, 1).astype(np.int64)
         rep_ids = np.repeat(ids, counts)
-        frame_idx = np.concatenate([np.arange(c) for c in counts]) if len(counts) else np.array([], dtype=np.int64)
+        frame_idx = (np.concatenate([np.arange(c) for c in counts])
+                     if len(counts) else np.array([], dtype=np.int64))
         return pa.table({
-            "media_id": pa.array(rep_ids),
+            "media_id": pa.array(rep_ids.astype(np.int64)),
             "frame_index": pa.array(frame_idx.astype(np.int64)),
             "ts_ms": pa.array((frame_idx * self.every_ms).astype(np.int64)),
+            "mean_luma": pa.array(((rep_ids * 31 + frame_idx * 17) % 256)
+                                  .astype(np.float64)),
+        })
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.fake:
+            return self._fake_rows(batch)
+        ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+        out_ids, out_idx, out_ts, out_luma = [], [], [], []
+        for mid, blob in zip(ids.tolist(), batch.column("media").to_pylist()):
+            frames, num, den = decode_y4m(blob)
+            stride = max(1, self.every_ms * num // (1000 * den))
+            idx = np.arange(0, len(frames), stride, dtype=np.int64)
+            out_ids.append(np.full(len(idx), mid, dtype=np.int64))
+            out_idx.append(idx)
+            out_ts.append(idx * (1000 * den) // num)
+            # exact: integer pixel sum (< 2^53) then one float64 division,
+            # bit-identical to any oracle computing sum(v)/(w*h)
+            sums = frames[idx].astype(np.int64).sum(axis=(1, 2))
+            out_luma.append(sums / float(frames.shape[1] * frames.shape[2]))
+        cat = (lambda xs, dt: np.concatenate(xs).astype(dt) if xs
+               else np.array([], dtype=dt))
+        return pa.table({
+            "media_id": pa.array(cat(out_ids, np.int64)),
+            "frame_index": pa.array(cat(out_idx, np.int64)),
+            "ts_ms": pa.array(cat(out_ts, np.int64)),
+            "mean_luma": pa.array(cat(out_luma, np.float64)),
         })
 
 
@@ -371,6 +466,26 @@ def synth_oracle_wav_batch(batch: pa.Table, sample_rate: int = 8000) -> pa.Table
         i = np.arange(n)
         v = (((a * 13 + i) % 200 - 100) * 100).astype(np.int16)
         blobs.append(encode_wav_pcm16(v, sample_rate))
+    return pa.table({
+        "media_id": pa.array(ids.astype(np.int64)),
+        "media": pa.array(blobs, type=pa.binary()),
+    })
+
+
+def synth_oracle_video_batch(batch: pa.Table) -> pa.Table:
+    """doc_id -> real y4m media, deterministically: n_frames = 2 + id%4,
+    w = 8 + id%5, h = 4 + id%3, luma(t, y, x) = (id*11 + 5t + x + 3y) mod 256
+    at 4 fps — the same analytically-SQL-oracle-able construction as
+    synth_oracle_image_batch (no blobs cross into SQL)."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    blobs = []
+    for a in ids.tolist():
+        nf, w, h = 2 + a % 4, 8 + a % 5, 4 + a % 3
+        t = np.arange(nf)[:, None, None]
+        y = np.arange(h)[None, :, None]
+        x = np.arange(w)[None, None, :]
+        frames = ((a * 11 + 5 * t + x + 3 * y) % 256).astype(np.uint8)
+        blobs.append(encode_y4m(frames, fps=(4, 1)))
     return pa.table({
         "media_id": pa.array(ids.astype(np.int64)),
         "media": pa.array(blobs, type=pa.binary()),

@@ -23,12 +23,16 @@ def test_compressed_formats_still_raise():
         decode_wav_pcm16,
     )
 
+    from cardinality_estimation_evaluation_framework_ray.stages.multimodal import (
+        decode_y4m,
+    )
+
     with pytest.raises(NotImplementedError):
         decode_ppm(b"\xff\xd8\xff\xe0 jpeg-ish")
     with pytest.raises(NotImplementedError):
         decode_wav_pcm16(b"ID3\x04 mp3-ish tag")
     with pytest.raises(NotImplementedError):
-        SampleFrames()
+        decode_y4m(b"\x00\x00\x00\x18ftypmp42 mp4-ish")
     jpeg_batch = pa.table({
         "media_id": pa.array([1], type=pa.int64()),
         "media": pa.array([b"\xff\xd8\xff\xe0"], type=pa.binary()),
@@ -146,6 +150,46 @@ def test_decode_features_actor_pool_small_batches():
     assert "media" not in out.columns  # raw bytes dropped before any shuffle
     assert set(out.columns) == {"media_id", "feature", "n_bytes",
                                 "width", "height", "mean_pixel"}
+
+
+def test_y4m_codec_roundtrip():
+    from cardinality_estimation_evaluation_framework_ray.stages.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    rs = np.random.RandomState(4)
+    frames = rs.randint(0, 256, (7, 6, 10), dtype=np.uint8)
+    got, num, den = decode_y4m(encode_y4m(frames, fps=(30, 1)))
+    assert (num, den) == (30, 1)
+    assert np.array_equal(got, frames)
+    # C420 stream from another tool: luma plane comes back, chroma skipped
+    luma = rs.randint(0, 256, (2, 4, 6), dtype=np.uint8)
+    blob = b"YUV4MPEG2 W6 H4 F25:1 C420jpeg\n" + b"".join(
+        b"FRAME\n" + f.tobytes() + bytes(2 * (3 * 2)) for f in luma)
+    got, num, den = decode_y4m(blob)
+    assert (num, den) == (25, 1)
+    assert np.array_equal(got, luma)
+
+
+def test_real_frame_sampling_stride_and_luma():
+    import pyarrow as pa
+
+    from cardinality_estimation_evaluation_framework_ray.stages.multimodal import (
+        encode_y4m,
+    )
+
+    # 8 frames at 4 fps (250 ms apart); every_ms=500 -> stride 2 -> 0,2,4,6
+    frames = np.stack([np.full((4, 8), 10 * i, dtype=np.uint8)
+                       for i in range(8)])
+    batch = pa.table({
+        "media_id": pa.array([5], type=pa.int64()),
+        "media": pa.array([encode_y4m(frames, fps=(4, 1))], type=pa.binary()),
+    })
+    out = SampleFrames(every_ms=500)(batch).to_pandas()
+    assert out.frame_index.tolist() == [0, 2, 4, 6]
+    assert out.ts_ms.tolist() == [0, 500, 1000, 1500]
+    assert out.mean_luma.tolist() == [0.0, 20.0, 40.0, 60.0]
 
 
 @pytest.mark.usefixtures("ray_session")
