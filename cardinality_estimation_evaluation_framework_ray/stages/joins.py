@@ -92,19 +92,25 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
     unioned = lt.union(rt)
 
     rename = {c: c + suffix if c in left_names else c for c in [on] + rc}
+    out_cols = list(left_names) + [rename[c] for c in [on] + rc]
+    # every group emits THIS Arrow schema (typed nulls on no-match), so block
+    # size accounting stays exact and empty groups can't degrade the schema
+    out_schema = pa.schema(
+        [(c, types[c]) for c in left_names]
+        + [(rename[c], types[c]) for c in [on] + rc])
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+    def per_key(g: pd.DataFrame) -> pa.Table:
         lg = g[g[_SIDE] == 0][list(left_names)]
-        out_cols = list(left_names) + [rename[c] for c in [on] + rc]
         if len(lg) == 0:
-            return pd.DataFrame(columns=out_cols)
+            return out_schema.empty_table()
         rg = (g[g[_SIDE] == 1][[by, on] + rc]
               .dropna(subset=[on]).rename(columns=rename))
         lg = lg.sort_values(on)
         rg = rg.sort_values(rename[on])
         out = pd.merge_asof(lg, rg, left_on=on, right_on=rename[on], by=by,
                             direction=direction)
-        return out[out_cols]
+        return pa.Table.from_pandas(out[out_cols], schema=out_schema,
+                                    preserve_index=False)
 
     return unioned.groupby(by).map_groups(per_key, batch_format="pandas")
 
@@ -144,21 +150,17 @@ def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
 
     rename = {c: c + suffix if c in left_names else c for c in [right_on] + rc}
     out_cols = list(left_names) + [rename[c] for c in [right_on] + rc]
+    out_schema = pa.schema(
+        [(c, types[c]) for c in left_names]
+        + [(rename[c], types[c]) for c in [right_on] + rc])
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+    def per_key(g: pd.DataFrame) -> pa.Table:
         lg = g[g[_SIDE] == 0][list(left_names)]
         rg = (g[g[_SIDE] == 1][[right_on] + rc]
               .dropna(subset=[right_on]).sort_values(right_on))
 
-        def typed_empty() -> pd.DataFrame:
-            e = pd.concat([
-                lg.iloc[0:0].reset_index(drop=True),
-                rg.iloc[0:0].reset_index(drop=True).rename(columns=rename)],
-                axis=1)
-            return e[out_cols]
-
         if len(lg) == 0 or len(rg) == 0:
-            return typed_empty()
+            return out_schema.empty_table()
         rt_vals = rg[right_on].to_numpy()
         lt_vals = lg[on].to_numpy()
         lo = np.searchsorted(rt_vals, lt_vals + lower, side="left")
@@ -166,7 +168,7 @@ def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
         counts = np.maximum(hi - lo, 0)
         total = int(counts.sum())
         if total == 0:
-            return typed_empty()
+            return out_schema.empty_table()
         li = np.repeat(np.arange(len(lg)), counts)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
         within = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
@@ -174,7 +176,8 @@ def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
         out = pd.concat([
             lg.iloc[li].reset_index(drop=True),
             rg.iloc[ri].reset_index(drop=True).rename(columns=rename)], axis=1)
-        return out[out_cols]
+        return pa.Table.from_pandas(out[out_cols], schema=out_schema,
+                                    preserve_index=False)
 
     return unioned.groupby(by).map_groups(per_key, batch_format="pandas")
 
