@@ -333,18 +333,27 @@ def run_scaling() -> dict:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
                        GRAFT_BENCH_ONLY=HEADLINE,
                        GRAFT_BENCH_REPS="1")  # outer loop does the reps
-            # one retry: a leg can die on transient Ray node-startup timeouts
-            # (stale session dirs from a killed run); surface stderr if both
-            # attempts fail instead of an opaque CalledProcessError
-            for attempt in (0, 1):
+            # retries: a leg can die on transient Ray node-startup timeouts
+            # (stale session state from a just-exited or killed run).  The
+            # observed remedy is clearing the dead session dirs and backing
+            # off; surface stderr if all attempts fail instead of an opaque
+            # CalledProcessError
+            for attempt in range(3):
                 out = subprocess.run([sys.executable, __file__], env=env,
                                      capture_output=True, text=True)
                 if out.returncode == 0:
                     break
-                if attempt == 1:
+                if attempt == 2:
                     raise RuntimeError(
-                        f"scaling leg num_cpus={n} failed twice; stderr tail:\n"
+                        f"scaling leg num_cpus={n} failed {attempt + 1} times;"
+                        " stderr tail:\n"
                         + "\n".join(out.stderr.strip().splitlines()[-15:]))
+                import glob as _glob
+                import shutil as _shutil
+                for d in _glob.glob("/tmp/ray/ray/session_*"):
+                    if not os.path.islink(d):
+                        _shutil.rmtree(d, ignore_errors=True)
+                time.sleep(15)
             line = [l for l in out.stdout.strip().splitlines()
                     if l.startswith("{")][-1]
             rec = json.loads(line)
