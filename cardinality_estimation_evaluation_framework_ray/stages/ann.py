@@ -249,10 +249,22 @@ def embedding_near_dups(ds: "ray.data.Dataset", threshold: float = 0.95, *,
       bounding peak memory to ``block_rows * n`` floats instead of n^2.
     """
 
+    # hyperplanes are a pure function of (seed, dim): generate once per
+    # process and reuse across batches (the dim is only known from the first
+    # batch, hence the memo instead of a driver-side ray.put)
+    planes_by_dim: dict[int, np.ndarray] = {}
+
+    def _planes(dim: int) -> np.ndarray:
+        p = planes_by_dim.get(dim)
+        if p is None:
+            p = np.random.RandomState(seed).normal(
+                size=(dim, n_planes)).astype(np.float32)
+            planes_by_dim[dim] = p
+        return p
+
     def add_bucket(batch: pa.Table) -> pa.Table:
         m = _normalize(_emb_matrix(batch, emb_col))
-        planes = np.random.RandomState(seed).normal(size=(m.shape[1], n_planes)).astype(np.float32)
-        bits = (m @ planes) > 0
+        bits = (m @ _planes(m.shape[1])) > 0
         bucket = (bits @ (1 << np.arange(n_planes, dtype=np.int64))).astype(np.int64)
         return pa.table({"bucket": pa.array(bucket),
                          id_col: batch.column(id_col),

@@ -11,8 +11,9 @@ batch.
 
 Determinism: centroids are initialized from the k rows with the smallest
 Knuth-hash priorities (``stages/sampling.py`` contract) — no RNG on the
-driver, so reruns converge identically given identical partial fold order
-(Ray Data preserves block order).
+driver, so reruns converge identically given identical partial fold order;
+``kmeans`` pins that order by enabling ``preserve_order`` on its iteration
+context (without it the streaming executor may deliver blocks in any order).
 
 At 100 TB: iterations dominate, so cap ``iters`` and use
 ``early_stop_shift`` (centroid drift threshold) — standard practice; the
@@ -61,6 +62,12 @@ def kmeans(ds: "ray.data.Dataset", k: int, *, iters: int = 20,
     Empty clusters keep their previous centroid (standard fallback)."""
     centroids = _init_centroids(ds, k, emb_col, id_col)
     vecs = ds.select_columns([emb_col])
+    # identical reruns need a fixed float64 partial-fold order; block order
+    # out of the streaming executor is only guaranteed under preserve_order
+    try:
+        vecs.context.execution_options.preserve_order = True
+    except AttributeError:  # older Ray without Dataset.context
+        pass
     n_it = 0
     for _ in range(iters):
         c_ref = ray.put(centroids)

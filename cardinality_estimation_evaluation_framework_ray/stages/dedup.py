@@ -18,7 +18,6 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
-import os
 
 import numpy as np
 import pyarrow as pa
@@ -606,18 +605,23 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", *, n: int = 1,
       ubiquitous features).  Jaccard is then computed over the df-filtered
       shingle sets ON BOTH SIDES of the comparison — the SQL oracle applies
       the identical ``HAVING count(*) <= max_df`` cut.  None = no cut.
+      The cut is enforced INSIDE the per-shingle group (a group's row count
+      IS the shingle's document frequency, postings being (doc, shingle)-
+      deduped) — no df table, no driver-side keep-set, no broadcast.
     * ``pair_chunk``: per-shingle pair emission is a generator of tables of
       at most this many rows, so one hot group never materialises a giant
       block.
 
-    Per-doc set sizes are attached to the co-occurrence pairs by two
-    distributed hash joins of the (doc_id, size) table (one per pair side) —
+    One groupby(shingle) produces BOTH outputs: co-occurrence pair rows and
+    per-doc size contributions (tagged ``doc_b = -1``; requires integer doc
+    ids, which the pair columns already assume) — so the df-filtered set
+    sizes come from the same pass that emits pairs.  Sizes are then attached
+    to the pairs by two distributed hash joins of the (doc_id, size) table —
     no O(#docs) driver dict or broadcast: per-task memory is bounded by a
     join partition.  At 100 TB this exact mode is gated behind LSH candidates
     (minhash_near_dups); the df-cut and chunking keep it robust at
     oracle/correctness scale.
     """
-    import ray
 
     def doc_shingles(batch: pa.Table) -> pa.Table:
         word_h, lengths = _doc_word_hashes(batch, text_col, seed)
@@ -635,68 +639,64 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", *, n: int = 1,
 
     from ray.data.aggregate import Sum
 
-    if max_df is not None:
-        # pass A: shingle document frequencies -> broadcast keep-set
-        df_tbl = postings.groupby("shingle").count()
-
-        def keep_batch(t: pa.Table) -> pa.Table:
-            mask = pc.less_equal(t.column("count()"), max_df)
-            return t.filter(mask).select(["shingle"])
-
-        kept = df_tbl.map_batches(keep_batch, batch_format="pyarrow")
-        keep_arr = np.sort(kept.to_pandas()["shingle"].to_numpy(dtype=np.int64))
-        if os.environ.get("GRAFT_NGRAM_DEBUG"):
-            dbg = df_tbl.to_pandas()
-            dbg.to_csv(f"{os.environ['GRAFT_NGRAM_DEBUG']}/df_tbl_{len(keep_arr)}.csv",
-                       index=False)
-        keep_ref = ray.put(keep_arr)
-
-        def df_filter(batch: pa.Table) -> pa.Table:
-            keep = ray.get(keep_ref)
-            sh = batch.column("shingle").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(keep, sh)
-            pos = np.minimum(pos, len(keep) - 1) if len(keep) else pos
-            mask = (keep[pos] == sh) if len(keep) else np.zeros(len(sh), bool)
-            return batch.filter(pa.array(mask))
-
-        postings = postings.map_batches(df_filter, batch_format="pyarrow")
-        # both passes re-derive `postings`; materialize once so pass A's
-        # shuffle isn't recomputed for sizes AND pairs
-        postings = postings.materialize()
-
-    # per-doc set sizes (over the df-filtered shingle set)
-    sizes = postings.groupby(id_col).count()  # (doc_id, count())
-
-    def rename_sz(t: pa.Table) -> pa.Table:
-        return pa.table({id_col: t.column(id_col), "sz": t.column("count()")})
-
-    # consumed by both joins: materialize once (distributed, object store)
-    sizes = sizes.map_batches(rename_sz, batch_format="pyarrow").materialize()
-
     def cooccur(tbl: pa.Table) -> pa.Table:
+        """One shingle's postings -> pair rows + size-contribution rows.
+
+        Group row count = the shingle's document frequency (postings are
+        (doc, shingle)-deduped), so the df-cut is a group-local check; kept
+        groups also emit one (doc, doc_b=-1, 1) size row per member doc, so
+        the df-filtered per-doc set sizes need no second shuffle of the
+        postings.
+        """
         ids = np.unique(tbl.column(id_col).to_numpy(zero_copy_only=False))
         m = len(ids)
-        if m < 2:
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64()),
-                             "n_common": pa.array([], pa.int64())})
+        if max_df is not None and m > max_df:
+            m = 0  # df-cut: the shingle contributes neither sizes nor pairs
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "n_common": pa.array([], pa.int64())})
+        if m == 0:
+            return empty
         ids = ids.astype(np.int64)
+        chunks = [pa.table({
+            "doc_a": pa.array(ids),
+            "doc_b": pa.array(np.full(m, -1, dtype=np.int64)),
+            "n_common": pa.array(np.ones(m, dtype=np.int64))})]
         # chunked upper-triangle construction: the output table is built from
         # bounded record batches (map_groups can't stream generators), and
         # max_df bounds m, so the per-group output is <= max_df^2/2 rows
-        a_all, b_all = np.triu_indices(m, k=1)
-        chunks = []
-        for s in range(0, len(a_all), pair_chunk):
-            a = a_all[s:s + pair_chunk]
-            b = b_all[s:s + pair_chunk]
-            chunks.append(pa.table({
-                "doc_a": pa.array(ids[a]),
-                "doc_b": pa.array(ids[b]),
-                "n_common": pa.array(np.ones(len(a), dtype=np.int64))}))
+        if m >= 2:
+            a_all, b_all = np.triu_indices(m, k=1)
+            for s in range(0, len(a_all), pair_chunk):
+                a = a_all[s:s + pair_chunk]
+                b = b_all[s:s + pair_chunk]
+                chunks.append(pa.table({
+                    "doc_a": pa.array(ids[a]),
+                    "doc_b": pa.array(ids[b]),
+                    "n_common": pa.array(np.ones(len(a), dtype=np.int64))}))
         return pa.concat_tables(chunks)
 
-    co = postings.groupby("shingle").map_groups(cooccur, batch_format="pyarrow")
-    common = co.groupby(["doc_a", "doc_b"]).aggregate(Sum("n_common", alias_name="n_common"))
+    # consumed twice (sizes + pairs): materialize once (object store)
+    co = postings.groupby("shingle").map_groups(
+        cooccur, batch_format="pyarrow").materialize()
+
+    def size_rows(t: pa.Table) -> pa.Table:
+        db = t.column("doc_b").to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(db == -1))
+        return pa.table({id_col: sub.column("doc_a"),
+                         "n": sub.column("n_common")})
+
+    sizes = (co.map_batches(size_rows, batch_format="pyarrow")
+             .groupby(id_col).aggregate(Sum("n", alias_name="sz"))
+             .materialize())  # consumed by both attach joins
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        db = t.column("doc_b").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(db != -1))
+
+    common = (co.map_batches(pair_rows, batch_format="pyarrow")
+              .groupby(["doc_a", "doc_b"])
+              .aggregate(Sum("n_common", alias_name="n_common")))
 
     from .cogroup import attach_by_key
 

@@ -74,7 +74,9 @@ def benchmark_gram_hashes(benchmark: "ray.data.Dataset", *, n: int = 8,
             for b in parts.iter_batches(batch_format="pyarrow")]
     if not arrs:
         return np.empty(0, dtype=np.uint64)
-    return np.unique(np.concatenate(arrs)).astype(np.int64).view(np.uint64)
+    # dedup + sort in UINT64 space: an int64-space unique would leave hashes
+    # >= 2^63 (negative as int64) at the FRONT, breaking searchsorted callers
+    return np.unique(np.concatenate(arrs).astype(np.int64).view(np.uint64))
 
 
 def decontaminate(ds: "ray.data.Dataset", benchmark: "ray.data.Dataset", *,
@@ -89,8 +91,8 @@ def decontaminate(ds: "ray.data.Dataset", benchmark: "ray.data.Dataset", *,
     ``ray.put`` once; each task probes membership with ``searchsorted``
     (binary search per gram, no shuffle of the corpus).
     """
-    bench = np.sort(benchmark_gram_hashes(benchmark, n=n, seed=seed,
-                                          text_col=text_col))
+    bench = benchmark_gram_hashes(benchmark, n=n, seed=seed,
+                                  text_col=text_col)  # sorted uint64
     bench_ref = ray.put(bench)
 
     def probe(batch: pa.Table) -> pa.Table:

@@ -7,8 +7,23 @@ this engine's scale actually wants:
   ``ray.put`` once, map-side merge — no shuffle of the big side.
 * as-of join (here): both sides shuffled ONCE by the ``by`` key (tag + union
   + groupby — the cogroup composition), then a vectorized per-group
-  ``merge_asof``.  Partitioning assumption (per the driver brief): one ``by``
-  group fits in a task; at 100 TB pre-bucket by hash(by) % k.
+  ``merge_asof``.
+
+Hot-key handling: by default one ``by`` group must fit in a task.  Both
+joins take ``bucket_span`` (units of the ``on`` column) to switch to the
+two-level scan for keys too hot for one task — rows are co-grouped on
+``(by, on // bucket_span)`` so no task ever sees more than one time-bucket
+of one key, with exact-output repair of the cross-bucket matches:
+
+* range join: each right row is replicated into every bucket its band can
+  serve (<= 2 adjacent buckets when ``bucket_span >= upper - lower``);
+* as-of join: a per-(by, bucket) right EXTREMUM table (one metadata row per
+  bucket) is scanned per key to inject each left-occupied bucket's carry —
+  the latest right row before the bucket (backward) / earliest after it
+  (forward) — so a group always contains its true match.
+
+Output is identical to the single-level path (tested with one dominant key
+spanning many blocks).
 """
 
 from __future__ import annotations
@@ -20,6 +35,15 @@ import pyarrow as pa
 import ray.data
 
 _SIDE = "__asof_side__"
+_BUCKET = "__asof_bucket__"
+
+
+def _bucket_of(col: "pa.ChunkedArray | pa.Array", span) -> np.ndarray:
+    """floor(on / span) as int64 (exact floor-division for integer on)."""
+    a = col.to_numpy(zero_copy_only=False)
+    if np.issubdtype(a.dtype, np.integer):
+        return (a // span).astype(np.int64)
+    return np.floor(a / span).astype(np.int64)
 
 
 def _arrow_tagger(side: int, all_cols: list[str], types: dict):
@@ -69,12 +93,19 @@ def _unified_types(left_schema, right_schema, all_cols: list[str]) -> dict:
 def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
               on: str, by: str, direction: str = "backward",
               right_cols: list[str] | None = None,
-              suffix: str = "_right") -> "ray.data.Dataset":
+              suffix: str = "_right",
+              bucket_span=None) -> "ray.data.Dataset":
     """For each left row, attach the latest (direction='backward') right row
     of the same ``by`` key with right.on <= left.on.
 
     Returns left columns + the selected right columns (suffixed where they
     collide).  Rows with no match keep nulls (left join semantics).
+
+    ``bucket_span`` (numeric ``on`` units) selects the two-level scan for
+    hot ``by`` keys: groups become ``(by, on // bucket_span)`` and each
+    left-occupied bucket gets its cross-bucket carry injected (module
+    docstring) — identical output, but no task sees more than one bucket of
+    one key.
     """
     left_schema, right_schema = left.schema(), right.schema()
     rc = right_cols if right_cols is not None else [
@@ -83,13 +114,6 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
     # one unified schema so the tagged union is well-formed
     all_cols = list(left_names) + [c for c in rc if c not in left_names]
     types = _unified_types(left_schema, right_schema, all_cols)
-
-    lt = left.map_batches(_arrow_tagger(0, all_cols, types),
-                          batch_format="pyarrow")
-    rt = (right.select_columns([by, on] + rc)
-          .map_batches(_arrow_tagger(1, all_cols, types),
-                       batch_format="pyarrow"))
-    unioned = lt.union(rt)
 
     rename = {c: c + suffix if c in left_names else c for c in [on] + rc}
     out_cols = list(left_names) + [rename[c] for c in [on] + rc]
@@ -112,14 +136,127 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
         return pa.Table.from_pandas(out[out_cols], schema=out_schema,
                                     preserve_index=False)
 
-    return unioned.groupby(by).map_groups(per_key, batch_format="pandas")
+    if bucket_span is None:
+        lt = left.map_batches(_arrow_tagger(0, all_cols, types),
+                              batch_format="pyarrow")
+        rt = (right.select_columns([by, on] + rc)
+              .map_batches(_arrow_tagger(1, all_cols, types),
+                           batch_format="pyarrow"))
+        return lt.union(rt).groupby(by).map_groups(per_key,
+                                                   batch_format="pandas")
+
+    if direction not in ("backward", "forward"):
+        raise NotImplementedError(
+            "bucket_span supports direction='backward'/'forward' only")
+    span = bucket_span
+
+    def tag_with_bucket(side: int):
+        base = _arrow_tagger(side, all_cols, types)
+
+        def fn(t: pa.Table) -> pa.Table:
+            out = base(t)
+            return out.append_column(
+                _BUCKET, pa.array(_bucket_of(out.column(on), span)))
+
+        return fn
+
+    # --- metadata pass: which (by, bucket) cells have left rows -----------
+    def lcells(t: pa.Table) -> pa.Table:
+        return pa.table({by: t.column(by),
+                         _BUCKET: pa.array(_bucket_of(t.column(on), span))})
+
+    lmeta = (left.select_columns([by, on])
+             .map_batches(lcells, batch_format="pyarrow")
+             .groupby([by, _BUCKET]).count())
+
+    # --- per-(by, bucket) right extremum: ONE full right row per cell -----
+    def radd(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            _BUCKET, pa.array(_bucket_of(t.column(on), span)))
+
+    def rext_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(on, kind="stable")
+        # merge_asof takes the LAST tie in sort order (backward) / first
+        # (forward); the extremum row mirrors that
+        return g.iloc[[-1 if direction == "backward" else 0]]
+
+    rext = (right.select_columns([by, on] + rc)
+            .map_batches(radd, batch_format="pyarrow")
+            .groupby([by, _BUCKET]).map_groups(rext_group,
+                                               batch_format="pandas"))
+
+    # --- per-key scan over bucket metadata: emit each left bucket's carry --
+    scan_schema = pa.schema([(by, types[by]), (_BUCKET, pa.int64()),
+                             (on, types[on])]
+                            + [(c, types[c]) for c in rc]
+                            + [("__isl", pa.int8())])
+
+    def tag_lmeta(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {by: t.column(by).cast(types[by]),
+                _BUCKET: t.column(_BUCKET).cast(pa.int64()),
+                on: pa.nulls(n, types[on])}
+        for c in rc:
+            cols[c] = pa.nulls(n, types[c])
+        cols["__isl"] = pa.array(np.ones(n, np.int8))
+        return pa.table(cols).cast(scan_schema)
+
+    def tag_rext(t: pa.Table) -> pa.Table:
+        cols = {by: t.column(by).cast(types[by]),
+                _BUCKET: t.column(_BUCKET).cast(pa.int64()),
+                on: t.column(on).cast(types[on])}
+        for c in rc:
+            cols[c] = t.column(c).cast(types[c])
+        cols["__isl"] = pa.array(np.zeros(t.num_rows, np.int8))
+        return pa.table(cols).cast(scan_schema)
+
+    carry_schema = pa.schema([(by, types[by]), (_BUCKET, pa.int64()),
+                              (on, types[on])]
+                             + [(c, types[c]) for c in rc])
+
+    def carry_scan(g: pd.DataFrame) -> pa.Table:
+        lq = np.sort(g.loc[g["__isl"] == 1, _BUCKET].unique())
+        r = g[g["__isl"] == 0].sort_values(_BUCKET, kind="stable")
+        if len(lq) == 0 or len(r) == 0:
+            return carry_schema.empty_table()
+        rb = r[_BUCKET].to_numpy()
+        if direction == "backward":
+            idx = np.searchsorted(rb, lq, side="left") - 1
+            valid = idx >= 0
+        else:
+            idx = np.searchsorted(rb, lq, side="right")
+            valid = idx < len(rb)
+        out = r.iloc[idx[valid]].copy()
+        out[_BUCKET] = lq[valid]
+        return pa.Table.from_pandas(out[[by, _BUCKET, on] + rc],
+                                    schema=carry_schema,
+                                    preserve_index=False)
+
+    carries = (lmeta.map_batches(tag_lmeta, batch_format="pyarrow")
+               .union(rext.map_batches(tag_rext, batch_format="pyarrow"))
+               .groupby(by).map_groups(carry_scan, batch_format="pandas"))
+
+    def tag_carry(t: pa.Table) -> pa.Table:
+        out = _arrow_tagger(1, all_cols, types)(
+            t.select([by, on] + rc))
+        return out.append_column(_BUCKET,
+                                 t.column(_BUCKET).cast(pa.int64()))
+
+    lt = left.map_batches(tag_with_bucket(0), batch_format="pyarrow")
+    rt = (right.select_columns([by, on] + rc)
+          .map_batches(tag_with_bucket(1), batch_format="pyarrow"))
+    ct = carries.map_batches(tag_carry, batch_format="pyarrow")
+    return (lt.union(rt).union(ct)
+            .groupby([by, _BUCKET])
+            .map_groups(per_key, batch_format="pandas"))
 
 
 def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
                on: str, by: str, lower, upper,
                right_on: str | None = None,
                right_cols: list[str] | None = None,
-               suffix: str = "_right") -> "ray.data.Dataset":
+               suffix: str = "_right",
+               bucket_span=None) -> "ray.data.Dataset":
     """Interval (band) join: each left row pairs with every right row of the
     same ``by`` key whose ``right_on`` lies in [left.on + lower,
     left.on + upper] (inner join).
@@ -129,8 +266,12 @@ def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
     per-group band lookup: sort the right side once, two searchsorted
     calls give each left row its [lo, hi) match band, and the pair list is
     materialized with repeat/arange arithmetic (no per-row Python).
-    Partitioning assumption: one ``by`` group fits in a task; pre-bucket by
-    hash(by) % k at 100 TB.
+
+    ``bucket_span`` (numeric, >= upper - lower) selects the two-level scan
+    for hot ``by`` keys: left rows group on ``(by, on // span)`` and each
+    right row is replicated into the <= 2 adjacent buckets its band can
+    serve, so every (left, right) match lands in exactly one group —
+    identical output, bounded per-task group size.
     """
     right_on = right_on or on
     left_schema, right_schema = left.schema(), right.schema()
@@ -140,13 +281,6 @@ def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
     all_cols = list(left_names) + [c for c in [right_on] + rc
                                    if c not in left_names]
     types = _unified_types(left_schema, right_schema, all_cols)
-
-    lt = left.map_batches(_arrow_tagger(0, all_cols, types),
-                          batch_format="pyarrow")
-    rt = (right.select_columns([by, right_on] + rc)
-          .map_batches(_arrow_tagger(1, all_cols, types),
-                       batch_format="pyarrow"))
-    unioned = lt.union(rt)
 
     rename = {c: c + suffix if c in left_names else c for c in [right_on] + rc}
     out_cols = list(left_names) + [rename[c] for c in [right_on] + rc]
@@ -179,7 +313,48 @@ def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
         return pa.Table.from_pandas(out[out_cols], schema=out_schema,
                                     preserve_index=False)
 
-    return unioned.groupby(by).map_groups(per_key, batch_format="pandas")
+    if bucket_span is None:
+        lt = left.map_batches(_arrow_tagger(0, all_cols, types),
+                              batch_format="pyarrow")
+        rt = (right.select_columns([by, right_on] + rc)
+              .map_batches(_arrow_tagger(1, all_cols, types),
+                           batch_format="pyarrow"))
+        return lt.union(rt).groupby(by).map_groups(per_key,
+                                                   batch_format="pandas")
+
+    if bucket_span < (upper - lower):
+        raise ValueError("bucket_span must be >= upper - lower so a right "
+                         "row's band spans at most 2 buckets")
+    span = bucket_span
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        out = _arrow_tagger(0, all_cols, types)(t)
+        return out.append_column(
+            _BUCKET, pa.array(_bucket_of(out.column(on), span)))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        out = _arrow_tagger(1, all_cols, types)(t)
+        rv = out.column(right_on).to_numpy(zero_copy_only=False)
+        # left rows matching right value v have on in [v - upper, v - lower]
+        if np.issubdtype(rv.dtype, np.integer):
+            b1 = (rv - upper) // span
+            b2 = (rv - lower) // span
+        else:
+            b1 = np.floor((rv - upper) / span)
+            b2 = np.floor((rv - lower) / span)
+        b1 = b1.astype(np.int64)
+        b2 = b2.astype(np.int64)
+        dup = np.flatnonzero(b2 != b1)
+        idx = np.concatenate([np.arange(len(rv), dtype=np.int64), dup])
+        buckets = np.concatenate([b1, b2[dup]])
+        return out.take(pa.array(idx)).append_column(_BUCKET,
+                                                     pa.array(buckets))
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = (right.select_columns([by, right_on] + rc)
+          .map_batches(tag_right, batch_format="pyarrow"))
+    return (lt.union(rt).groupby([by, _BUCKET])
+            .map_groups(per_key, batch_format="pandas"))
 
 
 def grouped_top_k_by_count(ds: "ray.data.Dataset", group_col: str,

@@ -198,7 +198,9 @@ def decode_y4m(blob: bytes) -> tuple[np.ndarray, int, int]:
             num, den = (int(x) for x in val.split(":"))
         elif tag == b"C":
             chroma = val
-    assert w is not None and h is not None, "y4m header missing W/H"
+    if w is None or h is None:
+        # untrusted media bytes: real validation, not assert (stripped -O)
+        raise ValueError("malformed y4m: header missing W/H")
     if chroma.startswith("mono"):
         frame_len = w * h
     elif chroma.startswith("420"):
@@ -211,7 +213,8 @@ def decode_y4m(blob: bytes) -> tuple[np.ndarray, int, int]:
         raise NotImplementedError(f"y4m colorspace C{chroma} not supported")
     frames, i, n = [], eol + 1, len(blob)
     while i < n:
-        assert blob[i : i + 5] == b"FRAME", "corrupt y4m: FRAME marker missing"
+        if blob[i : i + 5] != b"FRAME":
+            raise ValueError("malformed y4m: FRAME marker missing")
         i = blob.index(b"\n", i) + 1  # frame headers may carry parameters
         luma = np.frombuffer(blob, dtype=np.uint8, count=w * h, offset=i)
         frames.append(luma.reshape(h, w))

@@ -6,9 +6,16 @@ canonical Ray Data composition: shuffle by user (the groupby), then a
 vectorized per-group sort + gap scan — no streaming state needed because
 session boundaries are a pure function of each user's own timestamps.
 
-Partitioning assumption (documented per the driver brief): all events of one
-``user_col`` value fit in one group; for 100 TB event logs, pre-bucket by
-``hash(user) % k`` files so the groupby shuffles within buckets.
+Hot-key handling: by default all events of one ``user_col`` value fit in one
+group.  ``bucket_span_minutes`` selects the two-level scan for users too hot
+for one task: events are co-grouped on ``(user, ts // span)``, per-bucket
+sessions are computed locally, and a per-user STITCH pass over the (much
+smaller) session summaries chain-merges sessions that touch bucket
+boundaries — within a bucket consecutive sessions already exceed the gap,
+and buckets partition time, so merging consecutive summaries whose gap is
+<= the threshold reproduces the single-level output exactly (tested with one
+dominant user spanning many blocks).  The stitch group is one row per
+SESSION, not per event — the reduction a two-level scan buys.
 """
 
 from __future__ import annotations
@@ -19,37 +26,97 @@ import pandas as pd
 import ray.data
 
 
+def _sessions_frame(g: pd.DataFrame, user_col: str, ts_col: str,
+                    gap: pd.Timedelta) -> pd.DataFrame:
+    g = g.sort_values(ts_col)
+    ts = g[ts_col]
+    new_session = ts.diff() > gap
+    sid = new_session.cumsum().astype("int64") + 1
+    out = (pd.DataFrame({user_col: g[user_col].values, "session_id": sid.values,
+                         ts_col: ts.values})
+           .groupby("session_id")
+           .agg(**{user_col: (user_col, "first"),
+                   "n_events": (ts_col, "size"),
+                   "session_start": (ts_col, "min"),
+                   "session_end": (ts_col, "max")})
+           .reset_index())
+    return out
+
+
 def sessionize(ds: "ray.data.Dataset", *, user_col: str = "user_id",
-               ts_col: str = "ts", gap_minutes: float = 30.0) -> "ray.data.Dataset":
+               ts_col: str = "ts", gap_minutes: float = 30.0,
+               bucket_span_minutes: float | None = None) -> "ray.data.Dataset":
     """Assign session ids: a new session starts when the gap from the
     previous event of the same user exceeds ``gap_minutes``.
 
     Output: (user_col, session_id:int64 [per-user, 1-based], n_events,
     session_start, session_end, duration_s).
+
+    ``bucket_span_minutes`` (must exceed ``gap_minutes``) switches to the
+    two-level scan for hot users — see module docstring.
     """
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        ts = g[ts_col]
-        new_session = ts.diff() > gap
-        sid = new_session.cumsum().astype("int64") + 1
-        out = (pd.DataFrame({user_col: g[user_col].values, "session_id": sid.values,
-                             ts_col: ts.values})
-               .groupby("session_id")
-               .agg(**{user_col: (user_col, "first"),
-                       "n_events": (ts_col, "size"),
-                       "session_start": (ts_col, "min"),
-                       "session_end": (ts_col, "max")})
-               .reset_index())
+    def finalize(out: pd.DataFrame) -> pd.DataFrame:
         out["duration_s"] = (
             (out["session_end"] - out["session_start"]).dt.total_seconds())
         return out[[user_col, "session_id", "n_events", "session_start",
                     "session_end", "duration_s"]]
 
-    return (ds.select_columns([user_col, ts_col])
-            .groupby(user_col)
-            .map_groups(per_user, batch_format="pandas"))
+    if bucket_span_minutes is None:
+        def per_user(g: pd.DataFrame) -> pd.DataFrame:
+            return finalize(_sessions_frame(g, user_col, ts_col, gap))
+
+        return (ds.select_columns([user_col, ts_col])
+                .groupby(user_col)
+                .map_groups(per_user, batch_format="pandas"))
+
+    if bucket_span_minutes <= gap_minutes:
+        raise ValueError("bucket_span_minutes must exceed gap_minutes")
+    span = pd.Timedelta(minutes=bucket_span_minutes)
+
+    import pyarrow as pa
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.timestamp("ns")).to_numpy(
+            zero_copy_only=False).astype("datetime64[ns]").view(np.int64)
+        b = ts // span.value
+        return t.append_column("__bucket", pa.array(b.astype(np.int64)))
+
+    bucketed = (ds.select_columns([user_col, ts_col])
+                .map_batches(add_bucket, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return _sessions_frame(g, user_col, ts_col, gap).drop(
+            columns=["session_id"])
+
+    partial = bucketed.groupby([user_col, "__bucket"]).map_groups(
+        per_bucket, batch_format="pandas")
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        # one row per per-bucket session; buckets partition time, so sorting
+        # by start and chain-merging adjacent summaries with gap <= threshold
+        # is exactly the single-level recurrence over session summaries
+        g = g.sort_values("session_start", kind="stable").reset_index(drop=True)
+        starts = g["session_start"].to_numpy()
+        ends = g["session_end"].to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            brk[1:] = (starts[1:] - ends[:-1]) > gap.to_timedelta64()
+        sid = np.cumsum(brk)
+        out = (pd.DataFrame({user_col: g[user_col].values, "session_id": sid,
+                             "n_events": g["n_events"].values,
+                             "session_start": starts, "session_end": ends})
+               .groupby("session_id")
+               .agg(**{user_col: (user_col, "first"),
+                       "n_events": ("n_events", "sum"),
+                       "session_start": ("session_start", "min"),
+                       "session_end": ("session_end", "max")})
+               .reset_index())
+        return finalize(out)
+
+    return partial.groupby(user_col).map_groups(stitch, batch_format="pandas")
 
 
 def session_stats(ds: "ray.data.Dataset", *, user_col: str = "user_id",

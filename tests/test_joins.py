@@ -6,6 +6,7 @@ import ray.data
 
 from cardinality_estimation_evaluation_framework_ray.stages.joins import (
     asof_join,
+    range_join,
     top_k_by_count,
 )
 
@@ -83,3 +84,67 @@ def test_range_join_band_semantics():
     assert got == {(1, 100), (1, 101), (2, 102)}
     # suffixed right columns present
     assert "t_right" in out.columns
+
+
+def _hot_key_frames(seed=7):
+    """One dominant key ('hot', 5000 rows) + a few small keys."""
+    rs = np.random.RandomState(seed)
+    n_hot = 5000
+    left = pd.DataFrame({
+        "k": ["hot"] * n_hot + ["a"] * 50 + ["b"] * 30,
+        "t": np.concatenate([rs.randint(0, 100_000, n_hot),
+                             rs.randint(0, 1_000, 80)]),
+        "lid": np.arange(n_hot + 80),
+    })
+    # right `t` values are UNIQUE per key: asof tie-break among equal right
+    # timestamps is positional (arrival-order) in pandas merge_asof, hence
+    # unspecified for any distributed grouping — not part of the contract
+    right = pd.DataFrame({
+        "k": ["hot"] * 2000 + ["a"] * 40 + ["c"] * 10,
+        "t": np.concatenate([rs.permutation(100_000)[:2000],
+                             rs.permutation(1_000)[:40],
+                             rs.permutation(1_000)[:10]]),
+        "v": np.arange(2050) * 10,
+    })
+    return left, right
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_two_level_matches_single_level(direction):
+    left, right = _hot_key_frames()
+    kw = dict(on="t", by="k", direction=direction, right_cols=["v"])
+    base = asof_join(ray.data.from_pandas(left).repartition(16),
+                     ray.data.from_pandas(right).repartition(16),
+                     **kw).to_pandas()
+    two = asof_join(ray.data.from_pandas(left).repartition(16),
+                    ray.data.from_pandas(right).repartition(16),
+                    bucket_span=1000, **kw).to_pandas()
+    base = base.sort_values("lid").reset_index(drop=True)
+    two = two.sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, two[base.columns])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_two_level_matches_single_level():
+    left, right = _hot_key_frames()
+    kw = dict(on="t", by="k", lower=-500, upper=250, right_cols=["v"])
+    base = range_join(ray.data.from_pandas(left).repartition(16),
+                      ray.data.from_pandas(right).repartition(16),
+                      **kw).to_pandas()
+    two = range_join(ray.data.from_pandas(left).repartition(16),
+                     ray.data.from_pandas(right).repartition(16),
+                     bucket_span=1000, **kw).to_pandas()
+    key = ["lid", "v"]
+    base = base.sort_values(key).reset_index(drop=True)
+    two = two.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, two[base.columns])
+    assert len(base) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_two_level_span_guard():
+    left, right = _hot_key_frames()
+    with pytest.raises(ValueError):
+        range_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                   on="t", by="k", lower=-500, upper=250, bucket_span=100)
