@@ -250,8 +250,11 @@ def build_sketch_states_epoch(ds: "ray.data.Dataset",
 
     Trade-off vs the task path (documented, both kept): actors pin memory
     for the whole epoch and a dead actor loses its accumulated state (the
-    task path is stateless/retryable per batch) — at 100 TB, checkpoint
-    epochs per input shard (stages/checkpoint.py) bound the blast radius.
+    task path is stateless/retryable per batch).  For preemption-tolerant
+    100 TB builds use ``stages/checkpoint.py:build_sketch_states_epoch_
+    resumable``: the same epoch accumulation per INPUT PARTITION with an
+    atomic per-partition checkpoint + Ray task retry, so a dead worker
+    costs one partition, not the epoch (kill-a-worker tested).
     """
     import ray
 

@@ -145,6 +145,128 @@ def build_sketch_states_resumable(files: list[str], specs: dict[str, SketchSpec]
     return merge_partials(partials, specs, key)
 
 
+def _write_checkpoint(path: str, cols: dict, specs: dict[str, SketchSpec],
+                      key: str, partition_id: int, files: list[str],
+                      fingerprint: str, cfg_hash: str, wall: float) -> None:
+    """Atomic publish of one partition's per-key state table + lineage."""
+    n = len(cols[key])
+    tbl = pa.table({
+        **{k: pa.array(v) for k, v in cols.items()},
+        "partition_id": pa.array([partition_id] * n, pa.int32()),
+        "input_files": pa.array([";".join(sorted(files))] * n),
+        "input_fingerprint": pa.array([fingerprint] * n),
+        "sketch_config_hash": pa.array([cfg_hash] * n),
+        "wall_time_s": pa.array([round(wall, 3)] * n, pa.float64()),
+    })
+    tbl = tbl.replace_schema_metadata({
+        "input_fingerprint": fingerprint,
+        "sketch_config_hash": cfg_hash,
+    })
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    # pid-unique tmp so a retried/duplicate task can't corrupt a half-write
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)  # atomic publish
+
+
+def _epoch_partition_build(files: list[str], specs: dict[str, SketchSpec],
+                           partition_id: int, ckpt_dir: str, key: str,
+                           tokens_col: str, batch_size: int,
+                           _test_fail_once: str | None = None) -> str:
+    """Worker body: accumulate one partition epoch-style, checkpoint once.
+
+    Epoch semantics inside the recovery unit: per-key sketches update IN
+    PLACE across every batch of the partition (states serialized exactly
+    once, at the flush) — the epoch plan's blast radius becomes one
+    partition instead of the whole stream (VERDICT r3 item 8).  The
+    partition is read directly with pyarrow (row-group streaming): the task
+    IS the pipeline here, so no nested Ray Data session is needed.
+    """
+    import numpy as np
+
+    from ..state.base import Sketch  # noqa: F401  (spec.new() path)
+    from .build import iter_key_tokens, state_col as _sc
+
+    path = _ckpt_path(ckpt_dir, partition_id)
+    fingerprint = _fingerprint(files)
+    cfg_hash = _config_hash(specs)
+    if _checkpoint_is_valid(path, fingerprint, cfg_hash):
+        return path
+    if _test_fail_once is not None and not os.path.exists(_test_fail_once):
+        # kill-an-actor injection for tests: die like a preempted worker
+        open(_test_fail_once, "w").close()
+        os._exit(1)
+    t0 = time.time()
+    states: dict = {}
+    meta: dict = {}
+    for f in sorted(files):
+        pf = pq.ParquetFile(f)
+        for rb in pf.iter_batches(batch_size=batch_size,
+                                  columns=[key, tokens_col]):
+            batch = pa.Table.from_batches([rb])
+            keys_np = batch.column(key).to_numpy(zero_copy_only=False)
+            uk, cnt = np.unique(keys_np, return_counts=True)
+            rows_per_key = dict(zip(uk.tolist(), cnt.tolist()))
+            for kv, toks in iter_key_tokens(batch, key, tokens_col):
+                st = states.get(kv)
+                if st is None:
+                    st = {n: spec.new() for n, spec in specs.items()}
+                    states[kv] = st
+                    meta[kv] = [0, 0]
+                for n in specs:
+                    st[n].update_tokens(toks)
+                meta[kv][0] += int(rows_per_key.get(kv, 0))
+                meta[kv][1] += len(toks)
+    keys_sorted = sorted(states)
+    cols: dict = {
+        key: keys_sorted,
+        "n_rows": [meta[k][0] for k in keys_sorted],
+        "n_tokens": [meta[k][1] for k in keys_sorted],
+    }
+    for n in specs:
+        cols[_sc(n)] = [states[k][n].to_bytes() for k in keys_sorted]
+    _write_checkpoint(path, cols, specs, key, partition_id, files,
+                      fingerprint, cfg_hash, time.time() - t0)
+    return path
+
+
+def build_sketch_states_epoch_resumable(
+        files: list[str], specs: dict[str, SketchSpec], ckpt_dir: str, *,
+        key: str = "source", tokens_col: str = "tokens",
+        files_per_partition: int = 1, batch_size: int | None = 8192,
+        max_retries: int = 3,
+        _test_fail_once: str | None = None) -> "ray.data.Dataset":
+    """Epoch-plan build with per-partition checkpoints and task-level retry.
+
+    Every input partition runs as ONE Ray task that accumulates its per-key
+    states in place and atomically checkpoints them (``_epoch_partition_
+    build``); partitions run in parallel, a dead worker is retried by Ray
+    (``max_retries``) and — because the checkpoint is the recovery unit — a
+    rerun of the whole build skips every partition whose checkpoint is valid.
+    Estimates equal the non-resumable epoch build (associative merges).
+
+    Returns the per-key merged state Dataset (same schema as
+    ``build_sketch_states``).
+    """
+    import ray
+
+    partitions = partition_input_files(files, files_per_partition)
+    task = ray.remote(num_cpus=1, max_retries=max_retries)(
+        _epoch_partition_build)
+    refs = []
+    for pid, part_files in enumerate(partitions):
+        fail = _test_fail_once if (_test_fail_once and pid == 0) else None
+        refs.append(task.remote(part_files, specs, pid, ckpt_dir, key,
+                                tokens_col, batch_size,
+                                _test_fail_once=fail))
+    paths = ray.get(refs)
+    ck = ray.data.read_parquet(paths)
+    keep = [key, "n_rows", "n_tokens"] + [state_col(n) for n in specs]
+    partials = ck.map_batches(lambda t: t.select(keep),
+                              batch_format="pyarrow")
+    return merge_partials(partials, specs, key)
+
+
 def checkpoint_progress(ckpt_dir: str) -> "pa.Table":
     """Lineage/progress report across existing checkpoints."""
     import glob

@@ -70,3 +70,63 @@ def test_partitioning():
     files = [f"f{i}" for i in range(7)]
     parts = partition_input_files(files, 3)
     assert [len(p) for p in parts] == [3, 3, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_epoch_resumable_matches_task_plan(tokens_files, tmp_path):
+    from cardinality_estimation_evaluation_framework_ray.stages.checkpoint import (
+        build_sketch_states_epoch_resumable,
+    )
+
+    specs = {"hll": HllSpec(p=10, seed=3)}
+    ck = str(tmp_path / "ckpt_epoch")
+    states = build_sketch_states_epoch_resumable(tokens_files, specs, ck,
+                                                 files_per_partition=2)
+    per_key = collect_states(states, specs)
+    direct = collect_states(
+        build_sketch_states(ray.data.read_parquet(tokens_files), specs), specs)
+    assert set(per_key) == set(direct)
+    for k in per_key:
+        assert np.array_equal(per_key[k]["hll"].buckets,
+                              direct[k]["hll"].buckets)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_epoch_resumable_survives_worker_kill(tokens_files, tmp_path):
+    """Kill-a-worker: partition 0's task dies (os._exit) on its first
+    attempt; Ray's task retry resumes it and the estimates are identical to
+    an uninterrupted build — the checkpoint is the recovery unit."""
+    from cardinality_estimation_evaluation_framework_ray.stages.checkpoint import (
+        build_sketch_states_epoch_resumable,
+    )
+
+    specs = {"hll": HllSpec(p=10, seed=7)}
+    clean = collect_states(
+        build_sketch_states_epoch_resumable(
+            tokens_files, specs, str(tmp_path / "ck_clean")), specs)
+    marker = str(tmp_path / "fail_once_marker")
+    killed = collect_states(
+        build_sketch_states_epoch_resumable(
+            tokens_files, specs, str(tmp_path / "ck_killed"),
+            _test_fail_once=marker), specs)
+    assert os.path.exists(marker)  # the injected death actually happened
+    assert set(clean) == set(killed)
+    for k in clean:
+        assert np.array_equal(clean[k]["hll"].buckets,
+                              killed[k]["hll"].buckets)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_epoch_resumable_skips_valid_checkpoints(tokens_files, tmp_path):
+    from cardinality_estimation_evaluation_framework_ray.stages.checkpoint import (
+        build_sketch_states_epoch_resumable,
+    )
+
+    specs = {"hll": HllSpec(p=9, seed=4)}
+    ck = str(tmp_path / "ck_skip")
+    build_sketch_states_epoch_resumable(tokens_files, specs, ck).count()
+    paths = sorted(glob.glob(os.path.join(ck, "part=*", "states.parquet")))
+    assert paths
+    mtimes = {p: os.path.getmtime(p) for p in paths}
+    build_sketch_states_epoch_resumable(tokens_files, specs, ck).count()
+    assert {p: os.path.getmtime(p) for p in paths} == mtimes
