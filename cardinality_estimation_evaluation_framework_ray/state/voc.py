@@ -100,7 +100,13 @@ class PairwiseEstimator:
         return float(np.sqrt(var))
 
     def _z(self, inter: float, value: float, this, that) -> float:
-        return (inter - value) / self._std_of_intersection(value, this, that)
+        # numpy division semantics (reference vector_of_counts.py:228-230):
+        # empty sketches under epsilon=inf give std 0 -> z = 0/0 = nan, and
+        # nan fails both clip comparisons, so the general merge path runs —
+        # a plain-float division would raise ZeroDivisionError instead
+        std = self._std_of_intersection(value, this, that)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return float(np.float64(inter - value) / np.float64(std))
 
     def has_zero_intersection(self, inter, this, that) -> bool:
         return self._z(inter, 0.0, this, that) < self.clip_threshold
@@ -131,7 +137,11 @@ class PairwiseEstimator:
 
     def clip_empty(self, sketch: VocSketch) -> VocSketch:
         std = np.sqrt(sketch.spec.num_buckets * 2) / self.epsilon
-        if float(np.sum(sketch.stats)) / std < self.clip_threshold:
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = float(np.sum(sketch.stats) / np.float64(std))
+        # epsilon=inf -> std 0 -> z nan/inf; nan fails the comparison (no
+        # clip), matching the reference's numpy semantics (:286-291)
+        if z < self.clip_threshold:
             out = sketch.spec.new()
             return out
         return sketch
