@@ -26,41 +26,72 @@ _TOKS_CTE = (
 )
 
 
+# HUGEINT mod-2^64 arithmetic helpers shared by the exact hash-replica
+# oracles (SimHash, winnowing): multiplications are split at 2^32 so no
+# intermediate exceeds HUGEINT range; 64-bit XOR runs on the BIGINT
+# two's-complement bit pattern.
+_U64 = "18446744073709551616"
+_U32 = "4294967296"
+_FNV64 = "1099511628211"
+_MIX_M1 = str(0xBF58476D1CE4E5B9)
+_MIX_M2 = str(0x94D049BB133111EB)
+
+
+def _mulmod64(x: str, m: str) -> str:
+    return (f"((({x}) % {_U32}) * {m} + "
+            f"(((({x}) // {_U32}) * {m}) % {_U32}) * {_U32}) % {_U64}")
+
+
+def _to_s64(v: str) -> str:
+    return (f"CAST(CASE WHEN ({v}) >= 9223372036854775808 "
+            f"THEN ({v}) - {_U64} ELSE ({v}) END AS BIGINT)")
+
+
+def _to_u64(x: str) -> str:
+    return (f"(CASE WHEN ({x}) < 0 THEN CAST(({x}) AS HUGEINT) + {_U64} "
+            f"ELSE CAST(({x}) AS HUGEINT) END)")
+
+
+def _xor64(a: str, b: str) -> str:
+    return _to_u64(f"xor({_to_s64(a)}, {_to_s64(b)})")
+
+
+def _shr64(z: str, k: int) -> str:
+    return f"(({z}) // {2 ** k})"
+
+
+def _mix_ctes(src: str, in_col: str, out_cte: str, out_col: str,
+              carry: str) -> str:
+    """CTE chain applying the splitmix64 finalizer (functions/hashing._mix)
+    to ``src.in_col``, emitting ``out_cte(carry..., out_col)``."""
+    z = in_col
+    s1 = _mulmod64(_xor64(z, _shr64(z, 30)), _MIX_M1)
+    s2 = _mulmod64(_xor64("z1", _shr64("z1", 27)), _MIX_M2)
+    s3 = _xor64("z2", _shr64("z2", 31))
+    return (f"{out_cte}_a AS (SELECT {carry}, {s1} AS z1 FROM {src}), "
+            f"{out_cte}_b AS (SELECT {carry}, {s2} AS z2 FROM {out_cte}_a), "
+            f"{out_cte} AS (SELECT {carry}, {s3} AS {out_col} FROM {out_cte}_b)")
+
+
 def _word_hash_ctes(seed: int) -> str:
     """CTE chain ``whh(tok, h)``: byte-exact SQL replica of
     ``functions.hashing.hash_strings`` (seeded FNV-1a byte fold + splitmix64
-    finalizer) in HUGEINT mod-2^64 arithmetic.  Multiplications are split at
-    2^32 so no intermediate exceeds HUGEINT range; 64-bit XOR runs on the
-    BIGINT two's-complement bit pattern.  Expects a prior CTE ``words(tok)``
-    of (ASCII) words — the tokenizer contract guarantees [a-z0-9]+.
+    finalizer) in HUGEINT mod-2^64 arithmetic.  Expects a prior CTE
+    ``words(tok)`` of (ASCII) words — the tokenizer contract guarantees
+    [a-z0-9]+.
     """
     from cardinality_estimation_evaluation_framework_ray.functions.hashing import (
         seed_offset,
     )
 
-    U64 = "18446744073709551616"
-    U32 = "4294967296"
-    FNV = "1099511628211"
-    M1 = str(0xBF58476D1CE4E5B9)
-    M2 = str(0x94D049BB133111EB)
-
-    def mulmod64(x: str, m: str) -> str:
-        return (f"((({x}) % {U32}) * {m} + "
-                f"(((({x}) // {U32}) * {m}) % {U32}) * {U32}) % {U64}")
-
-    def to_s(v: str) -> str:
-        return (f"CAST(CASE WHEN ({v}) >= 9223372036854775808 "
-                f"THEN ({v}) - {U64} ELSE ({v}) END AS BIGINT)")
-
-    def to_u(x: str) -> str:
-        return (f"(CASE WHEN ({x}) < 0 THEN CAST(({x}) AS HUGEINT) + {U64} "
-                f"ELSE CAST(({x}) AS HUGEINT) END)")
-
-    def xor64(a: str, b: str) -> str:
-        return to_u(f"xor({to_s(a)}, {to_s(b)})")
-
-    def shr(z: str, k: int) -> str:
-        return f"(({z}) // {2 ** k})"
+    U64 = _U64
+    FNV = _FNV64
+    M1 = _MIX_M1
+    M2 = _MIX_M2
+    mulmod64 = _mulmod64
+    xor64 = _xor64
+    to_u = _to_u64
+    shr = _shr64
 
     h0 = 0xCBF29CE484222325 ^ int(seed_offset(seed))
     step = mulmod64(
@@ -118,6 +149,81 @@ def _simhash_oracle_sql(seed: int = 99, max_hamming: int = 3) -> str:
                CAST(doc_b AS BIGINT) AS doc_b,
                CAST(hamming AS BIGINT) AS hamming
         FROM ham WHERE hamming <= {max_hamming}
+    """
+
+
+def _winnow_oracle_sql(k: int = 5, window: int = 8, seed: int = 71) -> str:
+    """Exact SQL oracle for ``doc_fingerprints`` (winnowing,
+    stages/text.py:232-297): per-character splitmix64 hashes of the
+    lowercased text, FNV-rolling k-gram hashes (long docs start the fold at
+    the gram's first char hash; docs shorter than k fold ALL chars from the
+    FNV offset constant — the ``_shingle_hashes`` contract), uint64 window
+    minima over ``window`` consecutive grams (whole-doc min when a doc has
+    fewer grams), and a per-doc distinct count.  All arithmetic is HUGEINT
+    mod 2^64; valid because the testdata text is ASCII, where DuckDB's
+    lower()/unicode() match the engine's utf8_lower/utf-32 codepoints."""
+    from cardinality_estimation_evaluation_framework_ray.functions.hashing import (
+        seed_offset,
+    )
+
+    OFF = int(seed_offset(seed))
+    CONST = str(0xCBF29CE484222325)
+    gram_step = f"({_mulmod64('acc', _FNV64)} + (c)) % {_U64}"
+    return f"""
+        WITH docs0 AS (
+          SELECT doc_id, coalesce(lower(text), '') AS lt FROM documents),
+        dl AS (SELECT doc_id, length(lt) AS n FROM docs0),
+        chars0 AS (
+          SELECT doc_id, unnest(range(1, length(lt) + 1)) AS pos, lt
+          FROM docs0),
+        chars1 AS (
+          SELECT doc_id, pos,
+                 (CAST(unicode(substr(lt, CAST(pos AS INT), 1)) AS HUGEINT)
+                  + {OFF}) % {_U64} AS z0
+          FROM chars0),
+        {_mix_ctes("chars1", "z0", "ch", "h", "doc_id, pos")},
+        -- per-position k-char window of char hashes (ordered)
+        lst AS (
+          SELECT c.doc_id, c.pos, d.n,
+                 list(c.h) OVER (PARTITION BY c.doc_id ORDER BY c.pos
+                                 ROWS BETWEEN CURRENT ROW
+                                 AND {k - 1} FOLLOWING) AS hs
+          FROM ch c JOIN dl d USING (doc_id)),
+        grams0 AS (
+          -- long docs: one gram per position 1..n-k+1, fold starts at hs[1]
+          SELECT doc_id, pos,
+                 list_reduce(hs, (acc, c) -> {gram_step}) AS z0
+          FROM lst WHERE n >= {k} AND pos <= n - {k} + 1
+          UNION ALL
+          -- short docs (0 < n < k): one gram folding ALL chars from CONST
+          SELECT doc_id, 1 AS pos,
+                 list_reduce(list_prepend(CAST({CONST} AS HUGEINT), hs),
+                             (acc, c) -> {gram_step}) AS z0
+          FROM lst WHERE n < {k} AND pos = 1
+          UNION ALL
+          -- empty docs: the bare FNV offset constant
+          SELECT doc_id, 1 AS pos, CAST({CONST} AS HUGEINT) AS z0
+          FROM dl WHERE n = 0),
+        {_mix_ctes("grams0", "z0", "gw", "g", "doc_id, pos")},
+        gn AS (SELECT doc_id, count(*) AS ng FROM gw GROUP BY doc_id),
+        fps AS (
+          -- enough grams: minima of every in-doc window of {window}
+          SELECT w.doc_id,
+                 min(w.g) OVER (PARTITION BY w.doc_id ORDER BY w.pos
+                                ROWS BETWEEN CURRENT ROW
+                                AND {window - 1} FOLLOWING) AS fp,
+                 w.pos, n.ng
+          FROM gw w JOIN gn n USING (doc_id) WHERE n.ng >= {window}),
+        fp_all AS (
+          SELECT doc_id, fp FROM fps WHERE pos <= ng - {window} + 1
+          UNION ALL
+          -- fewer grams than the window: whole-doc minimum
+          SELECT w.doc_id, min(w.g) AS fp
+          FROM gw w JOIN gn n USING (doc_id) WHERE n.ng < {window}
+          GROUP BY w.doc_id)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints
+        FROM fp_all GROUP BY doc_id
     """
 
 
@@ -1521,4 +1627,5 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         """,
         "simhash_near_dups": _simhash_oracle_sql(seed=99, max_hamming=3),
+        "doc_fingerprints": _winnow_oracle_sql(k=5, window=8, seed=71),
     }
