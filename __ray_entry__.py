@@ -956,6 +956,182 @@ def _q_events_range_join(sf_dir: str):
     })
 
 
+def _q_sessions_bucketed(sf_dir: str):
+    """Two-level sessionization (hot-user path): per-(user, 6h-bucket)
+    sessions + summary stitch — same oracle as `sessions` because the
+    two-level scan is output-identical by construction."""
+    from cardinality_estimation_evaluation_framework_ray.stages.sessions import (
+        session_stats,
+    )
+
+    df = session_stats(_read(sf_dir, "events"), gap_minutes=30.0,
+                       bucket_span_minutes=360.0)
+    return df.astype({"n_sessions": "int64", "n_events": "int64",
+                      "max_session_events": "int64"})
+
+
+def _q_asof_last_order_bucketed(sf_dir: str):
+    """Two-level as-of join (hot-key path): groups on (user, 90-day bucket)
+    with per-key carry injection — same oracle as `asof_last_order`."""
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.joins import (
+        asof_join,
+    )
+
+    events = _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders").select_columns(["o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda df: df.rename(columns={"o_custkey": "user_id",
+                                      "o_orderdate": "ts"}),
+        batch_format="pandas")
+    joined = asof_join(events, orders, on="ts", by="user_id", right_cols=[],
+                       bucket_span=pd.Timedelta(days=90))
+    df = joined.to_pandas()
+    out = pd.DataFrame({
+        "event_id": df["event_id"].astype("int64"),
+        "user_id": df["user_id"].astype("int64"),
+        "last_order_date": pd.to_datetime(df["ts_right"]).dt.strftime("%Y-%m-%d"),
+    })
+    return out
+
+
+def _q_events_range_join_bucketed(sf_dir: str):
+    """Two-level range join (hot-key path): right rows replicate into <= 2
+    adjacent 2-hour buckets — same oracle as `events_range_join`."""
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.joins import (
+        range_join,
+    )
+
+    events = _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])
+    joined = range_join(events, events, on="ts", by="user_id",
+                        lower=-pd.Timedelta(minutes=60), upper=pd.Timedelta(0),
+                        right_cols=["event_id"],
+                        bucket_span=pd.Timedelta(hours=2))
+    df = joined.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                             "prior_event_id": pd.Series(dtype="int64")})
+    df = df[df["event_id"] != df["event_id_right"]]
+    return pd.DataFrame({
+        "event_id": df["event_id"].astype("int64"),
+        "prior_event_id": df["event_id_right"].astype("int64"),
+    })
+
+
+def _q_orders_customer_join(sf_dir: str, num_salts: int | None = None):
+    """Distributed shuffle hash join (big-big, neither side broadcast):
+    orders ⋈ customer on custkey."""
+    from cardinality_estimation_evaluation_framework_ray.stages.joins import (
+        hash_join,
+    )
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_name", "c_mktsegment"])
+    out = hash_join(orders, cust, on="o_custkey", right_key="c_custkey",
+                    how="inner", num_salts=num_salts).to_pandas()
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out.astype({"o_orderkey": "int64", "o_custkey": "int64"})
+
+
+def _q_orders_customer_join_salted(sf_dir: str):
+    """Skew-guarded variant of the shuffle hash join (left rows split across
+    salts, right replicated) — output-identical, shares the oracle."""
+    return _q_orders_customer_join(sf_dir, num_salts=4)
+
+
+def _q_customer_order_left_join(sf_dir: str):
+    """Left join: every customer row survives; customers without orders
+    carry a -1 sentinel (both sides COALESCE, keeping the hash int-typed)."""
+    from cardinality_estimation_evaluation_framework_ray.stages.joins import (
+        hash_join,
+    )
+
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderkey"])
+    out = hash_join(cust, orders, on="c_custkey", right_key="o_custkey",
+                    how="left").to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].fillna(-1).astype("int64")
+    return out.astype({"c_custkey": "int64"})
+
+
+def _q_doc_chunks(sf_dir: str):
+    """RAG chunking: overlapping 200-char windows (stride 150) per doc."""
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        chunk_documents,
+    )
+
+    out = chunk_documents(_read(sf_dir, "documents"), chunk_chars=200,
+                          overlap=50).to_pandas()
+    return out.astype({"doc_id": "int64", "chunk_id": "int64",
+                       "n_chunk_chars": "int64"})
+
+
+def _q_events_windowed_1h(sf_dir: str, bucket_span=None):
+    """Per event: count + exact cent-sum of the same user's events in the
+    trailing hour (SQL RANGE frame semantics — ts peers included)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cardinality_estimation_evaluation_framework_ray.stages.windows import (
+        windowed_agg,
+    )
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts", "value"])
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        # floor(x*100 + 0.5), not round(): Arrow rounds half-to-even while
+        # DuckDB rounds half-away — floor+0.5 is identical on both sides
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(t.column("value"),
+                                                    100.0), 0.5)), pa.int64())
+        return t.append_column("cents", cents)
+
+    ev = ev.map_batches(add_cents, batch_format="pyarrow")
+    out = windowed_agg(ev, key_col="user_id", ts_col="ts", id_col="event_id",
+                       value_col="cents", window="1h",
+                       count_name="n_1h", sum_name="sum_cents_1h",
+                       bucket_span=bucket_span).to_pandas()
+    return out.astype({"event_id": "int64", "user_id": "int64",
+                       "n_1h": "int64", "sum_cents_1h": "int64"})
+
+
+def _q_events_windowed_1h_bucketed(sf_dir: str):
+    """Two-level (hot-key) sliding window: rows co-group on (user, 2h
+    bucket) with next-bucket context replicas — output-identical by
+    construction, shares the oracle."""
+    return _q_events_windowed_1h(sf_dir, bucket_span="2h")
+
+
+def _mixture_budgets() -> dict[str, int]:
+    # deterministic per-source char budgets: 2000 * ((src_num % 4) + 1)
+    return {f"src{i}": 2000 * ((i % 4) + 1) for i in range(64)}
+
+
+def _q_mixture_sample(sf_dir: str, n_buckets: int | None = None):
+    """Domain-mixture curation: per source, docs in Knuth-priority order
+    until the char budget is reached (greedy, last doc may overshoot)."""
+    from cardinality_estimation_evaluation_framework_ray.stages.sampling import (
+        mixture_sample,
+    )
+
+    out = mixture_sample(_read(sf_dir, "documents"),
+                         budgets=_mixture_budgets(),
+                         n_buckets=n_buckets).to_pandas()
+    return out.astype({"doc_id": "int64", "n_chars": "int64"})
+
+
+def _q_mixture_sample_bucketed(sf_dir: str):
+    """Two-level mixture sample (priority range partition + bucket-total
+    scan + cut-bucket rescan) — output-identical, shares the oracle."""
+    return _q_mixture_sample(sf_dir, n_buckets=8)
+
+
 def _q_smoke_eval(sf_dir: str):
     """Rows-only: full evaluator -> analyzer harness on a mini grid."""
     import tempfile
@@ -1148,6 +1324,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mktsegment_revenue": _q_mktsegment_revenue,
         "asof_last_order": _q_asof_last_order,
         "events_range_join": _q_events_range_join,
+        "sessions_bucketed": _q_sessions_bucketed,
+        "asof_last_order_bucketed": _q_asof_last_order_bucketed,
+        "events_range_join_bucketed": _q_events_range_join_bucketed,
+        "orders_customer_join": _q_orders_customer_join,
+        "orders_customer_join_salted": _q_orders_customer_join_salted,
+        "customer_order_left_join": _q_customer_order_left_join,
+        "doc_chunks": _q_doc_chunks,
+        "events_windowed_1h": _q_events_windowed_1h,
+        "events_windowed_1h_bucketed": _q_events_windowed_1h_bucketed,
+        "mixture_sample": _q_mixture_sample,
+        "mixture_sample_bucketed": _q_mixture_sample_bucketed,
         "image_decode_stats": _q_image_decode_stats,
         "audio_decode_stats": _q_audio_decode_stats,
         "video_frame_stats": _q_video_frame_stats,
@@ -1178,7 +1365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "reach_hll_words": f"""
             {_TOKS_CTE}
             SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS distinct_words
@@ -1628,4 +1815,64 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_near_dups": _simhash_oracle_sql(seed=99, max_hamming=3),
         "doc_fingerprints": _winnow_oracle_sql(k=5, window=8, seed=71),
+        "orders_customer_join": """
+            SELECT o.o_orderkey, o.o_custkey,
+                   ROUND(o.o_totalprice, 2) AS o_totalprice,
+                   c.c_name, c.c_mktsegment
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "customer_order_left_join": """
+            SELECT c.c_custkey, c.c_name,
+                   CAST(COALESCE(o.o_orderkey, -1) AS BIGINT) AS o_orderkey
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        """,
+        "doc_chunks": """
+            SELECT doc_id, i AS chunk_id,
+                   substr(text, i * 150 + 1, 200) AS chunk_text,
+                   CAST(length(substr(text, i * 150 + 1, 200)) AS BIGINT)
+                       AS n_chunk_chars
+            FROM (SELECT doc_id, text,
+                         unnest(generate_series(0, GREATEST(0,
+                             CAST(CEIL((length(text) - 200) / 150.0)
+                                  AS BIGINT)))) AS i
+                  FROM documents)
+        """,
+        "events_windowed_1h": """
+            SELECT event_id, user_id,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w
+                        AS BIGINT) AS sum_cents_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "mixture_sample": """
+            WITH ranked AS (
+                SELECT doc_id, source, n_chars,
+                       SUM(n_chars) OVER (
+                           PARTITION BY source
+                           ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761)
+                                    % 4294967296, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS cumb
+                FROM documents),
+            budgets AS (
+                SELECT source,
+                       2000 * ((CAST(substr(source, 4) AS BIGINT) % 4) + 1)
+                           AS budget
+                FROM (SELECT DISTINCT source FROM documents))
+            SELECT r.doc_id, r.source, CAST(r.n_chars AS BIGINT) AS n_chars
+            FROM ranked r JOIN budgets b USING (source)
+            WHERE COALESCE(r.cumb, 0) < b.budget
+        """,
     }
+    # the two-level (hot-key) variants are output-identical by construction,
+    # so they share their single-level queries' oracles verbatim
+    d["sessions_bucketed"] = d["sessions"]
+    d["asof_last_order_bucketed"] = d["asof_last_order"]
+    d["events_range_join_bucketed"] = d["events_range_join"]
+    d["orders_customer_join_salted"] = d["orders_customer_join"]
+    d["events_windowed_1h_bucketed"] = d["events_windowed_1h"]
+    d["mixture_sample_bucketed"] = d["mixture_sample"]
+    return d

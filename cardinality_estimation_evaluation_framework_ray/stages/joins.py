@@ -1,10 +1,15 @@
-"""Join operators: broadcast equi-join and as-of join.
+"""Join operators: shuffle hash join, broadcast equi-join and as-of join.
 
-Ray Data (2.49) has no native join; these are the two shapes a pipeline at
+Ray Data (2.49) has no native join; these are the shapes a pipeline at
 this engine's scale actually wants:
 
 * broadcast equi-join (stages/relational.py:broadcast_join): small side via
   ``ray.put`` once, map-side merge — no shuffle of the big side.
+* shuffle hash join (here, ``hash_join``): big-big inner/left equi-join —
+  both sides shuffled ONCE by the key (tag + union + groupby cogroup), then
+  a vectorized per-group cartesian emit.  ``num_salts`` handles skewed keys
+  by splitting left rows across salts and replicating right rows to every
+  salt — identical output, 1/S per-task group size at an S× right payload.
 * as-of join (here): both sides shuffled ONCE by the ``by`` key (tag + union
   + groupby — the cogroup composition), then a vectorized per-group
   ``merge_asof``.
@@ -39,8 +44,12 @@ _BUCKET = "__asof_bucket__"
 
 
 def _bucket_of(col: "pa.ChunkedArray | pa.Array", span) -> np.ndarray:
-    """floor(on / span) as int64 (exact floor-division for integer on)."""
+    """floor(on / span) as int64 (exact floor-division for integer on;
+    timestamps bucket by nanosecond with a Timedelta-able span)."""
     a = col.to_numpy(zero_copy_only=False)
+    if np.issubdtype(a.dtype, np.datetime64):
+        a = a.astype("datetime64[ns]").view(np.int64)
+        return a // int(pd.Timedelta(span).value)
     if np.issubdtype(a.dtype, np.integer):
         return (a // span).astype(np.int64)
     return np.floor(a / span).astype(np.int64)
@@ -88,6 +97,110 @@ def _unified_types(left_schema, right_schema, all_cols: list[str]) -> dict:
     for name, typ in zip(left_schema.names, left_schema.types):
         types[name] = _pa_type(typ)  # left wins on collisions
     return {c: types[c] for c in all_cols}
+
+
+_SALT = "__join_salt__"
+
+
+def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
+              on: str, right_key: str | None = None, how: str = "inner",
+              right_cols: list[str] | None = None, suffix: str = "_right",
+              num_salts: int | None = None) -> "ray.data.Dataset":
+    """Distributed big-big equi-join (inner or left), the shuffle hash join.
+
+    One all-to-all on the key (tag + union + groupby cogroup), then a
+    vectorized per-group cartesian emit — no driver-side state, neither side
+    broadcast (use ``stages/relational.py:broadcast_join`` when one side
+    fits in the object store; this operator is for two large inputs).
+
+    Output: all left columns + ``right_cols`` (default: every right column
+    except the key), suffixed where they collide with a left name.  Right
+    rows with a null key never match (SQL semantics).
+
+    ``num_salts=S`` is the skew guard: left rows are split across S salts
+    and every right row is replicated into all S, so a hot key's group
+    shrinks S× on the left (build) side at an S× right payload — output
+    identical (tested).  Use when one key's left rows exceed a task's
+    memory; keys stay co-located per (key, salt), so the emit is unchanged.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    right_key = right_key or on
+    left_schema, right_schema = left.schema(), right.schema()
+    left_names = list(left_schema.names)
+    if on not in left_names:
+        raise KeyError(f"left has no column {on!r}")
+    rc = right_cols if right_cols is not None else [
+        c for c in right_schema.names if c != right_key]
+    rename = {c: c + suffix if c in left_names else c for c in rc}
+
+    types = {n: _pa_type(t) for n, t in zip(left_schema.names,
+                                            left_schema.types)}
+    rtypes = {n: _pa_type(t) for n, t in zip(right_schema.names,
+                                             right_schema.types)}
+    for c in rc:
+        types[rename[c]] = rtypes[c]
+    all_cols = left_names + [rename[c] for c in rc]
+    out_schema = pa.schema([(c, types[c]) for c in all_cols])
+    key_type = types[on]
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        cols = {on: t.column(right_key).cast(key_type)}
+        for c in rc:
+            cols[rename[c]] = t.column(c)
+        out = pa.table(cols)
+        return out.filter(out.column(on).is_valid())
+
+    lt = left.map_batches(_arrow_tagger(0, all_cols, types),
+                          batch_format="pyarrow")
+    rt = (right.select_columns([right_key] + rc)
+          .map_batches(prep_right, batch_format="pyarrow")
+          .map_batches(_arrow_tagger(1, all_cols, types),
+                       batch_format="pyarrow"))
+
+    def per_key(t: pa.Table) -> pa.Table:
+        side = t.column(_SIDE).to_numpy(zero_copy_only=False)
+        l = np.flatnonzero(side == 0)
+        r = np.flatnonzero(side == 1)
+        if len(l) == 0 or (how == "inner" and len(r) == 0):
+            return out_schema.empty_table()
+        if len(r) == 0:  # left join, unmatched key
+            sub = t.take(pa.array(l))
+            cols = {c: sub.column(c).cast(types[c]) for c in left_names}
+            for c in rc:
+                cols[rename[c]] = pa.nulls(len(l), types[rename[c]])
+            return pa.table(cols).cast(out_schema)
+        li = np.repeat(l, len(r))
+        ri = np.tile(r, len(l))
+        lrows = t.take(pa.array(li))
+        rrows = t.take(pa.array(ri))
+        cols = {c: lrows.column(c).cast(types[c]) for c in left_names}
+        for c in rc:
+            cols[rename[c]] = rrows.column(rename[c]).cast(types[rename[c]])
+        return pa.table(cols).cast(out_schema)
+
+    if not num_salts or num_salts <= 1:
+        return lt.union(rt).groupby(on).map_groups(per_key,
+                                                   batch_format="pyarrow")
+
+    S = int(num_salts)
+
+    def salt_left(t: pa.Table) -> pa.Table:
+        # any left-row -> salt assignment is correct (right is replicated to
+        # every salt); round-robin within the batch balances group sizes
+        return t.append_column(
+            _SALT, pa.array(np.arange(t.num_rows, dtype=np.int64) % S))
+
+    def salt_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        out = t.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), S)))
+        return out.append_column(
+            _SALT, pa.array(np.tile(np.arange(S, dtype=np.int64), n)))
+
+    return (lt.map_batches(salt_left, batch_format="pyarrow")
+            .union(rt.map_batches(salt_right, batch_format="pyarrow"))
+            .groupby([on, _SALT])
+            .map_groups(per_key, batch_format="pyarrow"))
 
 
 def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
@@ -336,7 +449,14 @@ def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
         out = _arrow_tagger(1, all_cols, types)(t)
         rv = out.column(right_on).to_numpy(zero_copy_only=False)
         # left rows matching right value v have on in [v - upper, v - lower]
-        if np.issubdtype(rv.dtype, np.integer):
+        if np.issubdtype(rv.dtype, np.datetime64):
+            rv = rv.astype("datetime64[ns]").view(np.int64)
+            lo_ns = int(pd.Timedelta(lower).value)
+            up_ns = int(pd.Timedelta(upper).value)
+            sp_ns = int(pd.Timedelta(span).value)
+            b1 = (rv - up_ns) // sp_ns
+            b2 = (rv - lo_ns) // sp_ns
+        elif np.issubdtype(rv.dtype, np.integer):
             b1 = (rv - upper) // span
             b2 = (rv - lower) // span
         else:

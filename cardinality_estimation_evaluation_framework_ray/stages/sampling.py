@@ -26,7 +26,8 @@ import pyarrow as pa
 
 import ray.data
 
-__all__ = ["knuth_priority", "per_key_sample", "hash_split"]
+__all__ = ["knuth_priority", "per_key_sample", "hash_split",
+           "mixture_sample"]
 
 _KNUTH = np.uint64(2654435761)
 _MOD32 = np.uint64(0xFFFFFFFF)
@@ -100,3 +101,112 @@ def hash_split(ds: "ray.data.Dataset", *, test_permille: int = 100,
         return tbl.append_column(split_col, pa.array(lab, pa.string()))
 
     return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _mixture_scan(g: "pd.DataFrame", budgets: dict, key_col: str,
+                  id_col: str, weight_col: str) -> "pd.DataFrame":
+    """Greedy prefix of the (priority, id)-ordered rows of ONE key: take a
+    row iff the cumulative weight BEFORE it is under the key's budget (so
+    the last taken row may overshoot — 'fill until reached' semantics, the
+    SQL ``ROWS UNBOUNDED PRECEDING AND 1 PRECEDING`` window mirror)."""
+    import pandas as pd  # noqa: F401 — annotation-only import at module top
+
+    budget = int(budgets.get(g[key_col].iloc[0], 0))
+    ids = g[id_col].to_numpy()
+    w = g[weight_col].to_numpy().astype(np.int64)
+    prio = knuth_priority(ids)
+    order = np.lexsort((ids, prio))
+    cum_before = np.concatenate([[0], np.cumsum(w[order])[:-1]])
+    take = order[cum_before < budget]
+    return g.iloc[np.sort(take)][[id_col, key_col, weight_col]]
+
+
+def mixture_sample(ds: "ray.data.Dataset", *, budgets: dict[str, int],
+                   key_col: str = "source", id_col: str = "doc_id",
+                   weight_col: str = "n_chars",
+                   n_buckets: int | None = None) -> "ray.data.Dataset":
+    """Deterministic domain-mixture curation: per key (domain), select rows
+    in Knuth-priority order until the cumulative ``weight_col`` reaches the
+    key's budget (token/char budget per domain — the data-mixing step of a
+    training-data pipeline).  Replayable from ids alone; exact SQL oracle.
+
+    Output: (id_col, key_col, weight_col) for the selected rows — metadata
+    only; join payloads back downstream rather than shuffling documents.
+
+    Scale (``n_buckets=B``): a domain's group is ALL its rows, so the
+    single-level scan caps at one task's memory.  The two-level path range-
+    partitions each key by priority into B buckets (priority order is bucket
+    order), reduces per-(key, bucket) weight TOTALS (K x B rows), scans that
+    tiny table per key to classify buckets as fully-taken / cut / rejected,
+    and rescans only the (at most one per key) cut bucket's rows at its
+    remaining budget — identical output, and no task ever holds more than
+    1/B of a domain.
+    """
+    cols = [id_col, key_col, weight_col]
+    ds = ds.select_columns(cols)
+
+    if not n_buckets or n_buckets <= 1:
+        return ds.groupby(key_col).map_groups(
+            lambda g: _mixture_scan(g, budgets, key_col, id_col, weight_col),
+            batch_format="pandas")
+
+    B = int(n_buckets)
+    shift = np.uint64(32)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        b = (knuth_priority(ids).astype(np.uint64)
+             * np.uint64(B)) >> shift  # range partition of [0, 2^32)
+        return t.append_column("__pbucket", pa.array(b.astype(np.int64)))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    from ray.data.aggregate import Sum
+
+    totals = (bucketed.groupby([key_col, "__pbucket"])
+              .aggregate(Sum(weight_col, alias_name="__w")))
+
+    def classify(g):
+        g = g.sort_values("__pbucket").reset_index(drop=True)
+        budget = int(budgets.get(g[key_col].iloc[0], 0))
+        w = g["__w"].to_numpy().astype(np.int64)
+        cum_before = np.concatenate([[0], np.cumsum(w)[:-1]])
+        cum_after = cum_before + w
+        # full: even the last row's cum_before < budget is implied
+        g["__verdict"] = np.where(cum_after <= budget, 1,
+                                  np.where(cum_before < budget, 2, 0))
+        g["__rem"] = np.maximum(budget - cum_before, 0)
+        return g[[key_col, "__pbucket", "__verdict", "__rem"]]
+
+    verdicts = (totals.groupby(key_col)
+                .map_groups(classify, batch_format="pandas").to_pandas())
+    # K x B rows of metadata — broadcast once
+    import ray
+
+    vref = ray.put({(k, b): (v, r) for k, b, v, r in zip(
+        verdicts[key_col], verdicts["__pbucket"], verdicts["__verdict"],
+        verdicts["__rem"])})
+
+    def keep(verdict_wanted: int):
+        def fn(t: pa.Table) -> pa.Table:
+            vmap = ray.get(vref)
+            keys = t.column(key_col).to_pylist()
+            bk = t.column("__pbucket").to_numpy(zero_copy_only=False)
+            mask = np.fromiter(
+                (vmap.get((k, b), (0, 0))[0] == verdict_wanted
+                 for k, b in zip(keys, bk)), dtype=bool, count=len(keys))
+            return t.filter(pa.array(mask)).select(cols)
+        return fn
+
+    full = bucketed.map_batches(keep(1), batch_format="pyarrow")
+
+    # at most one cut bucket per key -> its rows rescan at the REMAINING budget
+    rem = {k: int(r) for k, v, r in zip(verdicts[key_col],
+                                        verdicts["__verdict"],
+                                        verdicts["__rem"]) if v == 2}
+    cut_rows = bucketed.map_batches(keep(2), batch_format="pyarrow")
+    cut = cut_rows.groupby(key_col).map_groups(
+        lambda g: _mixture_scan(g, rem, key_col, id_col, weight_col),
+        batch_format="pandas")
+    return full.union(cut)

@@ -120,10 +120,12 @@ def sessionize(ds: "ray.data.Dataset", *, user_col: str = "user_id",
 
 
 def session_stats(ds: "ray.data.Dataset", *, user_col: str = "user_id",
-                  ts_col: str = "ts", gap_minutes: float = 30.0) -> pd.DataFrame:
+                  ts_col: str = "ts", gap_minutes: float = 30.0,
+                  bucket_span_minutes: float | None = None) -> pd.DataFrame:
     """Per-user session summary: (user, n_sessions, n_events, max_session_events)."""
     sessions = sessionize(ds, user_col=user_col, ts_col=ts_col,
-                          gap_minutes=gap_minutes)
+                          gap_minutes=gap_minutes,
+                          bucket_span_minutes=bucket_span_minutes)
 
     def summarize(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

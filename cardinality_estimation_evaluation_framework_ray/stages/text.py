@@ -307,3 +307,60 @@ def token_counts(ds: "ray.data.Dataset", text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         count, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_documents(ds: "ray.data.Dataset", *, chunk_chars: int = 512,
+                    overlap: int = 64, text_col: str = "text",
+                    id_col: str = "doc_id") -> "ray.data.Dataset":
+    """RAG-style overlapping character chunking.
+
+    Each document becomes ``1 + max(0, ceil((len - chunk_chars) / stride))``
+    chunks (``stride = chunk_chars - overlap``); chunk ``i`` is
+    ``text[i*stride : i*stride + chunk_chars]`` in CHARACTERS (codepoints),
+    so the operator has an exact DuckDB ``substr`` oracle.  Every doc emits
+    at least one chunk (empty docs emit one empty chunk).
+
+    Output: (id_col, chunk_id:int64 0-based, chunk_text, n_chunk_chars).
+
+    Shape: embarrassingly parallel flat-map.  The inner loop is over CHUNK
+    ORDINALS, not rows — iteration ``i`` slices every doc with > i chunks in
+    one vectorized ``utf8_slice_codeunits`` kernel call, so per-batch work is
+    O(max_chunks_per_doc) Arrow kernels regardless of batch row count.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    stride = chunk_chars - overlap
+
+    def chunk(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ids = t.column(id_col)
+        lengths = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        n_chunks = 1 + np.maximum(
+            0, -(-(lengths - chunk_chars) // stride)).astype(np.int64)
+        pieces = []
+        i = 0
+        remaining = n_chunks.copy()
+        sel = np.arange(len(lengths))
+        while len(sel):
+            sub_text = text.take(pa.array(sel))
+            sliced = pc.utf8_slice_codeunits(
+                sub_text, start=i * stride, stop=i * stride + chunk_chars)
+            pieces.append(pa.table({
+                id_col: ids.take(pa.array(sel)),
+                "chunk_id": pa.array(np.full(len(sel), i, np.int64)),
+                "chunk_text": sliced,
+                "n_chunk_chars": pc.utf8_length(sliced).cast(pa.int64()),
+            }))
+            i += 1
+            sel = sel[remaining[sel] > i]
+        if not pieces:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "chunk_id": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string()),
+                             "n_chunk_chars": pa.array([], pa.int64())})
+        return pa.concat_tables(pieces)
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        chunk, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,118 @@
+"""Sliding-window aggregates: per-key trailing-window count/sum.
+
+The SQL shape is ``agg(...) OVER (PARTITION BY key ORDER BY ts RANGE
+BETWEEN <window> PRECEDING AND CURRENT ROW)`` — per row, aggregate every
+row of the same key whose timestamp lies in ``[ts - window, ts]``
+(inclusive of same-timestamp peers, matching the SQL RANGE frame).  The
+reference has no ordering semantics beyond prefix unions (SURVEY.md §2.8);
+this is the event-stream operator a feature/training pipeline needs.
+
+Distributed shape: ONE shuffle on the key, then a fully vectorized
+per-group scan — sort by ts once, two ``searchsorted`` calls give every
+row its window band, and count/sum come from index arithmetic and a
+cumulative-sum difference.  No per-row Python, no driver state.
+
+Hot-key handling (``bucket_span``, must be >= ``window``): rows co-group on
+``(key, ts // span)``; each row is ALSO replicated into the next bucket as
+a context-only row (a trailing window from bucket b reaches at most bucket
+b-1 when span >= window), the per-bucket scan runs over owner+context rows
+and emits owner rows only — identical output, bounded per-task group size,
+2× shuffle payload of the (id, key, ts, value) metadata columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+__all__ = ["windowed_agg"]
+
+_BUCKET = "__win_bucket__"
+_OWNER = "__win_owner__"
+
+
+def _to_ns(arr: np.ndarray) -> np.ndarray:
+    if np.issubdtype(arr.dtype, np.datetime64):
+        return arr.astype("datetime64[ns]").view(np.int64)
+    return arr.astype(np.int64)
+
+
+def windowed_agg(ds: "ray.data.Dataset", *, key_col: str, ts_col: str,
+                 id_col: str, window, value_col: str | None = None,
+                 count_name: str = "n_window", sum_name: str = "sum_window",
+                 bucket_span=None) -> "ray.data.Dataset":
+    """Per row: count (and sum of ``value_col``) over same-key rows with
+    ``ts`` in ``[row.ts - window, row.ts]``.
+
+    Output: (id_col, key_col, count_name[, sum_name]).  ``window`` /
+    ``bucket_span`` are ints for integer ``ts`` columns, anything
+    ``pd.Timedelta`` can parse for timestamp columns.  Exact-sum contract:
+    pass an integer ``value_col`` (quantize floats upstream) — the
+    cumulative-difference sum is then exact and oracle-hashable.
+    """
+    cols = [id_col, key_col, ts_col] + ([value_col] if value_col else [])
+    ds = ds.select_columns(cols)
+    is_ts = pa.types.is_timestamp(
+        _schema_type(ds, ts_col))
+    win = int(pd.Timedelta(window).value) if is_ts else int(window)
+
+    def scan(g: pd.DataFrame, owner_mask: np.ndarray | None = None
+             ) -> pd.DataFrame:
+        ts = _to_ns(g[ts_col].to_numpy())
+        order = np.argsort(ts, kind="stable")
+        ts_s = ts[order]
+        lo = np.searchsorted(ts_s, ts_s - win, side="left")
+        hi = np.searchsorted(ts_s, ts_s, side="right")
+        out = {id_col: g[id_col].to_numpy()[order],
+               key_col: g[key_col].to_numpy()[order],
+               count_name: (hi - lo).astype(np.int64)}
+        if value_col:
+            v = g[value_col].to_numpy()[order].astype(np.int64)
+            csum = np.concatenate([[0], np.cumsum(v)])
+            out[sum_name] = csum[hi] - csum[lo]
+        df = pd.DataFrame(out)
+        if owner_mask is not None:
+            df = df[owner_mask[order]]
+        return df
+
+    if bucket_span is None:
+        return (ds.groupby(key_col)
+                .map_groups(scan, batch_format="pandas"))
+
+    span = int(pd.Timedelta(bucket_span).value) if is_ts else int(bucket_span)
+    if span < win:
+        raise ValueError("bucket_span must be >= window so a trailing "
+                         "window reaches at most one previous bucket")
+
+    def tag(t: pa.Table) -> pa.Table:
+        ts = _to_ns(t.column(ts_col).to_numpy(zero_copy_only=False))
+        b = ts // span
+        n = t.num_rows
+        idx = np.concatenate([np.arange(n, dtype=np.int64),
+                              np.arange(n, dtype=np.int64)])
+        buckets = np.concatenate([b, b + 1])  # owner copy + context copy
+        owner = np.concatenate([np.ones(n, np.int8), np.zeros(n, np.int8)])
+        return (t.take(pa.array(idx))
+                .append_column(_BUCKET, pa.array(buckets))
+                .append_column(_OWNER, pa.array(owner)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return scan(g, owner_mask=g[_OWNER].to_numpy() == 1)
+
+    return (ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby([key_col, _BUCKET])
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
+def _schema_type(ds: "ray.data.Dataset", col: str) -> pa.DataType:
+    sch = ds.schema()
+    t = sch.types[sch.names.index(col)]
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(np.dtype(t))
+    except (TypeError, pa.ArrowNotImplementedError):
+        return pa.string()

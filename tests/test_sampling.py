@@ -75,3 +75,66 @@ def test_hash_split_deterministic_and_disjoint(ray_session):
     assert am == bm
     frac = (a["split"] == "test").mean()
     assert 0.05 < frac < 0.15  # ~10% with hash variance
+
+
+def _mix_tbl(n=500, hot_frac=0.6):
+    rng = np.random.default_rng(9)
+    keys = np.where(np.arange(n) < int(n * hot_frac), "hot",
+                    rng.choice(["a", "b", "c"], size=n))
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "source": pa.array(keys.tolist()),
+        "n_chars": pa.array(rng.integers(10, 200, n).astype(np.int64)),
+    })
+
+
+def _mix_brute(tbl, budgets):
+    import pandas as pd
+
+    df = tbl.to_pandas()
+    out = []
+    for k, g in df.groupby("source"):
+        budget = budgets.get(k, 0)
+        prio = knuth_priority(g["doc_id"].to_numpy())
+        g = g.iloc[np.lexsort((g["doc_id"].to_numpy(), prio))]
+        cum_before = np.concatenate([[0], np.cumsum(g["n_chars"].to_numpy())[:-1]])
+        out.append(g[cum_before < budget])
+    return (pd.concat(out).sort_values("doc_id").reset_index(drop=True)
+            if out else df.iloc[:0])
+
+
+def test_mixture_sample_matches_bruteforce(ray_session):
+    from cardinality_estimation_evaluation_framework_ray.stages.sampling import (
+        mixture_sample,
+    )
+
+    tbl = _mix_tbl()
+    budgets = {"hot": 5000, "a": 900, "b": 0, "c": 10_000_000}
+    got = (mixture_sample(ray.data.from_arrow(tbl).repartition(7),
+                          budgets=budgets)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    exp = _mix_brute(tbl, budgets)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    # per-key totals: every key fills to (just past) its budget or runs out
+    tot = got.groupby("source")["n_chars"].sum().to_dict()
+    assert "b" not in tot
+    assert tot["c"] == tbl.to_pandas().query("source=='c'")["n_chars"].sum()
+    assert tot["hot"] >= 5000  # reached (last row may overshoot)
+
+
+def test_mixture_sample_bucketed_identical(ray_session):
+    """The two-level (priority range-partitioned) plan is output-identical,
+    across budgets hitting the none/cut/full bucket verdicts."""
+    from cardinality_estimation_evaluation_framework_ray.stages.sampling import (
+        mixture_sample,
+    )
+
+    tbl = _mix_tbl()
+    for budgets in ({"hot": 5000, "a": 900, "b": 0, "c": 10_000_000},
+                    {"hot": 1, "a": 50, "c": 123}):
+        ds = ray.data.from_arrow(tbl).repartition(7)
+        plain = (mixture_sample(ds, budgets=budgets)
+                 .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        two = (mixture_sample(ds, budgets=budgets, n_buckets=8)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert plain["doc_id"].tolist() == two["doc_id"].tolist()

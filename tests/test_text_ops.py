@@ -160,3 +160,45 @@ def test_simhash_trailing_empty_doc(ray_session):
     # doc0's signature must be identical with and without a trailing empty doc
     assert int(s_full.loc[0, "simhash"]) == int(
         s_trail.set_index("doc_id").loc[0, "simhash"])
+
+
+def _chunk_brute(texts, chunk, overlap):
+    stride = chunk - overlap
+    out = []
+    for did, t in enumerate(texts):
+        n = 1 + max(0, -(-(len(t) - chunk) // stride))
+        for i in range(n):
+            out.append((did, i, t[i * stride:i * stride + chunk]))
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_documents_matches_bruteforce():
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        chunk_documents,
+    )
+
+    texts = ["abcdefghij" * 7, "short", "", "x" * 12, "y" * 13]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    got = (chunk_documents(ray.data.from_arrow(tbl).repartition(3),
+                           chunk_chars=12, overlap=4)
+           .to_pandas().sort_values(["doc_id", "chunk_id"])
+           .reset_index(drop=True))
+    exp = _chunk_brute(texts, 12, 4)
+    assert list(zip(got["doc_id"], got["chunk_id"], got["chunk_text"])) == exp
+    assert (got["n_chunk_chars"] == got["chunk_text"].str.len()).all()
+    # every doc emits >= 1 chunk, including the empty one
+    assert sorted(got["doc_id"].unique()) == list(range(len(texts)))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_documents_overlap_validation():
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        chunk_documents,
+    )
+
+    tbl = pa.table({"doc_id": pa.array([0], pa.int64()),
+                    "text": pa.array(["abc"])})
+    with pytest.raises(ValueError):
+        chunk_documents(ray.data.from_arrow(tbl), chunk_chars=8, overlap=8)

@@ -1,0 +1,98 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from cardinality_estimation_evaluation_framework_ray.stages.windows import (
+    windowed_agg,
+)
+
+
+def _events():
+    rng = np.random.default_rng(11)
+    n = 400
+    return pd.DataFrame({
+        "eid": np.arange(n, dtype=np.int64),
+        "u": rng.integers(0, 8, n),
+        "t": rng.integers(0, 5000, n).astype(np.int64),
+        "v": rng.integers(1, 100, n).astype(np.int64),
+    })
+
+
+def _brute(df, window):
+    rows = []
+    for _, r in df.iterrows():
+        m = (df["u"] == r["u"]) & (df["t"] >= r["t"] - window) & (df["t"] <= r["t"])
+        rows.append((r["eid"], r["u"], int(m.sum()), int(df.loc[m, "v"].sum())))
+    return (pd.DataFrame(rows, columns=["eid", "u", "n_window", "sum_window"])
+            .sort_values("eid").reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_windowed_agg_matches_bruteforce():
+    df = _events()
+    got = windowed_agg(ray.data.from_pandas(df).repartition(6),
+                       key_col="u", ts_col="t", id_col="eid",
+                       value_col="v", window=300).to_pandas()
+    got = got.sort_values("eid").reset_index(drop=True)
+    exp = _brute(df, 300)
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_windowed_agg_includes_ts_peers():
+    # RANGE frame semantics: same-key rows at the SAME timestamp count each
+    # other (and themselves)
+    df = pd.DataFrame({"eid": [0, 1, 2], "u": [5, 5, 5],
+                       "t": [100, 100, 400], "v": [1, 2, 4]})
+    got = windowed_agg(ray.data.from_pandas(df), key_col="u", ts_col="t",
+                       id_col="eid", value_col="v", window=10).to_pandas()
+    got = got.sort_values("eid")
+    assert got["n_window"].tolist() == [2, 2, 1]
+    assert got["sum_window"].tolist() == [3, 3, 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_windowed_agg_bucketed_identical():
+    """The two-level (hot-key) plan is output-identical, including one
+    dominant key spanning many blocks and bucket-boundary-straddling
+    windows."""
+    df = _events()
+    df.loc[df.index[:200], "u"] = 0  # hot key
+    ds = ray.data.from_pandas(df).repartition(8)
+    plain = windowed_agg(ds, key_col="u", ts_col="t", id_col="eid",
+                         value_col="v", window=300).to_pandas()
+    bucketed = windowed_agg(ds, key_col="u", ts_col="t", id_col="eid",
+                            value_col="v", window=300,
+                            bucket_span=300).to_pandas()
+    key = ["eid"]
+    plain = plain.sort_values(key).reset_index(drop=True)
+    bucketed = bucketed.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain.astype("int64"),
+                                  bucketed.astype("int64"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_windowed_agg_timestamp_column():
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "eid": [0, 1, 2, 3],
+        "u": [1, 1, 1, 2],
+        "t": [base, base + pd.Timedelta(minutes=30),
+              base + pd.Timedelta(minutes=90), base],
+        "v": [1, 2, 4, 8],
+    })
+    got = windowed_agg(ray.data.from_pandas(df), key_col="u", ts_col="t",
+                       id_col="eid", value_col="v",
+                       window="1h").to_pandas().sort_values("eid")
+    assert got["n_window"].tolist() == [1, 2, 2, 1]
+    assert got["sum_window"].tolist() == [1, 3, 6, 8]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_windowed_agg_bucket_span_validation():
+    df = _events()
+    with pytest.raises(ValueError):
+        windowed_agg(ray.data.from_pandas(df), key_col="u", ts_col="t",
+                     id_col="eid", window=300, bucket_span=100).to_pandas()
