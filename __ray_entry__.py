@@ -1132,6 +1132,28 @@ def _q_mixture_sample_bucketed(sf_dir: str):
     return _q_mixture_sample(sf_dir, n_buckets=8)
 
 
+def _q_price_range_buckets(sf_dir: str):
+    """Exact range partitioning (global-sort building block): bucket
+    lineitem prices at the 8 exact rank-quantile cutpoints, then per-bucket
+    (n, min, max) — bucket = #cutpoints strictly below the value."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        range_partition,
+    )
+
+    li = _read(sf_dir, "lineitem").select_columns(["l_extendedprice"])
+    out = (range_partition(li, "l_extendedprice", 8)
+           .groupby("bucket")
+           .aggregate(Count(alias_name="n_rows"),
+                      Min("l_extendedprice", alias_name="min_price"),
+                      Max("l_extendedprice", alias_name="max_price"))
+           .to_pandas())
+    out["min_price"] = out["min_price"].round(2)
+    out["max_price"] = out["max_price"].round(2)
+    return out.astype({"bucket": "int64", "n_rows": "int64"})
+
+
 def _q_smoke_eval(sf_dir: str):
     """Rows-only: full evaluator -> analyzer harness on a mini grid."""
     import tempfile
@@ -1335,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed_1h_bucketed": _q_events_windowed_1h_bucketed,
         "mixture_sample": _q_mixture_sample,
         "mixture_sample_bucketed": _q_mixture_sample_bucketed,
+        "price_range_buckets": _q_price_range_buckets,
         "image_decode_stats": _q_image_decode_stats,
         "audio_decode_stats": _q_audio_decode_stats,
         "video_frame_stats": _q_video_frame_stats,
@@ -1815,6 +1838,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_near_dups": _simhash_oracle_sql(seed=99, max_hamming=3),
         "doc_fingerprints": _winnow_oracle_sql(k=5, window=8, seed=71),
+        "price_range_buckets": """
+            WITH ranks AS (
+                SELECT CAST(CEIL((SELECT count(*) FROM lineitem) * i / 8.0)
+                            AS BIGINT) AS r
+                FROM (SELECT unnest(generate_series(1, 7)) AS i)),
+            ranked AS (
+                SELECT l_extendedprice AS v,
+                       row_number() OVER (ORDER BY l_extendedprice) AS rn
+                FROM lineitem),
+            cuts AS (SELECT v AS cut FROM ranked JOIN ranks ON rn = r),
+            bucketed AS (
+                SELECT l_extendedprice AS v,
+                       (SELECT count(*) FROM cuts c
+                        WHERE c.cut < l.l_extendedprice) AS bucket
+                FROM lineitem l)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   ROUND(MIN(v), 2) AS min_price,
+                   ROUND(MAX(v), 2) AS max_price
+            FROM bucketed GROUP BY bucket
+        """,
         "orders_customer_join": """
             SELECT o.o_orderkey, o.o_custkey,
                    ROUND(o.o_totalprice, 2) AS o_totalprice,

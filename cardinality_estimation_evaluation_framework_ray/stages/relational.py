@@ -112,3 +112,81 @@ def union_all(datasets: Iterable["ray.data.Dataset"]) -> "ray.data.Dataset":
     for d in datasets[1:]:
         out = out.union(d)
     return out
+
+
+def range_cutpoints(ds: "ray.data.Dataset", col: str, num_partitions: int,
+                    mode: str = "exact") -> np.ndarray:
+    """``num_partitions - 1`` ascending cutpoints of ``col``: cut ``i`` is
+    the value at rank ``ceil(n * (i+1) / B)`` (1-based, percentile_disc
+    semantics — the smallest value whose cumulative count reaches the rank).
+
+    ``mode='exact'``: one groupby over DISTINCT values (combiner-compressed
+    map-side), then a driver-side cumulative scan of the distinct-value
+    count table — exact and SQL-oracle-able; right for columns with bounded
+    distinct counts.  ``mode='kll'`` builds the engine's own KLL sketch in
+    one pass (state KBs, never the value table) and reads its quantiles —
+    approximate within KLL rank error, the 100-TB path for continuous
+    columns with unbounded distinct values.
+    """
+    B = int(num_partitions)
+    if B < 2:
+        return np.empty(0, np.float64)
+    qs = np.arange(1, B) / B
+    if mode == "kll":
+        import pickle
+
+        from ..state import KllSpec
+
+        spec = KllSpec(k=200, seed=42)
+        sk = spec.new()
+
+        def partial(t: pa.Table):
+            s = spec.new()
+            s.update_tokens(t.column(col).to_numpy(zero_copy_only=False))
+            return {"state": np.array([pickle.dumps(s.state_dict())],
+                                      dtype=object)}
+
+        for b in (ds.select_columns([col])
+                  .map_batches(partial, batch_format="pyarrow")
+                  .iter_batches(batch_format="pandas")):
+            for blob in b["state"]:
+                other = spec.new()
+                other.load_state(pickle.loads(blob))
+                sk.merge_in(other)
+        return np.asarray([sk.quantile(q) for q in qs], np.float64)
+    if mode != "exact":
+        raise ValueError("mode must be 'exact' or 'kll'")
+    counts = ds.groupby(col).count().to_pandas().sort_values(col)
+    vals = counts[col].to_numpy()
+    cum = counts["count()"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return np.empty(0, np.float64)
+    ranks = np.ceil(n * qs).astype(np.int64)
+    idx = np.searchsorted(cum, ranks, side="left")
+    return vals[np.minimum(idx, len(vals) - 1)].astype(np.float64)
+
+
+def range_partition(ds: "ray.data.Dataset", col: str, num_partitions: int,
+                    cuts: np.ndarray | None = None, mode: str = "exact",
+                    bucket_col: str = "bucket") -> "ray.data.Dataset":
+    """Assign each row its range-partition bucket: ``bucket = #cutpoints
+    strictly below the value`` (so bucket boundaries are closed on the
+    right).  This is the building block of a distributed total order — a
+    per-bucket local sort after this stage IS the global sort, without any
+    all-to-all beyond the one groupby inside ``range_cutpoints`` (KLL mode:
+    no shuffle at all); buckets are also the resumable unit for partitioned
+    parquet output (stages/checkpoint.py).
+    """
+    if cuts is None:
+        cuts = range_cutpoints(ds, col, num_partitions, mode=mode)
+    cuts_arr = np.asarray(cuts, np.float64)
+    ref = ray.put(cuts_arr)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.searchsorted(c, v, side="left").astype(np.int64)
+        return t.append_column(bucket_col, pa.array(b))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

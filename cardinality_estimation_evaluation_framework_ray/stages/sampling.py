@@ -184,18 +184,16 @@ def mixture_sample(ds: "ray.data.Dataset", *, budgets: dict[str, int],
     # K x B rows of metadata — broadcast once
     import ray
 
-    vref = ray.put({(k, b): (v, r) for k, b, v, r in zip(
-        verdicts[key_col], verdicts["__pbucket"], verdicts["__verdict"],
-        verdicts["__rem"])})
+    vref = ray.put(verdicts[[key_col, "__pbucket", "__verdict"]])
 
     def keep(verdict_wanted: int):
         def fn(t: pa.Table) -> pa.Table:
-            vmap = ray.get(vref)
-            keys = t.column(key_col).to_pylist()
-            bk = t.column("__pbucket").to_numpy(zero_copy_only=False)
-            mask = np.fromiter(
-                (vmap.get((k, b), (0, 0))[0] == verdict_wanted
-                 for k, b in zip(keys, bk)), dtype=bool, count=len(keys))
+            # vectorized semi-join against the broadcast verdict table (a
+            # C-level hash merge, no per-row Python)
+            vdf = ray.get(vref)
+            probe = t.select([key_col, "__pbucket"]).to_pandas()
+            m = probe.merge(vdf, how="left", on=[key_col, "__pbucket"])
+            mask = (m["__verdict"] == verdict_wanted).to_numpy()
             return t.filter(pa.array(mask)).select(cols)
         return fn
 

@@ -67,3 +67,65 @@ def test_broadcast_join_and_union_all():
     assert out.sort_values("v").label.tolist() == ["A", "B", "A"]
     u = union_all([big, big]).to_pandas()
     assert len(u) == 6
+
+
+def test_range_partition_exact_and_kll(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        range_cutpoints,
+        range_partition,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([rng.normal(100, 20, 4000),
+                           np.full(500, 100.0)])  # heavy tie at 100
+    df = pd.DataFrame({"v": vals})
+    ds = ray.data.from_pandas(df).repartition(6)
+
+    cuts = range_cutpoints(ds, "v", 8)
+    # percentile_disc definition: cut i = value at rank ceil(n*(i+1)/8)
+    sv = np.sort(vals)
+    expect = sv[np.ceil(len(sv) * np.arange(1, 8) / 8).astype(int) - 1]
+    assert np.allclose(cuts, expect)
+
+    out = range_partition(ds, "v", 8).to_pandas()
+    b = out["bucket"].to_numpy()
+    v = out["v"].to_numpy()
+    # bucket = #cuts strictly below v; boundaries closed on the right
+    assert (b == np.searchsorted(cuts, v, side="left")).all()
+    # per-bucket ranges tile the value space in order
+    g = out.groupby("bucket")["v"].agg(["min", "max"]).sort_index()
+    assert (g["max"].to_numpy()[:-1] <= g["min"].to_numpy()[1:]).all()
+    # near-balanced buckets (ties can skew the tied bucket)
+    n = len(vals)
+    assert out.groupby("bucket").size().max() <= n / 8 + 500 + 8
+
+    # KLL mode: approximate cuts within rank error, monotone
+    kcuts = range_cutpoints(ds, "v", 8, mode="kll")
+    assert (np.diff(kcuts) >= 0).all()
+    # a tied value covers a RANK INTERVAL [lo, hi); error = distance from
+    # the target quantile to that interval (0 when the target lies inside)
+    lo = np.searchsorted(sv, kcuts, side="left") / n
+    hi = np.searchsorted(sv, kcuts, side="right") / n
+    target = np.arange(1, 8) / 8
+    err = np.maximum(lo - target, 0) + np.maximum(target - hi, 0)
+    assert err.max() < 0.05
+
+
+def test_range_partition_partition_invariance(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        range_partition,
+    )
+
+    df = pd.DataFrame({"v": np.arange(1000, dtype=np.float64) % 37})
+    outs = []
+    for blocks in (1, 16):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        outs.append(range_partition(ds, "v", 4).to_pandas()
+                    .sort_values(["v", "bucket"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
