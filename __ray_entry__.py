@@ -1154,6 +1154,22 @@ def _q_price_range_buckets(sf_dir: str):
     return out.astype({"bucket": "int64", "n_rows": "int64"})
 
 
+_BM25_TERMS = ["hash", "join", "stream", "spark"]
+
+
+def _q_bm25_search(sf_dir: str):
+    """Okapi BM25 relevance of every doc against a fixed query term set;
+    two corpus passes, stats + model broadcast once, scores as exact
+    integer micros (order-independent — see stages/search.py)."""
+    from cardinality_estimation_evaluation_framework_ray.stages.search import (
+        bm25_scores,
+    )
+
+    out = bm25_scores(_read(sf_dir, "documents"), _BM25_TERMS).to_pandas()
+    return out.astype({"doc_id": "int64", "n_matched": "int64",
+                       "score_micros": "int64"})
+
+
 def _q_smoke_eval(sf_dir: str):
     """Rows-only: full evaluator -> analyzer harness on a mini grid."""
     import tempfile
@@ -1358,6 +1374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _q_mixture_sample,
         "mixture_sample_bucketed": _q_mixture_sample_bucketed,
         "price_range_buckets": _q_price_range_buckets,
+        "bm25_search": _q_bm25_search,
         "image_decode_stats": _q_image_decode_stats,
         "audio_decode_stats": _q_audio_decode_stats,
         "video_frame_stats": _q_video_frame_stats,
@@ -1838,6 +1855,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_near_dups": _simhash_oracle_sql(seed=99, max_hamming=3),
         "doc_fingerprints": _winnow_oracle_sql(k=5, window=8, seed=71),
+        "bm25_search": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                    lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+                FROM documents),
+            qterms AS (SELECT * FROM (VALUES
+                {", ".join("('" + t + "')" for t in ["hash", "join", "stream", "spark"])}) q(term)),
+            stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                             (SELECT count(*) FROM toks) AS total_len),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df
+                   FROM toks JOIN qterms ON tok = term GROUP BY term),
+            tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+                   FROM toks JOIN qterms ON tok = term GROUP BY doc_id, tok),
+            contrib AS (
+                SELECT tf.doc_id,
+                       CAST(FLOOR(
+                           ln(((SELECT n FROM stats) - df.df + 0.5)
+                              / (df.df + 0.5) + 1.0)
+                           * tf.tf * (1.2 + 1.0)
+                           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 *
+                               (dl.dl / ((SELECT CAST(total_len AS DOUBLE)
+                                          FROM stats)
+                                         / (SELECT n FROM stats)))))
+                           * 1000000 + 0.5) AS BIGINT) AS micros
+                FROM tf JOIN df USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+                   CAST(SUM(micros) AS BIGINT) AS score_micros
+            FROM contrib GROUP BY doc_id
+        """,
         "price_range_buckets": """
             WITH ranks AS (
                 SELECT CAST(CEIL((SELECT count(*) FROM lineitem) * i / 8.0)

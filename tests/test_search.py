@@ -1,0 +1,77 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from cardinality_estimation_evaluation_framework_ray.stages.search import (
+    bm25_scores,
+    corpus_stats,
+)
+
+
+def _docs():
+    return pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "the cat sat on the mat",
+            "cat cat dog",
+            "fish swim in water",
+            "",
+        ]),
+    })
+
+
+def _brute_bm25(texts, terms, k1=1.2, b=0.75):
+    tok_lists = [[w for w in t.lower().split() if w] for t in texts]
+    N = len(texts)
+    avgdl = sum(len(ws) for ws in tok_lists) / N
+    out = {}
+    for t in terms:
+        df = sum(1 for ws in tok_lists if t in ws)
+        idf = np.log((N - df + 0.5) / (df + 0.5) + 1.0)
+        for i, ws in enumerate(tok_lists):
+            tf = ws.count(t)
+            if tf:
+                c = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * (len(ws) / avgdl)))
+                out.setdefault(i, [0, 0])
+                out[i][0] += 1
+                out[i][1] += int(np.floor(c * 1e6 + 0.5))
+    return out
+
+
+def test_bm25_matches_bruteforce(ray_session):
+    tbl = _docs()
+    got = (bm25_scores(ray.data.from_arrow(tbl).repartition(3),
+                       ["cat", "mat", "water"])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    exp = _brute_bm25(tbl.column("text").to_pylist(), ["cat", "mat", "water"])
+    assert got["doc_id"].tolist() == sorted(exp)
+    for _, r in got.iterrows():
+        n, s = exp[r["doc_id"]]
+        assert r["n_matched"] == n
+        assert r["score_micros"] == s
+
+
+def test_corpus_stats(ray_session):
+    tbl = _docs()
+    N, total, df = corpus_stats(ray.data.from_arrow(tbl).repartition(2),
+                                ["cat", "dog", "absent"])
+    assert N == 4
+    assert total == 6 + 3 + 4 + 0
+    assert df.tolist() == [2, 1, 0]
+
+
+def test_bm25_rejects_non_normal_terms(ray_session):
+    with pytest.raises(ValueError):
+        bm25_scores(ray.data.from_arrow(_docs()), ["Cat!", "ok"])
+
+
+def test_bm25_partition_invariance(ray_session):
+    tbl = _docs()
+    outs = []
+    for blocks in (1, 4):
+        outs.append(bm25_scores(ray.data.from_arrow(tbl).repartition(blocks),
+                                ["cat", "dog"]).to_pandas()
+                    .sort_values("doc_id").reset_index(drop=True))
+    assert outs[0].equals(outs[1])
