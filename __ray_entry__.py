@@ -1154,6 +1154,24 @@ def _q_price_range_buckets(sf_dir: str):
     return out.astype({"bucket": "int64", "n_rows": "int64"})
 
 
+def _q_price_global_rank(sf_dir: str):
+    """Distributed global ROW_NUMBER without a global sort: exact range
+    partition by price -> bucket counts -> offset prefix-sum (KBs on the
+    driver) -> per-bucket local sort + offset add."""
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        global_rank,
+    )
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"])
+    out = global_rank(li, "l_extendedprice",
+                      tiebreak=["l_orderkey", "l_linenumber"],
+                      num_partitions=16, rank_col="rnk").to_pandas()
+    out["l_extendedprice"] = out["l_extendedprice"].round(2)
+    return out.astype({"rnk": "int64", "l_orderkey": "int64",
+                       "l_linenumber": "int64"})
+
+
 _BM25_TERMS = ["hash", "join", "stream", "spark"]
 
 
@@ -1375,6 +1393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample_bucketed": _q_mixture_sample_bucketed,
         "price_range_buckets": _q_price_range_buckets,
         "bm25_search": _q_bm25_search,
+        "price_global_rank": _q_price_global_rank,
         "image_decode_stats": _q_image_decode_stats,
         "audio_decode_stats": _q_audio_decode_stats,
         "video_frame_stats": _q_video_frame_stats,
@@ -1855,6 +1874,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_near_dups": _simhash_oracle_sql(seed=99, max_hamming=3),
         "doc_fingerprints": _winnow_oracle_sql(k=5, window=8, seed=71),
+        "price_global_rank": """
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_extendedprice,
+                        l_orderkey, l_linenumber) AS BIGINT) AS rnk,
+                   l_orderkey, l_linenumber,
+                   ROUND(l_extendedprice, 2) AS l_extendedprice
+            FROM lineitem
+        """,
         "bm25_search": f"""
             WITH toks AS (
                 SELECT doc_id, unnest(list_filter(regexp_split_to_array(

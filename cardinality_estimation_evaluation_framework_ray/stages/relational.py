@@ -190,3 +190,40 @@ def range_partition(ds: "ray.data.Dataset", col: str, num_partitions: int,
         return t.append_column(bucket_col, pa.array(b))
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def global_rank(ds: "ray.data.Dataset", col: str, *,
+                tiebreak: list[str], num_partitions: int = 32,
+                mode: str = "exact", rank_col: str = "rank"
+                ) -> "ray.data.Dataset":
+    """Dense global ROW_NUMBER over ``(col, *tiebreak)`` WITHOUT a global
+    sort: range-partition by ``col`` (``range_cutpoints``), count rows per
+    bucket (a KB-scale aggregate), prefix-sum the counts into bucket OFFSETS
+    on the driver, then sort each bucket locally and emit ``offset + local
+    position``.  The only all-to-all is the bucket cogroup; comparisons
+    never cross buckets.  This composed with a per-bucket write IS the
+    distributed total-order sort.
+
+    ``tiebreak`` must make rows unique so ranks are deterministic (the
+    ROW_NUMBER oracle contract).  1-based ranks.
+    """
+    bucketed = range_partition(ds, col, num_partitions, mode=mode)
+    counts = (bucketed.groupby("bucket").count().to_pandas()
+              .sort_values("bucket"))
+    # driver state: <= num_partitions offsets
+    offs = {}
+    acc = 0
+    for b, c in zip(counts["bucket"], counts["count()"]):
+        offs[int(b)] = acc
+        acc += int(c)
+    off_ref = ray.put(offs)
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        offsets = ray.get(off_ref)
+        g = g.sort_values([col] + tiebreak, kind="stable").reset_index(drop=True)
+        g[rank_col] = offsets[int(g["bucket"].iloc[0])] + np.arange(
+            1, len(g) + 1, dtype=np.int64)
+        return g.drop(columns=["bucket"])
+
+    return bucketed.groupby("bucket").map_groups(rank_bucket,
+                                                 batch_format="pandas")

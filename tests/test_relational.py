@@ -129,3 +129,29 @@ def test_range_partition_partition_invariance(ray_session):
         outs.append(range_partition(ds, "v", 4).to_pandas()
                     .sort_values(["v", "bucket"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_global_rank_matches_argsort(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        global_rank,
+    )
+
+    rng = np.random.default_rng(12)
+    df = pd.DataFrame({
+        "v": rng.integers(0, 50, 600).astype(np.float64),  # heavy ties
+        "id": np.arange(600, dtype=np.int64),
+    })
+    got = (global_rank(ray.data.from_pandas(df).repartition(7), "v",
+                       tiebreak=["id"], num_partitions=8)
+           .to_pandas().sort_values("rank").reset_index(drop=True))
+    order = np.lexsort((df["id"].to_numpy(), df["v"].to_numpy()))
+    assert got["rank"].tolist() == list(range(1, 601))
+    assert got["id"].tolist() == df["id"].to_numpy()[order].tolist()
+    # partition-count invariance
+    got2 = (global_rank(ray.data.from_pandas(df).repartition(3), "v",
+                        tiebreak=["id"], num_partitions=3)
+            .to_pandas().sort_values("rank").reset_index(drop=True))
+    assert got2["id"].tolist() == got["id"].tolist()
