@@ -227,3 +227,48 @@ def global_rank(ds: "ray.data.Dataset", col: str, *,
 
     return bucketed.groupby("bucket").map_groups(rank_bucket,
                                                  batch_format="pandas")
+
+
+def write_sorted_partitioned(ds: "ray.data.Dataset", col: str, out_dir: str,
+                             *, tiebreak: list[str] | None = None,
+                             num_partitions: int = 32, mode: str = "exact"
+                             ) -> pd.DataFrame:
+    """Resumable distributed SORTED parquet output: range-partition by
+    ``col``, then each bucket task sorts ITS rows locally and publishes
+
+        out_dir/bucket=<i>/part.parquet   (+ _DONE marker)
+
+    atomically (tmp + rename).  Reading ``bucket=00000..N`` in order yields
+    the global total order — the classic external-sort layout, one
+    directory per key range, never one giant file.  A rerun skips the WRITE
+    of every bucket whose ``_DONE`` marker exists (the shuffle still runs;
+    the save is the write + the idempotence — safe to re-run after a
+    partial failure).  Returns a per-bucket manifest
+    (bucket, n_rows, skipped).
+    """
+    tb = tiebreak or []
+    bucketed = range_partition(ds, col, num_partitions, mode=mode)
+
+    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        import os
+
+        import pyarrow.parquet as _pq
+
+        b = int(g["bucket"].iloc[0])
+        path = os.path.join(out_dir, f"bucket={b:05d}")
+        done = os.path.join(path, "_DONE")
+        if os.path.exists(done):
+            return pd.DataFrame({"bucket": [b], "n_rows": [len(g)],
+                                 "skipped": [True]})
+        g = g.sort_values([col] + tb, kind="stable").drop(columns=["bucket"])
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(path, ".part.parquet.tmp")
+        _pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+        os.replace(tmp, os.path.join(path, "part.parquet"))
+        with open(done, "w"):
+            pass
+        return pd.DataFrame({"bucket": [b], "n_rows": [len(g)],
+                             "skipped": [False]})
+
+    return (bucketed.groupby("bucket")
+            .map_groups(write_bucket, batch_format="pandas").to_pandas())

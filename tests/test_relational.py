@@ -155,3 +155,43 @@ def test_global_rank_matches_argsort(ray_session):
                         tiebreak=["id"], num_partitions=3)
             .to_pandas().sort_values("rank").reset_index(drop=True))
     assert got2["id"].tolist() == got["id"].tolist()
+
+
+def test_write_sorted_partitioned_resumable(ray_session, tmp_path):
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        write_sorted_partitioned,
+    )
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({"v": rng.normal(0, 1, 2000),
+                       "id": np.arange(2000, dtype=np.int64)})
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = str(tmp_path / "sorted")
+    man = write_sorted_partitioned(ds, "v", out, tiebreak=["id"],
+                                   num_partitions=6)
+    assert not man["skipped"].any() and man["n_rows"].sum() == 2000
+
+    # reading buckets in order yields the global total order
+    vals = []
+    for b in sorted(os.listdir(out)):
+        t = pq.read_table(os.path.join(out, b, "part.parquet"))
+        v = t.column("v").to_numpy()
+        assert (np.diff(v) >= 0).all()  # sorted within bucket
+        vals.append(v)
+    allv = np.concatenate(vals)
+    assert (np.diff(allv) >= 0).all()  # sorted across buckets
+    assert len(allv) == 2000
+
+    # resume: drop one _DONE -> only that bucket is rewritten
+    victim = sorted(os.listdir(out))[2]
+    os.remove(os.path.join(out, victim, "_DONE"))
+    man2 = write_sorted_partitioned(ds, "v", out, tiebreak=["id"],
+                                    num_partitions=6)
+    assert man2["skipped"].sum() == 5
+    assert not man2.loc[man2["bucket"] == 2, "skipped"].iloc[0]
