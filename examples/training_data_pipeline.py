@@ -1,0 +1,150 @@
+"""End-to-end training-data curation over the documents table: the chain a
+100-TB pretraining pipeline runs, composed from this engine's stages —
+
+  1. exact dedup            (content-hash; hash+id shuffle only)
+  2. near-dup pruning       (MinHash+LSH candidates -> drop non-canonical)
+  3. decontamination        (broadcast gram-hash semi-join vs a held-out set)
+  4. quality filtering      (vectorized length/punct/stopword scores)
+  5. domain mixing          (mixture_sample: per-source char budgets)
+  6. chunk + pack           (RAG chunks -> fixed-length training examples)
+
+Every stage streams; document bodies move at most once (the final join);
+all selection stages exchange metadata (ids, hashes, weights) only.
+
+  python examples/training_data_pipeline.py --sf-dir /root/testdata/sf0.001
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    parser.add_argument("--num-cpus", type=int, default=8)
+    parser.add_argument("--seq-len", type=int, default=256)
+    args = parser.parse_args()
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
+        dedup_exact_texts,
+        minhash_near_dups,
+    )
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        decontaminate,
+    )
+    from cardinality_estimation_evaluation_framework_ray.stages.packing import (
+        pack_sequences,
+    )
+    from cardinality_estimation_evaluation_framework_ray.stages.sampling import (
+        mixture_sample,
+    )
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        chunk_documents,
+        quality_stats,
+    )
+
+    docs = ray.data.read_parquet(f"{args.sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1) exact dedup: survivors carry their own id (metadata-only shuffle)
+    survivors = dedup_exact_texts(docs).select_columns(["kept_doc_id"])
+    keep_exact = set(survivors.to_pandas()["kept_doc_id"])  # sandbox scale only
+
+    # 2) near-dups: drop the higher id of every candidate pair
+    pairs = minhash_near_dups(docs, threshold=0.7).to_pandas()
+    drop_near = set(pairs[["doc_a", "doc_b"]].max(axis=1)) if len(pairs) else set()
+
+    # 3) decontamination vs a deterministic 1-in-37 held-out slice
+    def bench_slice(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 37 == 0))
+
+    bench = docs.map_batches(bench_slice, batch_format="pyarrow")
+    cont = decontaminate(docs, bench, n=8).to_pandas()
+    drop_cont = set(cont.loc[cont["contaminated"], "doc_id"])
+
+    # 4) quality: drop the worst decile by mean word length (a cheap
+    # gibberish proxy over this synthetic corpus)
+    q = quality_stats(docs).to_pandas()
+    cut = q["mean_word_len"].quantile(0.1)
+    drop_quality = set(q.loc[q["mean_word_len"] < cut, "doc_id"])
+
+    drop = (drop_near | drop_cont | drop_quality)
+    kept_ids = np.array(sorted(keep_exact - drop), dtype=np.int64)
+    kept_ref = ray.put(kept_ids)
+
+    def keep_only(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        k = ray.get(kept_ref)
+        pos = np.searchsorted(k, ids)
+        ok = (pos < len(k)) & (k[np.minimum(pos, len(k) - 1)] == ids)
+        return t.filter(pa.array(ok))
+
+    clean = docs.map_batches(keep_only, batch_format="pyarrow")
+
+    # 5) domain mixing: equal char budget per source
+    budgets = {s: 5_000 for s in
+               clean.select_columns(["source"]).unique("source")}
+    mix = mixture_sample(clean, budgets=budgets)
+    mix_ids = mix.to_pandas()["doc_id"].to_numpy()
+    mix_ref = ray.put(np.sort(mix_ids.astype(np.int64)))
+
+    def keep_mix(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        k = ray.get(mix_ref)
+        pos = np.searchsorted(k, ids)
+        ok = (pos < len(k)) & (k[np.minimum(pos, len(k) - 1)] == ids)
+        return t.filter(pa.array(ok))
+
+    curated = clean.map_batches(keep_mix, batch_format="pyarrow")
+
+    # 6) chunk to windows, then pack chunks into fixed-length examples
+    chunks = chunk_documents(curated, chunk_chars=512, overlap=64)
+
+    def as_pack_input(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(
+                t.column("doc_id").to_numpy(zero_copy_only=False) * 1000
+                + t.column("chunk_id").to_numpy(zero_copy_only=False)),
+            "source": pa.array(["all"] * t.num_rows),
+            "n_tok": t.column("n_chunk_chars").cast(pa.int64()),
+        })
+
+    packed = pack_sequences(chunks.map_batches(as_pack_input,
+                                               batch_format="pyarrow"),
+                            seq_len=args.seq_len)
+    pk = packed.to_pandas()
+    n_examples = int(pk["last_pack"].max()) + 1 if len(pk) else 0
+
+    print(f"docs in                 : {n0}")
+    print(f"after exact dedup       : {len(keep_exact)}")
+    print(f"dropped near-dup        : {len(drop_near)}")
+    print(f"dropped contaminated    : {len(drop_cont)}")
+    print(f"dropped low-quality     : {len(drop_quality)}")
+    print(f"after curation          : {len(kept_ids)}")
+    print(f"after domain mixing     : {len(mix_ids)}")
+    print(f"chunks                  : {chunks.count()}")
+    print(f"packed {args.seq_len}-char examples : {n_examples}")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
