@@ -1172,6 +1172,37 @@ def _q_price_global_rank(sf_dir: str):
                        "l_linenumber": "int64"})
 
 
+def _q_reach_users_by_type(sf_dir: str):
+    """Sketch x relational composition: distinct USERS per event_type (a
+    derived key from the events table, not the canonical tokens schema) via
+    the same sparse-exact HLL build; union row = distinct users overall."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from cardinality_estimation_evaluation_framework_ray.pipelines.reach import (
+        reach_report,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import HllSpec
+
+    ev = _read(sf_dir, "events").select_columns(["event_type", "user_id"])
+
+    def to_tokens(t: pa.Table) -> pa.Table:
+        users = t.column("user_id").cast(pa.int64())
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "tokens": pa.ListArray.from_arrays(
+                pa.array(range(t.num_rows + 1), pa.int32()),
+                users.combine_chunks().cast(pa.int32())),
+        })
+
+    ds = ev.map_batches(to_tokens, batch_format="pyarrow")
+    df = reach_report(ds, {"hll": HllSpec(p=14, seed=7)}, key="event_type")
+    return pd.DataFrame({
+        "event_type": df["event_type"],
+        "distinct_users": df["est_hll"].astype("int64"),
+    })
+
+
 _BM25_TERMS = ["hash", "join", "stream", "spark"]
 
 
@@ -1394,6 +1425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_range_buckets": _q_price_range_buckets,
         "bm25_search": _q_bm25_search,
         "price_global_rank": _q_price_global_rank,
+        "reach_users_by_type": _q_reach_users_by_type,
         "image_decode_stats": _q_image_decode_stats,
         "audio_decode_stats": _q_audio_decode_stats,
         "video_frame_stats": _q_video_frame_stats,
@@ -1874,6 +1906,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_near_dups": _simhash_oracle_sql(seed=99, max_hamming=3),
         "doc_fingerprints": _winnow_oracle_sql(k=5, window=8, seed=71),
+        "reach_users_by_type": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT '__union__',
+                   CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+        """,
         "price_global_rank": """
             SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_extendedprice,
                         l_orderkey, l_linenumber) AS BIGINT) AS rnk,
