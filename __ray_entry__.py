@@ -907,7 +907,7 @@ def _q_mktsegment_revenue(sf_dir: str):
     return df
 
 
-def _q_asof_last_order(sf_dir: str):
+def _q_asof_last_order(sf_dir: str, bucket_span=None):
     """As-of join: latest order date at or before each event's timestamp."""
     import pandas as pd
 
@@ -921,7 +921,8 @@ def _q_asof_last_order(sf_dir: str):
         lambda df: df.rename(columns={"o_custkey": "user_id",
                                       "o_orderdate": "ts"}),
         batch_format="pandas")
-    joined = asof_join(events, orders, on="ts", by="user_id", right_cols=[])
+    joined = asof_join(events, orders, on="ts", by="user_id", right_cols=[],
+                       bucket_span=bucket_span)
     df = joined.to_pandas()
     out = pd.DataFrame({
         "event_id": df["event_id"].astype("int64"),
@@ -931,7 +932,7 @@ def _q_asof_last_order(sf_dir: str):
     return out
 
 
-def _q_events_range_join(sf_dir: str):
+def _q_events_range_join(sf_dir: str, bucket_span=None):
     """Range (band) self-join: for each event, the same user's events in the
     preceding 60 minutes (exclusive of itself) — the windowed-context shape
     a sessionizing pipeline joins on."""
@@ -944,7 +945,7 @@ def _q_events_range_join(sf_dir: str):
     events = _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])
     joined = range_join(events, events, on="ts", by="user_id",
                         lower=-pd.Timedelta(minutes=60), upper=pd.Timedelta(0),
-                        right_cols=["event_id"])
+                        right_cols=["event_id"], bucket_span=bucket_span)
     df = joined.to_pandas()
     if df.empty:
         return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
@@ -975,25 +976,7 @@ def _q_asof_last_order_bucketed(sf_dir: str):
     with per-key carry injection — same oracle as `asof_last_order`."""
     import pandas as pd
 
-    from cardinality_estimation_evaluation_framework_ray.stages.joins import (
-        asof_join,
-    )
-
-    events = _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])
-    orders = _read(sf_dir, "orders").select_columns(["o_custkey", "o_orderdate"])
-    orders = orders.map_batches(
-        lambda df: df.rename(columns={"o_custkey": "user_id",
-                                      "o_orderdate": "ts"}),
-        batch_format="pandas")
-    joined = asof_join(events, orders, on="ts", by="user_id", right_cols=[],
-                       bucket_span=pd.Timedelta(days=90))
-    df = joined.to_pandas()
-    out = pd.DataFrame({
-        "event_id": df["event_id"].astype("int64"),
-        "user_id": df["user_id"].astype("int64"),
-        "last_order_date": pd.to_datetime(df["ts_right"]).dt.strftime("%Y-%m-%d"),
-    })
-    return out
+    return _q_asof_last_order(sf_dir, bucket_span=pd.Timedelta(days=90))
 
 
 def _q_events_range_join_bucketed(sf_dir: str):
@@ -1001,24 +984,7 @@ def _q_events_range_join_bucketed(sf_dir: str):
     adjacent 2-hour buckets — same oracle as `events_range_join`."""
     import pandas as pd
 
-    from cardinality_estimation_evaluation_framework_ray.stages.joins import (
-        range_join,
-    )
-
-    events = _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])
-    joined = range_join(events, events, on="ts", by="user_id",
-                        lower=-pd.Timedelta(minutes=60), upper=pd.Timedelta(0),
-                        right_cols=["event_id"],
-                        bucket_span=pd.Timedelta(hours=2))
-    df = joined.to_pandas()
-    if df.empty:
-        return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
-                             "prior_event_id": pd.Series(dtype="int64")})
-    df = df[df["event_id"] != df["event_id_right"]]
-    return pd.DataFrame({
-        "event_id": df["event_id"].astype("int64"),
-        "prior_event_id": df["event_id_right"].astype("int64"),
-    })
+    return _q_events_range_join(sf_dir, bucket_span=pd.Timedelta(hours=2))
 
 
 def _q_orders_customer_join(sf_dir: str, num_salts: int | None = None):

@@ -323,15 +323,21 @@ def _stale_session_dirs() -> list[str]:
     return dirs
 
 
-def _clean_stale_sessions(before: float) -> None:
+def _clean_stale_sessions(before: float, failed_after: float | None = None
+                          ) -> None:
     """Remove session dirs whose mtime predates ``before`` (this process's
-    start): leftovers of exited/killed runs that can wedge node startup.
-    Anything newer is presumed live and left alone."""
+    start — leftovers of exited/killed runs that can wedge node startup)
+    and, when ``failed_after`` is given, dirs created at/after it (the
+    just-FAILED attempt's own dirs: its process has already exited, so they
+    are certainly dead, and without this the cleanup is always one attempt
+    behind).  Dirs between the two timestamps are presumed live (another
+    session started mid-run) and left alone."""
     import shutil
 
     for d in _stale_session_dirs():
         try:
-            if os.path.getmtime(d) < before:
+            m = os.path.getmtime(d)
+            if m < before or (failed_after is not None and m >= failed_after):
                 shutil.rmtree(d, ignore_errors=True)
         except OSError:
             pass
@@ -343,6 +349,7 @@ def _ray_init_retry(num_cpus: int, store_gb: int, t_start: float) -> None:
     import ray
 
     for attempt in range(3):
+        attempt_start = time.time()
         try:
             ray.init(address="local", num_cpus=num_cpus,
                      include_dashboard=False, ignore_reinit_error=True,
@@ -356,7 +363,7 @@ def _ray_init_retry(num_cpus: int, store_gb: int, t_start: float) -> None:
                 ray.shutdown()
             except Exception:
                 pass
-            _clean_stale_sessions(t_start)
+            _clean_stale_sessions(t_start, failed_after=attempt_start)
             time.sleep(10)
 
 
@@ -505,7 +512,7 @@ def _scaling_for_mode(mode: str, lo: int, hi: int, reps: int) -> dict:
                         f"scaling leg num_cpus={n} failed {attempt + 1} times;"
                         " stderr tail:\n"
                         + "\n".join(out.stderr.strip().splitlines()[-15:]))
-                _clean_stale_sessions(leg_start)
+                _clean_stale_sessions(leg_start, failed_after=leg_start)
                 time.sleep(15)
             line = [l for l in out.stdout.strip().splitlines()
                     if l.startswith("{")][-1]

@@ -201,7 +201,9 @@ def _epoch_partition_build(files: list[str], specs: dict[str, SketchSpec],
     meta: dict = {}
     for f in sorted(files):
         pf = pq.ParquetFile(f)
-        for rb in pf.iter_batches(batch_size=batch_size,
+        # pyarrow's iter_batches requires an int (None raises TypeError),
+        # while the public signature allows None = "engine default"
+        for rb in pf.iter_batches(batch_size=batch_size or 8192,
                                   columns=[key, tokens_col]):
             batch = pa.Table.from_batches([rb])
             keys_np = batch.column(key).to_numpy(zero_copy_only=False)

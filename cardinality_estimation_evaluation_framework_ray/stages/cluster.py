@@ -63,11 +63,23 @@ def kmeans(ds: "ray.data.Dataset", k: int, *, iters: int = 20,
     centroids = _init_centroids(ds, k, emb_col, id_col)
     vecs = ds.select_columns([emb_col])
     # identical reruns need a fixed float64 partial-fold order; block order
-    # out of the streaming executor is only guaranteed under preserve_order
+    # out of the streaming executor is only guaranteed under preserve_order.
+    # The flag lives on the caller-shared DataContext, so restore it after —
+    # leaking it would silently slow every later pipeline in the session.
     try:
-        vecs.context.execution_options.preserve_order = True
+        opts = vecs.context.execution_options
+        prev_preserve = opts.preserve_order
+        opts.preserve_order = True
     except AttributeError:  # older Ray without Dataset.context
-        pass
+        opts = prev_preserve = None
+    try:
+        return _lloyd_loop(vecs, centroids, iters, early_stop_shift, emb_col)
+    finally:
+        if opts is not None:
+            opts.preserve_order = prev_preserve
+
+
+def _lloyd_loop(vecs, centroids, iters, early_stop_shift, emb_col):
     n_it = 0
     for _ in range(iters):
         c_ref = ray.put(centroids)

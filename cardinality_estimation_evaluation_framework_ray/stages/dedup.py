@@ -627,6 +627,11 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", *, n: int = 1,
         word_h, lengths = _doc_word_hashes(batch, text_col, seed)
         sh, counts = _shingle_hashes(word_h, lengths, n)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) and ids.min() < 0:
+            # doc_b == -1 is the size-row sentinel downstream; a real -1 id
+            # would corrupt both pair and size outputs
+            raise ValueError("ngram_jaccard_pairs requires non-negative "
+                             "integer doc ids")
         doc_of = np.repeat(np.arange(len(counts)), counts)
         # per-doc set semantics: dedup (doc, shingle)
         key = np.stack([doc_of, sh.astype(np.int64)], axis=1)

@@ -262,7 +262,9 @@ def write_sorted_partitioned(ds: "ray.data.Dataset", col: str, out_dir: str,
                                  "skipped": [True]})
         g = g.sort_values([col] + tb, kind="stable").drop(columns=["bucket"])
         os.makedirs(path, exist_ok=True)
-        tmp = os.path.join(path, ".part.parquet.tmp")
+        # pid-unique tmp so a retried/duplicate task can't interleave with a
+        # straggler's half-write (same hazard checkpoint.py:167 guards)
+        tmp = os.path.join(path, f".part.parquet.{os.getpid()}.tmp")
         _pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
         os.replace(tmp, os.path.join(path, "part.parquet"))
         with open(done, "w"):

@@ -35,9 +35,14 @@ _OWNER = "__win_owner__"
 
 
 def _to_ns(arr: np.ndarray) -> np.ndarray:
+    """Comparable time axis: datetimes -> int64 ns; integers -> int64;
+    floats pass through UNCHANGED (searchsorted/window arithmetic works in
+    float space — truncating 10.7 to 10 would conflate distinct times)."""
     if np.issubdtype(arr.dtype, np.datetime64):
         return arr.astype("datetime64[ns]").view(np.int64)
-    return arr.astype(np.int64)
+    if np.issubdtype(arr.dtype, np.integer):
+        return arr.astype(np.int64)
+    return arr.astype(np.float64)
 
 
 def windowed_agg(ds: "ray.data.Dataset", *, key_col: str, ts_col: str,
@@ -57,7 +62,7 @@ def windowed_agg(ds: "ray.data.Dataset", *, key_col: str, ts_col: str,
     ds = ds.select_columns(cols)
     is_ts = pa.types.is_timestamp(
         _schema_type(ds, ts_col))
-    win = int(pd.Timedelta(window).value) if is_ts else int(window)
+    win = int(pd.Timedelta(window).value) if is_ts else window
 
     def scan(g: pd.DataFrame, owner_mask: np.ndarray | None = None
              ) -> pd.DataFrame:
@@ -82,14 +87,15 @@ def windowed_agg(ds: "ray.data.Dataset", *, key_col: str, ts_col: str,
         return (ds.groupby(key_col)
                 .map_groups(scan, batch_format="pandas"))
 
-    span = int(pd.Timedelta(bucket_span).value) if is_ts else int(bucket_span)
+    span = (int(pd.Timedelta(bucket_span).value) if is_ts
+            else bucket_span)
     if span < win:
         raise ValueError("bucket_span must be >= window so a trailing "
                          "window reaches at most one previous bucket")
 
     def tag(t: pa.Table) -> pa.Table:
         ts = _to_ns(t.column(ts_col).to_numpy(zero_copy_only=False))
-        b = ts // span
+        b = np.asarray(ts // span).astype(np.int64)
         n = t.num_rows
         idx = np.concatenate([np.arange(n, dtype=np.int64),
                               np.arange(n, dtype=np.int64)])

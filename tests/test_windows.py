@@ -96,3 +96,22 @@ def test_windowed_agg_bucket_span_validation():
     with pytest.raises(ValueError):
         windowed_agg(ray.data.from_pandas(df), key_col="u", ts_col="t",
                      id_col="eid", window=300, bucket_span=100).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_windowed_agg_float_ts():
+    # fractional timestamps must NOT truncate: 10.7 and 10.2 are distinct
+    df = pd.DataFrame({"eid": [0, 1, 2], "u": [1, 1, 1],
+                       "t": [10.2, 10.7, 11.9], "v": [1, 2, 4]})
+    got = windowed_agg(ray.data.from_pandas(df), key_col="u", ts_col="t",
+                       id_col="eid", value_col="v",
+                       window=0.6).to_pandas().sort_values("eid")
+    # eid0: [9.6,10.2] -> itself; eid1: [10.1,10.7] -> 10.2+10.7;
+    # eid2: [11.3,11.9] -> itself
+    assert got["n_window"].tolist() == [1, 2, 1]
+    assert got["sum_window"].tolist() == [1, 3, 4]
+    # bucketed plan agrees in float space too
+    got2 = windowed_agg(ray.data.from_pandas(df), key_col="u", ts_col="t",
+                        id_col="eid", value_col="v", window=0.6,
+                        bucket_span=1.0).to_pandas().sort_values("eid")
+    assert got2["n_window"].tolist() == got["n_window"].tolist()
