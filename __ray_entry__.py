@@ -1169,6 +1169,31 @@ def _q_reach_users_by_type(sf_dir: str):
     })
 
 
+def _q_events_zscore_by_type(sf_dir: str):
+    """Per-event-type standardization of value-cents (broadcast-stats
+    normalization; exact integer moments make z bit-reproducible)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        group_zscore,
+    )
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t.column("value"), 100.0),
+                                    0.5)), pa.int64())
+        return pa.table({"event_id": t.column("event_id"),
+                         "event_type": t.column("event_type"),
+                         "cents": c})
+
+    ev = ev.map_batches(cents, batch_format="pyarrow")
+    out = group_zscore(ev, "event_type", "cents", id_col="event_id").to_pandas()
+    return out.astype({"event_id": "int64"})
+
+
 _BM25_TERMS = ["hash", "join", "stream", "spark"]
 
 
@@ -1392,6 +1417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": _q_bm25_search,
         "price_global_rank": _q_price_global_rank,
         "reach_users_by_type": _q_reach_users_by_type,
+        "events_zscore_by_type": _q_events_zscore_by_type,
         "image_decode_stats": _q_image_decode_stats,
         "audio_decode_stats": _q_audio_decode_stats,
         "video_frame_stats": _q_video_frame_stats,
@@ -1872,6 +1898,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_near_dups": _simhash_oracle_sql(seed=99, max_hamming=3),
         "doc_fingerprints": _winnow_oracle_sql(k=5, window=8, seed=71),
+        "events_zscore_by_type": """
+            WITH c AS (
+                SELECT event_id, event_type,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events),
+            stats AS (
+                SELECT event_type,
+                       CAST(SUM(cents) AS DOUBLE) AS s,
+                       CAST(SUM(cents * cents) AS DOUBLE) AS ss,
+                       CAST(COUNT(*) AS DOUBLE) AS n
+                FROM c GROUP BY event_type)
+            SELECT c.event_id, c.event_type,
+                   ROUND(CASE WHEN (st.ss - st.s * st.s / st.n) / st.n > 0
+                              THEN (c.cents - st.s / st.n)
+                                   / sqrt((st.ss - st.s * st.s / st.n) / st.n)
+                              ELSE 0.0 END, 6) AS z
+            FROM c JOIN stats st USING (event_type)
+        """,
         "reach_users_by_type": """
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users

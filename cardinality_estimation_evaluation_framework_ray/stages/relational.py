@@ -274,3 +274,58 @@ def write_sorted_partitioned(ds: "ray.data.Dataset", col: str, out_dir: str,
 
     return (bucketed.groupby("bucket")
             .map_groups(write_bucket, batch_format="pandas").to_pandas())
+
+
+def group_zscore(ds: "ray.data.Dataset", key: str, value_col: str, *,
+                 id_col: str, out_col: str = "z") -> "ray.data.Dataset":
+    """Per-group standardization (the feature-normalization pass): z =
+    (v - mean_g) / std_g, population std.
+
+    Two passes, broadcast-stats shape: one groupby over EXACT integer
+    (sum, sum-of-squares, count) partials — ``value_col`` must be integer
+    (quantize floats upstream) so the moments are order-independent ints —
+    then the KB-scale stats table is ``ray.put`` once and every task
+    normalizes its batch locally.  The float expression tree (mean = s/n,
+    var = (ss - s*s/n)/n) is fixed, so results are bit-reproducible and
+    SQL-hashable.  Groups with zero variance emit z = 0.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def with_sq(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({key: t.column(key), value_col: pa.array(v),
+                         "__sq": pa.array(v * v)})
+
+    stats = (ds.select_columns([key, value_col])
+             .map_batches(with_sq, batch_format="pyarrow")
+             .groupby(key)
+             .aggregate(Sum(value_col, alias_name="__s"),
+                        Sum("__sq", alias_name="__ss"),
+                        Count(alias_name="__n"))
+             .to_pandas())
+    lut = {k: (float(s), float(ss), float(n)) for k, s, ss, n in zip(
+        stats[key], stats["__s"], stats["__ss"], stats["__n"])}
+    ref = ray.put(lut)
+
+    def normalize(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        kcol = t.column(key)
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        enc = kcol.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        vocab = enc.dictionary.to_pylist()  # distinct keys only, tiny
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.array([m[k][0] for k in vocab])[codes]
+        ss = np.array([m[k][1] for k in vocab])[codes]
+        n = np.array([m[k][2] for k in vocab])[codes]
+        mean = s / n
+        var = (ss - s * s / n) / n
+        std = np.sqrt(var)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.where(std > 0, (v - mean) / std, 0.0)
+        return pa.table({id_col: t.column(id_col), key: t.column(key),
+                         out_col: pa.array(np.round(z, 6))})
+
+    return ds.select_columns([id_col, key, value_col]).map_batches(
+        normalize, batch_format="pyarrow", zero_copy_batch=True)

@@ -195,3 +195,29 @@ def test_write_sorted_partitioned_resumable(ray_session, tmp_path):
                                     num_partitions=6)
     assert man2["skipped"].sum() == 5
     assert not man2.loc[man2["bucket"] == 2, "skipped"].iloc[0]
+
+
+def test_group_zscore_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        group_zscore,
+    )
+
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({
+        "id": np.arange(300, dtype=np.int64),
+        "g": rng.choice(["a", "b", "const"], 300),
+        "v": rng.integers(-50, 200, 300).astype(np.int64),
+    })
+    df.loc[df["g"] == "const", "v"] = 7  # zero-variance group -> z = 0
+    got = (group_zscore(ray.data.from_pandas(df).repartition(5), "g", "v",
+                        id_col="id")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    for gname, sub in df.groupby("g"):
+        v = sub["v"].to_numpy(dtype=np.float64)
+        std = v.std()  # population
+        exp = np.zeros(len(v)) if std == 0 else (v - v.mean()) / std
+        gotz = got[got["g"] == gname].set_index("id").loc[sub["id"]]["z"]
+        assert np.allclose(gotz.to_numpy(), np.round(exp, 6), atol=2e-6)
