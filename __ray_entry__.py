@@ -447,6 +447,30 @@ def _q_ann_ivf_topk(sf_dir: str):
     return res[["query_id", "rank", "vec_id"]]
 
 
+def _q_pq_ann_topk(sf_dir: str):
+    """Rows-only: product-quantization ANN — embeddings compressed to m=8
+    uint8 codes (16x), asymmetric-distance top-10 via broadcast LUTs;
+    approximate by design, recall-tested in tests/test_ann.py."""
+    import duckdb
+    import numpy as np
+
+    from cardinality_estimation_evaluation_framework_ray.stages.ann import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    q = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE vec_id IN (0, 7) ORDER BY vec_id").fetchnumpy()["embedding"]
+    qm = np.stack([np.asarray(v, dtype=np.float32) for v in q])
+    emb = _read(sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m=8, n_codes=64, seed=23)
+    codes = pq_encode(emb, books)
+    res = pq_topk(codes, books, qm, k=10)
+    return res[["query_id", "rank", "vec_id"]]
+
+
 def _q_word_jaccard_pairs(sf_dir: str):
     from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
         ngram_jaccard_pairs,
@@ -1435,6 +1459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reach_curve": _q_reach_curve,
         "minhash_exact_wordset_dups": _q_minhash_exact_wordset_dups,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "pq_ann_topk": _q_pq_ann_topk,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "lang_id_counts": _q_lang_id,

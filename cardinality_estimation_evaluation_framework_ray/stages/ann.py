@@ -314,3 +314,124 @@ def embedding_near_dups(ds: "ray.data.Dataset", threshold: float = 0.95, *,
                          "cosine": pa.array(np.round(cos[keep].astype(np.float64), 4))})
 
     return bucketed.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): embedding compression + LUT-scored ANN
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(ds: "ray.data.Dataset", *, m: int = 8,
+                       n_codes: int = 256, emb_col: str = "embedding",
+                       sample_size: int = 4096, iters: int = 10,
+                       seed: int = 23) -> np.ndarray:
+    """PQ codebooks (m, n_codes, dim/m) float32 — plain k-means per
+    SUBSPACE on a corpus sample, driver-side (Jegou, Douze & Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+    At 100 TB: train on a shuffled snapshot sample (the standard recipe);
+    the codebook is m * n_codes * (dim/m) floats = one dim * n_codes matrix
+    total — KBs, broadcast once.
+    """
+    rows = ds.select_columns([emb_col]).limit(sample_size).to_pandas()
+    x = np.stack([np.asarray(v, dtype=np.float32) for v in rows[emb_col]])
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    rs = np.random.RandomState(seed)
+    books = np.empty((m, min(n_codes, len(x)), sub), np.float32)
+    for j in range(m):
+        xj = x[:, j * sub:(j + 1) * sub]
+        c = xj[rs.choice(len(xj), books.shape[1], replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((xj * xj).sum(axis=1)[:, None] - 2.0 * (xj @ c.T)
+                  + (c * c).sum(axis=1))
+            assign = np.argmin(d2, axis=1)
+            for q in range(len(c)):
+                members = xj[assign == q]
+                if len(members):
+                    c[q] = members.mean(axis=0)
+        books[j] = c
+    return books
+
+
+def pq_encode(ds: "ray.data.Dataset", codebooks: np.ndarray, *,
+              emb_col: str = "embedding", id_col: str = "vec_id"
+              ) -> "ray.data.Dataset":
+    """Compress each embedding to m uint8 codes (dim*4 bytes -> m bytes,
+    e.g. 16x at dim=32/m=8): per batch, one matmul per subspace against the
+    broadcast codebooks.  Output: (id_col, pq_code: list<uint8>[m])."""
+    m, n_codes, sub = codebooks.shape
+    ref = ray.put(codebooks.astype(np.float32))
+
+    def encode(t: pa.Table) -> pa.Table:
+        books = ray.get(ref)
+        x = _emb_matrix(t, emb_col)
+        n = len(x)
+        codes = np.empty((n, m), np.uint8)
+        for j in range(m):
+            xj = x[:, j * sub:(j + 1) * sub]
+            c = books[j]
+            d2 = ((xj * xj).sum(axis=1)[:, None] - 2.0 * (xj @ c.T)
+                  + (c * c).sum(axis=1))
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pa.table({
+            id_col: t.column(id_col),
+            "pq_code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1)), m),
+        })
+
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pq_topk(codes_ds: "ray.data.Dataset", codebooks: np.ndarray,
+            queries: np.ndarray, k: int = 10, *, id_col: str = "vec_id"
+            ) -> "pd.DataFrame":
+    """Asymmetric-distance top-k over PQ codes: per query, a (m, n_codes)
+    look-up table of exact query-to-centroid sub-distances is broadcast;
+    each batch scores its rows with m table gathers + adds (no float
+    embedding ever read).  Returns (query_id, rank, vec_id, adc_dist) —
+    approximate within quantization error (recall-tested, not oracled)."""
+    import pandas as pd
+
+    m, n_codes, sub = codebooks.shape
+    q = np.asarray(queries, np.float32)
+    # LUT[q, j, c] = ||q_sub_j - codebook[j, c]||^2
+    lut = np.empty((len(q), m, n_codes), np.float32)
+    for j in range(m):
+        qj = q[:, j * sub:(j + 1) * sub]
+        c = codebooks[j]
+        lut[:, j, :] = ((qj * qj).sum(axis=1)[:, None] - 2.0 * (qj @ c.T)
+                        + (c * c).sum(axis=1))
+    ref = ray.put(lut)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        tables = ray.get(ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        codes = np.asarray(t.column("pq_code").combine_chunks()
+                           .flatten().to_numpy(zero_copy_only=False)
+                           ).reshape(len(ids), m)
+        out_q, out_id, out_d = [], [], []
+        for qi in range(len(tables)):
+            # ADC distance: sum the per-subspace LUT entries the codes select
+            d = tables[qi][np.arange(m)[None, :], codes.astype(np.int64)]\
+                .sum(axis=1)
+            top = np.argsort(d, kind="stable")[:k]
+            out_q.append(np.full(len(top), qi, np.int64))
+            out_id.append(ids[top].astype(np.int64))
+            out_d.append(d[top].astype(np.float64))
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         id_col: pa.array(np.concatenate(out_id)),
+                         "adc_dist": pa.array(np.concatenate(out_d))})
+
+    cands = codes_ds.map_batches(local_topk, batch_format="pyarrow")
+    df = cands.to_pandas()
+    out = []
+    for qi, g in df.groupby("query_id"):
+        g = g.sort_values(["adc_dist", id_col], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out.append(g)
+    res = pd.concat(out).reset_index(drop=True)
+    return res[["query_id", "rank", id_col, "adc_dist"]]

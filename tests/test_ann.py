@@ -133,3 +133,42 @@ def test_embedding_near_dups_blocked_matches_unblocked():
                                     block_rows=100000).to_pandas()
     key = lambda df: sorted(map(tuple, df[["vec_a", "vec_b", "cosine"]].values.tolist()))
     assert key(small_blocks) == key(one_block)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pq_encode_and_topk_recall():
+    from cardinality_estimation_evaluation_framework_ray.stages.ann import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    m, tbl = _emb_table(n=500, dim=16)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    books = train_pq_codebooks(ds, m=4, n_codes=64, sample_size=500, seed=5)
+    assert books.shape == (4, 64, 4)
+
+    codes = pq_encode(ds, books)
+    cdf = codes.to_pandas()
+    assert len(cdf) == 500
+    assert all(len(c) == 4 for c in cdf["pq_code"].head(10))
+
+    q = m[[0, 7, 123]]
+    got = pq_topk(codes, books, q, k=10)
+    # exact L2 ground truth
+    recalls = []
+    for qi in range(len(q)):
+        d = ((m - q[qi]) ** 2).sum(axis=1)
+        truth = set(np.argsort(d, kind="stable")[:10].tolist())
+        mine = set(got[got.query_id == qi].vec_id.tolist())
+        recalls.append(len(truth & mine) / 10)
+    # ADC is approximate; self-NN (query 0 = vec 0) must always be found
+    assert 0 in set(got[got.query_id == 0].vec_id.tolist())
+    assert np.mean(recalls) >= 0.5
+
+    # partition invariance of the encoding
+    c1 = pq_encode(ray.data.from_arrow(tbl).repartition(1), books).to_pandas()
+    c1 = c1.sort_values("vec_id").reset_index(drop=True)
+    c4 = cdf.sort_values("vec_id").reset_index(drop=True)
+    assert all((np.asarray(a) == np.asarray(b)).all()
+               for a, b in zip(c1["pq_code"], c4["pq_code"]))
