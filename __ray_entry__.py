@@ -1218,6 +1218,60 @@ def _q_events_zscore_by_type(sf_dir: str):
     return out.astype({"event_id": "int64"})
 
 
+def _q_customers_semi_anti(sf_dir: str, how: str = "semi"):
+    """Semi/anti join: customers WITH (semi) / WITHOUT (anti) an URGENT
+    order — the EXISTS / NOT EXISTS shapes, left columns only, no match
+    pairs materialized."""
+    import pyarrow as pa
+
+    from cardinality_estimation_evaluation_framework_ray.stages.joins import (
+        hash_join,
+    )
+
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_name", "c_mktsegment"])
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("o_orderpriority"),
+                                            "1-URGENT")),
+        batch_format="pyarrow")
+    out = hash_join(cust, urgent, on="c_custkey", right_key="o_custkey",
+                    how=how).to_pandas()
+    return out.astype({"c_custkey": "int64"})
+
+
+def _q_customers_no_urgent_order(sf_dir: str):
+    """Anti-join variant of `customers_semi_urgent` (NOT EXISTS)."""
+    return _q_customers_semi_anti(sf_dir, how="anti")
+
+
+def _q_customers_semi_urgent(sf_dir: str):
+    return _q_customers_semi_anti(sf_dir, how="semi")
+
+
+def _q_value_histogram(sf_dir: str):
+    """Fixed-bin histogram of events.value over [0, 500) x 25 bins (edge
+    bins clamp under/overflow); per-batch bincount partials, KB groupby."""
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        value_histogram,
+    )
+
+    return value_histogram(_read(sf_dir, "events"), "value",
+                           lo=0.0, hi=500.0, bins=25)
+
+
+def _q_normalized_text(sf_dir: str):
+    """Canonical text normalization (lower + whitespace collapse + trim) —
+    byte-for-byte the DuckDB expression, pure Arrow RE2 kernels."""
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        normalize_text,
+    )
+
+    out = normalize_text(_read(sf_dir, "documents")).to_pandas()
+    return out.astype({"doc_id": "int64", "n_norm_chars": "int64"})
+
+
 _BM25_TERMS = ["hash", "join", "stream", "spark"]
 
 
@@ -1432,6 +1486,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_join": _q_orders_customer_join,
         "orders_customer_join_salted": _q_orders_customer_join_salted,
         "customer_order_left_join": _q_customer_order_left_join,
+        "customers_semi_urgent": _q_customers_semi_urgent,
+        "customers_no_urgent_order": _q_customers_no_urgent_order,
         "doc_chunks": _q_doc_chunks,
         "events_windowed_1h": _q_events_windowed_1h,
         "events_windowed_1h_bucketed": _q_events_windowed_1h_bucketed,
@@ -1442,6 +1498,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_global_rank": _q_price_global_rank,
         "reach_users_by_type": _q_reach_users_by_type,
         "events_zscore_by_type": _q_events_zscore_by_type,
+        "value_histogram": _q_value_histogram,
+        "normalized_text": _q_normalized_text,
         "image_decode_stats": _q_image_decode_stats,
         "audio_decode_stats": _q_audio_decode_stats,
         "video_frame_stats": _q_video_frame_stats,
@@ -1923,6 +1981,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_near_dups": _simhash_oracle_sql(seed=99, max_hamming=3),
         "doc_fingerprints": _winnow_oracle_sql(k=5, window=8, seed=71),
+        "value_histogram": """
+            SELECT CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 20.0), 0), 24)
+                        AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY 1
+        """,
+        "normalized_text": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                       AS norm_text,
+                   CAST(length(trim(regexp_replace(lower(text), '\s+', ' ',
+                        'g'))) AS BIGINT) AS n_norm_chars
+            FROM documents
+        """,
         "events_zscore_by_type": """
             WITH c AS (
                 SELECT event_id, event_type,
@@ -2013,6 +2085,20 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(o.o_totalprice, 2) AS o_totalprice,
                    c.c_name, c.c_mktsegment
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "customers_semi_urgent": """
+            SELECT c.c_custkey, c.c_name, c.c_mktsegment
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        """,
+        "customers_no_urgent_order": """
+            SELECT c.c_custkey, c.c_name, c.c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
         """,
         "customer_order_left_join": """
             SELECT c.c_custkey, c.c_name,

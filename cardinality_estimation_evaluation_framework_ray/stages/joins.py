@@ -117,19 +117,25 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
     except the key), suffixed where they collide with a left name.  Right
     rows with a null key never match (SQL semantics).
 
+    ``how='semi'`` / ``'anti'`` emit left rows with >= 1 match / no match,
+    left columns only — the EXISTS / NOT EXISTS shapes (decontamination-by-
+    key, referential-integrity filters) without materializing match pairs.
+
     ``num_salts=S`` is the skew guard: left rows are split across S salts
     and every right row is replicated into all S, so a hot key's group
     shrinks S× on the left (build) side at an S× right payload — output
     identical (tested).  Use when one key's left rows exceed a task's
     memory; keys stay co-located per (key, salt), so the emit is unchanged.
     """
-    if how not in ("inner", "left"):
-        raise ValueError("how must be 'inner' or 'left'")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError("how must be 'inner', 'left', 'semi' or 'anti'")
     right_key = right_key or on
     left_schema, right_schema = left.schema(), right.schema()
     left_names = list(left_schema.names)
     if on not in left_names:
         raise KeyError(f"left has no column {on!r}")
+    if how in ("semi", "anti"):
+        right_cols = []  # existence only: never carry right payload columns
     rc = right_cols if right_cols is not None else [
         c for c in right_schema.names if c != right_key]
     rename = {c: c + suffix if c in left_names else c for c in rc}
@@ -162,8 +168,13 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
         side = t.column(_SIDE).to_numpy(zero_copy_only=False)
         l = np.flatnonzero(side == 0)
         r = np.flatnonzero(side == 1)
-        if len(l) == 0 or (how == "inner" and len(r) == 0):
+        if len(l) == 0 or (how in ("inner", "semi") and len(r) == 0) \
+                or (how == "anti" and len(r) > 0):
             return out_schema.empty_table()
+        if how in ("semi", "anti"):  # existence decided above: emit left rows
+            sub = t.take(pa.array(l))
+            return pa.table({c: sub.column(c).cast(types[c])
+                             for c in left_names}).cast(out_schema)
         if len(r) == 0:  # left join, unmatched key
             sub = t.take(pa.array(l))
             cols = {c: sub.column(c).cast(types[c]) for c in left_names}

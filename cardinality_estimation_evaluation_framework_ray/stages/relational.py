@@ -329,3 +329,31 @@ def group_zscore(ds: "ray.data.Dataset", key: str, value_col: str, *,
 
     return ds.select_columns([id_col, key, value_col]).map_batches(
         normalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def value_histogram(ds: "ray.data.Dataset", col: str, *, lo: float,
+                    hi: float, bins: int) -> pd.DataFrame:
+    """Fixed-bin histogram: bin = clip(floor((v - lo) / width), 0, bins-1)
+    (under/overflow clamp into the edge bins).  Per-batch ``bincount``
+    partials, one KB-scale groupby sum — the shuffle carries at most
+    ``bins`` rows per batch regardless of corpus size.  Returns
+    (bin, n_rows) for non-empty bins.
+    """
+    from ray.data.aggregate import Sum
+
+    width = (hi - lo) / bins
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(np.floor((v - lo) / width), 0, bins - 1).astype(np.int64)
+        counts = np.bincount(b, minlength=bins)
+        nz = np.flatnonzero(counts)
+        return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                         "n_rows": pa.array(counts[nz])})
+
+    out = (ds.select_columns([col])
+           .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("bin").aggregate(Sum("n_rows", alias_name="n_rows"))
+           .to_pandas())
+    return out.astype({"bin": "int64", "n_rows": "int64"}).sort_values(
+        "bin").reset_index(drop=True)

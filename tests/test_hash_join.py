@@ -90,3 +90,21 @@ def test_hash_join_partition_invariance():
         outs.append(got.sort_values(["k", "lv", "rv"])
                     .reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("num_salts", [None, 3])
+def test_hash_join_semi_anti(num_salts):
+    left, right = _tables()
+    semi = hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                     on="k", right_key="rk", how="semi",
+                     num_salts=num_salts).to_pandas()
+    anti = hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                     on="k", right_key="rk", how="anti",
+                     num_salts=num_salts).to_pandas()
+    matched = left["k"].isin(right["rk"])
+    assert sorted(semi["lv"]) == sorted(left.loc[matched, "lv"])
+    assert sorted(anti["lv"]) == sorted(left.loc[~matched, "lv"])
+    assert list(semi.columns) == list(left.columns)  # left cols only
+    # every left row lands in exactly one of the two outputs
+    assert len(semi) + len(anti) == len(left)

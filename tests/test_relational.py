@@ -221,3 +221,22 @@ def test_group_zscore_matches_numpy(ray_session):
         exp = np.zeros(len(v)) if std == 0 else (v - v.mean()) / std
         gotz = got[got["g"] == gname].set_index("id").loc[sub["id"]]["z"]
         assert np.allclose(gotz.to_numpy(), np.round(exp, 6), atol=2e-6)
+
+
+def test_value_histogram_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        value_histogram,
+    )
+
+    rng = np.random.default_rng(21)
+    v = np.concatenate([rng.normal(50, 30, 2000), [-10.0, 1e6]])  # clamps
+    got = value_histogram(ray.data.from_pandas(pd.DataFrame({"v": v}))
+                          .repartition(6), "v", lo=0.0, hi=100.0, bins=10)
+    b = np.clip(np.floor(v / 10.0), 0, 9).astype(int)
+    exp = pd.Series(b).value_counts().sort_index()
+    assert got["bin"].tolist() == exp.index.tolist()
+    assert got["n_rows"].tolist() == exp.tolist()
+    assert got["n_rows"].sum() == len(v)

@@ -202,3 +202,21 @@ def test_chunk_documents_overlap_validation():
                     "text": pa.array(["abc"])})
     with pytest.raises(ValueError):
         chunk_documents(ray.data.from_arrow(tbl), chunk_chars=8, overlap=8)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_normalize_text():
+    import re
+
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        normalize_text,
+    )
+
+    texts = ["  Hello\t\tWORLD \n", "a  b", "", "NoChange"]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts)})
+    got = (normalize_text(ray.data.from_arrow(tbl))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    exp = [re.sub(r"\s+", " ", t.lower()).strip() for t in texts]
+    assert got["norm_text"].tolist() == exp
+    assert got["n_norm_chars"].tolist() == [len(e) for e in exp]
