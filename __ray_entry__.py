@@ -1989,9 +1989,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "normalized_text": """
             SELECT doc_id,
-                   trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
                        AS norm_text,
-                   CAST(length(trim(regexp_replace(lower(text), '\s+', ' ',
+                   CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ',
                         'g'))) AS BIGINT) AS n_norm_chars
             FROM documents
         """,

@@ -484,6 +484,7 @@ def _scaling_for_mode(mode: str, lo: int, hi: int, reps: int) -> dict:
     """Best-of-reps per leg, legs alternated: the sandbox CPU is noisy-
     neighbor contended, so the best run is the closest view of the engine's
     capacity."""
+    run_start = time.time()
     results: dict[int, list[dict]] = {lo: [], hi: []}
     for _ in range(reps):
         for n in (lo, hi):
@@ -512,7 +513,10 @@ def _scaling_for_mode(mode: str, lo: int, hi: int, reps: int) -> dict:
                         f"scaling leg num_cpus={n} failed {attempt + 1} times;"
                         " stderr tail:\n"
                         + "\n".join(out.stderr.strip().splitlines()[-15:]))
-                _clean_stale_sessions(leg_start, failed_after=leg_start)
+                # stale = predates this scaling RUN; the failed attempt's
+                # own dirs (>= leg_start) are dead too — dirs in between
+                # (another live session) are left alone
+                _clean_stale_sessions(run_start, failed_after=leg_start)
                 time.sleep(15)
             line = [l for l in out.stdout.strip().splitlines()
                     if l.startswith("{")][-1]

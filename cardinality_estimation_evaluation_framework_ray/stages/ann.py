@@ -320,6 +320,12 @@ def embedding_near_dups(ds: "ray.data.Dataset", threshold: float = 0.95, *,
 # Product quantization (PQ): embedding compression + LUT-scored ANN
 # ---------------------------------------------------------------------------
 
+def _sq_dists(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """(len(x), len(c)) squared L2 distances via the expanded form."""
+    return ((x * x).sum(axis=1)[:, None] - 2.0 * (x @ c.T)
+            + (c * c).sum(axis=1))
+
+
 def train_pq_codebooks(ds: "ray.data.Dataset", *, m: int = 8,
                        n_codes: int = 256, emb_col: str = "embedding",
                        sample_size: int = 4096, iters: int = 10,
@@ -332,6 +338,8 @@ def train_pq_codebooks(ds: "ray.data.Dataset", *, m: int = 8,
     the codebook is m * n_codes * (dim/m) floats = one dim * n_codes matrix
     total — KBs, broadcast once.
     """
+    if n_codes > 256:
+        raise ValueError("n_codes must be <= 256 (codes are stored uint8)")
     rows = ds.select_columns([emb_col]).limit(sample_size).to_pandas()
     x = np.stack([np.asarray(v, dtype=np.float32) for v in rows[emb_col]])
     dim = x.shape[1]
@@ -344,9 +352,7 @@ def train_pq_codebooks(ds: "ray.data.Dataset", *, m: int = 8,
         xj = x[:, j * sub:(j + 1) * sub]
         c = xj[rs.choice(len(xj), books.shape[1], replace=False)].copy()
         for _ in range(iters):
-            d2 = ((xj * xj).sum(axis=1)[:, None] - 2.0 * (xj @ c.T)
-                  + (c * c).sum(axis=1))
-            assign = np.argmin(d2, axis=1)
+            assign = np.argmin(_sq_dists(xj, c), axis=1)
             for q in range(len(c)):
                 members = xj[assign == q]
                 if len(members):
@@ -371,10 +377,8 @@ def pq_encode(ds: "ray.data.Dataset", codebooks: np.ndarray, *,
         codes = np.empty((n, m), np.uint8)
         for j in range(m):
             xj = x[:, j * sub:(j + 1) * sub]
-            c = books[j]
-            d2 = ((xj * xj).sum(axis=1)[:, None] - 2.0 * (xj @ c.T)
-                  + (c * c).sum(axis=1))
-            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+            codes[:, j] = np.argmin(_sq_dists(xj, books[j]),
+                                    axis=1).astype(np.uint8)
         return pa.table({
             id_col: t.column(id_col),
             "pq_code": pa.FixedSizeListArray.from_arrays(
@@ -400,10 +404,7 @@ def pq_topk(codes_ds: "ray.data.Dataset", codebooks: np.ndarray,
     # LUT[q, j, c] = ||q_sub_j - codebook[j, c]||^2
     lut = np.empty((len(q), m, n_codes), np.float32)
     for j in range(m):
-        qj = q[:, j * sub:(j + 1) * sub]
-        c = codebooks[j]
-        lut[:, j, :] = ((qj * qj).sum(axis=1)[:, None] - 2.0 * (qj @ c.T)
-                        + (c * c).sum(axis=1))
+        lut[:, j, :] = _sq_dists(q[:, j * sub:(j + 1) * sub], codebooks[j])
     ref = ray.put(lut)
 
     def local_topk(t: pa.Table) -> pa.Table:
@@ -427,6 +428,11 @@ def pq_topk(codes_ds: "ray.data.Dataset", codebooks: np.ndarray,
 
     cands = codes_ds.map_batches(local_topk, batch_format="pyarrow")
     df = cands.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                             "rank": pd.Series(dtype="int64"),
+                             id_col: pd.Series(dtype="int64"),
+                             "adc_dist": pd.Series(dtype="float64")})
     out = []
     for qi, g in df.groupby("query_id"):
         g = g.sort_values(["adc_dist", id_col], kind="stable").head(k)

@@ -125,6 +125,10 @@ def build_sketch_states_resumable(files: list[str], specs: dict[str, SketchSpec]
     Returns the per-key merged state Dataset, same schema as
     build_sketch_states.
     """
+    if batch_size is None:
+        batch_size = 8192  # engine default; pyarrow iter_batches needs an int
+    if batch_size <= 0:
+        raise ValueError("batch_size must be positive")
     partitions = partition_input_files(files, files_per_partition)
     paths = []
     for pid, part_files in enumerate(partitions):
@@ -201,9 +205,7 @@ def _epoch_partition_build(files: list[str], specs: dict[str, SketchSpec],
     meta: dict = {}
     for f in sorted(files):
         pf = pq.ParquetFile(f)
-        # pyarrow's iter_batches requires an int (None raises TypeError),
-        # while the public signature allows None = "engine default"
-        for rb in pf.iter_batches(batch_size=batch_size or 8192,
+        for rb in pf.iter_batches(batch_size=batch_size,
                                   columns=[key, tokens_col]):
             batch = pa.Table.from_batches([rb])
             keys_np = batch.column(key).to_numpy(zero_copy_only=False)
@@ -252,6 +254,10 @@ def build_sketch_states_epoch_resumable(
     """
     import ray
 
+    if batch_size is None:
+        batch_size = 8192  # engine default; pyarrow iter_batches needs an int
+    if batch_size <= 0:
+        raise ValueError("batch_size must be positive")
     partitions = partition_input_files(files, files_per_partition)
     task = ray.remote(num_cpus=1, max_retries=max_retries)(
         _epoch_partition_build)
