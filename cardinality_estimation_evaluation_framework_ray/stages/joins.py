@@ -121,6 +121,11 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
     left columns only — the EXISTS / NOT EXISTS shapes (decontamination-by-
     key, referential-integrity filters) without materializing match pairs.
 
+    Known Ray 2.49 quirk (same as stages/cogroup.py): a result with ZERO
+    rows may lose its schema in ``to_pandas()`` — consumers that can see
+    empty results should reindex to the expected columns (the driver
+    queries do).
+
     ``num_salts=S`` is the skew guard: left rows are split across S salts
     and every right row is replicated into all S, so a hot key's group
     shrinks S× on the left (build) side at an S× right payload — output
