@@ -1458,6 +1458,37 @@ def _q_kmeans_clusters(sf_dir: str):
     return out.sort_values("cluster").reset_index(drop=True)
 
 
+def _q_quality_quantile_filter(sf_dir: str):
+    """Percentile quality cut: keep docs whose mean word length reaches the
+    corpus-wide p70 (quality_stats -> quantile_threshold_filter, exact
+    mode).  The score projection is materialized once (2 narrow columns)
+    so the cutoff pass and the filter pass don't recompute the stats."""
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        quantile_threshold_filter,
+    )
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        quality_stats,
+    )
+
+    scores = quality_stats(_read(sf_dir, "documents")).select_columns(
+        ["doc_id", "mean_word_len"]).materialize()
+    return quantile_threshold_filter(
+        scores, "mean_word_len", 0.7, mode="exact").to_pandas()
+
+
+def _q_oov_rate(sf_dir: str):
+    """Vocabulary coverage: per-doc OOV rate against the corpus's own
+    top-100 word vocabulary (build_top_vocab -> broadcast -> oov_rate)."""
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        build_top_vocab,
+        oov_rate,
+    )
+
+    docs = _read(sf_dir, "documents")
+    vocab = build_top_vocab(docs, top_k=100)
+    return oov_rate(docs, vocab).to_pandas()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # oracle-matched
@@ -1510,6 +1541,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": _q_train_test_split,
         "pack_sequences": _q_pack_sequences,
         "lm_perplexity": _q_lm_perplexity,
+        "quality_quantile_filter": _q_quality_quantile_filter,
+        "oov_rate": _q_oov_rate,
         # rows-only (approximate / non-SQL-expressible; bound-checked in tests/)
         "hll_synthetic": _q_hll_synthetic,
         "multi_sketch_synthetic": _q_multi_sketch_synthetic,
@@ -1588,6 +1621,38 @@ def oracle_sql() -> dict[str, str]:
                          THEN CAST(list_sum(list_transform(w.w, x -> length(x))) AS DOUBLE) / len(w.w)
                          ELSE 0 END, 6) AS mean_word_len
             FROM documents d JOIN words w USING (doc_id)
+        """,
+        "quality_quantile_filter": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            q AS (
+              SELECT doc_id,
+                     round(CASE WHEN len(w) > 0
+                           THEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+                           ELSE 0 END, 6) AS mean_word_len
+              FROM words),
+            cut AS (SELECT percentile_disc(0.7) WITHIN GROUP
+                        (ORDER BY mean_word_len) AS c FROM q)
+            SELECT doc_id, mean_word_len FROM q, cut WHERE mean_word_len >= c
+        """,
+        "oov_rate": f"""
+            {_TOKS_CTE},
+            vocab AS (
+              SELECT tok FROM (
+                SELECT tok, count(*) AS n FROM toks GROUP BY tok
+                ORDER BY n DESC, tok LIMIT 100)),
+            per_doc AS (
+              SELECT t.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_words,
+                     CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) AS oov
+              FROM toks t LEFT JOIN vocab v USING (tok)
+              GROUP BY t.doc_id)
+            SELECT doc_id, n_words, round(oov / n_words, 6) AS oov_rate
+            FROM per_doc
         """,
         "token_count_per_doc": """
             SELECT doc_id,

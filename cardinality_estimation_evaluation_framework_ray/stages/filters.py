@@ -40,7 +40,8 @@ from ..functions.segments import segment_sums
 from .dedup import _doc_word_hashes, _shingle_hashes
 
 __all__ = ["benchmark_gram_hashes", "decontaminate", "repetition_stats",
-           "scrub_pii", "PII_PATTERNS"]
+           "scrub_pii", "PII_PATTERNS", "quantile_threshold_filter",
+           "build_top_vocab", "oov_rate"]
 
 
 def _doc_gram_hashes(batch: pa.Table, text_col: str, n: int, seed: int):
@@ -195,3 +196,122 @@ def scrub_pii(ds: "ray.data.Dataset", *, text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# quantile-threshold quality filter
+# ---------------------------------------------------------------------------
+
+def quantile_threshold_filter(ds: "ray.data.Dataset", value_col: str,
+                              q: float = 0.7, *, mode: str = "exact",
+                              keep: str = "top") -> "ray.data.Dataset":
+    """Keep rows above (``keep='top'``) or below (``keep='bottom'``) the
+    corpus-wide discrete ``q``-quantile of ``value_col`` — the
+    percentile-based quality cut every curation pipeline runs ("keep the
+    top 30 % by quality score").
+
+    Cutoff = ``percentile_disc(q)`` (smallest value whose cumulative count
+    reaches rank ``ceil(n*q)``), computed by
+    ``stages/relational.py::quantiles_disc``:
+
+      * ``mode='exact'`` — one groupby over DISTINCT score values (combiner-
+        compressed map-side; shuffle payload is distinct values, never rows)
+        then a driver cumulative scan.  Exact, SQL-oracle-able; right for
+        bounded-cardinality scores.
+      * ``mode='kll'`` — one-pass KLL sketch (state KBs, NO shuffle at all):
+        the 100-TB path for continuous scores, cutoff exact within KLL rank
+        error.
+
+    The filter itself is a stateless Arrow-kernel ``map_batches`` — the
+    dataset streams through once more; only the scalar cutoff crosses the
+    driver.  Rows where ``value_col`` is null are dropped (no quality
+    signal -> no keep decision), matching SQL comparison-with-NULL.
+    """
+    if keep not in ("top", "bottom"):
+        raise ValueError("keep must be 'top' or 'bottom'")
+    from .relational import quantiles_disc
+
+    cutoff = float(quantiles_disc(ds, value_col, np.array([q]), mode=mode)[0])
+
+    def flt(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch.column(value_col), pa.float64())
+        mask = (pc.greater_equal(v, cutoff) if keep == "top"
+                else pc.less_equal(v, cutoff))
+        return batch.filter(pc.fill_null(mask, False))
+
+    return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage / OOV rate
+# ---------------------------------------------------------------------------
+
+def build_top_vocab(ds: "ray.data.Dataset", *, top_k: int = 100,
+                    text_col: str = "text") -> np.ndarray:
+    """The corpus's ``top_k`` most frequent words (ties -> lexicographically
+    smaller word), returned as a SORTED object array for binary-search
+    membership probes.
+
+    One word-count groupby (map-side combiner collapses repeats, so the
+    shuffle moves distinct (word, count) pairs); only the top-k head —
+    bounded by contract, like a real tokenizer vocabulary — reaches the
+    driver via ``top_k_by_count``'s two-stage partial top-k.
+    """
+    from .joins import top_k_by_count
+    from .text import _split_lists
+
+    def words(batch: pa.Table) -> pa.Table:
+        values, _ = _split_lists(batch.column(text_col))
+        return pa.table({"word": values})
+
+    head = top_k_by_count(
+        ds.select_columns([text_col]).map_batches(
+            words, batch_format="pyarrow", zero_copy_batch=True),
+        ["word"], top_k)
+    return np.sort(np.asarray(head["word"].tolist(), dtype=object))
+
+
+def oov_rate(ds: "ray.data.Dataset", vocab: np.ndarray, *,
+             text_col: str = "text", id_col: str = "doc_id"
+             ) -> "ray.data.Dataset":
+    """Per-doc out-of-vocabulary rate against a broadcast ``vocab``
+    (sorted word array, e.g. ``build_top_vocab``'s output): the coverage
+    stat a training pipeline computes before committing to a tokenizer.
+
+    Output: (doc_id, n_words, oov_rate [round 6]).  Docs with zero words
+    are dropped (no denominator), matching the SQL oracle's inner GROUP BY.
+
+    Scale shape: the vocab is ``ray.put`` ONCE and binary-searched per
+    batch (``np.searchsorted`` over the distinct words of the batch, then
+    gathered through the dictionary codes) — the corpus never shuffles and
+    the per-batch work is O(words + distinct·log|V|).
+    """
+    from .text import _split_lists
+
+    vocab_ref = ray.put(np.asarray(vocab, dtype=object))
+
+    def rate(batch: pa.Table) -> pa.Table:
+        voc = ray.get(vocab_ref)
+        values, lengths = _split_lists(batch.column(text_col))
+        n_docs = len(lengths)
+        oov = np.zeros(n_docs, np.int64)
+        if len(values):
+            d = values.dictionary_encode()
+            codes = np.asarray(d.indices, dtype=np.int64)
+            dwords = np.asarray(d.dictionary.to_pylist(), dtype=object)
+            pos = np.searchsorted(voc, dwords)
+            pos = np.minimum(pos, max(len(voc) - 1, 0))
+            in_vocab = (voc[pos] == dwords) if len(voc) else \
+                np.zeros(len(dwords), bool)
+            oov_tok = (~in_vocab[codes]).astype(np.int64)
+            oov = segment_sums(oov_tok, lengths)
+        keep = lengths > 0
+        return pa.table({
+            id_col: batch.column(id_col).filter(pa.array(keep)),
+            "n_words": pa.array(lengths[keep].astype(np.int64)),
+            "oov_rate": pa.array(
+                np.round(oov[keep] / lengths[keep], 6)),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        rate, batch_format="pyarrow", zero_copy_batch=True)

@@ -73,7 +73,11 @@ def decode_ppm(blob: bytes) -> np.ndarray:
         i = j
     i += 1  # single whitespace after maxval
     w, h, maxval = tokens
-    assert maxval <= 255, "16-bit netpbm not supported"
+    # untrusted media bytes: real validation, not assert (stripped under -O)
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    if w <= 0 or h <= 0 or len(blob) - i < w * h * channels:
+        raise ValueError("malformed netpbm: header dims exceed payload")
     data = np.frombuffer(blob, dtype=np.uint8, count=w * h * channels, offset=i)
     return data.reshape((h, w, 3) if channels == 3 else (h, w))
 
@@ -146,11 +150,16 @@ def decode_wav_pcm16(blob: bytes) -> tuple[np.ndarray, int]:
         if cid == b"fmt ":
             fmt, channels, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
-            assert fmt == 1 and bits == 16, "PCM16 only"
+            if fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM16 WAV decodes without external codecs "
+                    f"(got format={fmt}, bits={bits})")
         elif cid == b"data":
             data = body
         i += 8 + size + (size & 1)  # chunks are word-aligned
-    assert rate is not None and data is not None, "missing fmt/data chunk"
+    # untrusted media bytes: real validation, not assert (stripped under -O)
+    if rate is None or data is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
     samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     if channels > 1:
         samples = samples[: len(samples) // channels * channels]

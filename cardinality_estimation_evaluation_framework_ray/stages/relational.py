@@ -131,7 +131,17 @@ def range_cutpoints(ds: "ray.data.Dataset", col: str, num_partitions: int,
     B = int(num_partitions)
     if B < 2:
         return np.empty(0, np.float64)
-    qs = np.arange(1, B) / B
+    return quantiles_disc(ds, col, np.arange(1, B) / B, mode=mode)
+
+
+def quantiles_disc(ds: "ray.data.Dataset", col: str, qs: np.ndarray,
+                   mode: str = "exact") -> np.ndarray:
+    """Discrete quantiles of ``col`` at each fraction in ``qs``
+    (percentile_disc semantics: smallest value whose cumulative count
+    reaches rank ``ceil(n * q)``).  Same two paths as ``range_cutpoints``
+    — exact distinct-value groupby or a one-pass KLL sketch.  Null values
+    are excluded from the population (SQL percentile semantics)."""
+    qs = np.asarray(qs, np.float64)
     if mode == "kll":
         import pickle
 
@@ -141,8 +151,11 @@ def range_cutpoints(ds: "ray.data.Dataset", col: str, num_partitions: int,
         sk = spec.new()
 
         def partial(t: pa.Table):
+            import pyarrow.compute as pc
+
             s = spec.new()
-            s.update_tokens(t.column(col).to_numpy(zero_copy_only=False))
+            s.update_tokens(pc.drop_null(t.column(col))
+                            .to_numpy(zero_copy_only=False))
             return {"state": np.array([pickle.dumps(s.state_dict())],
                                       dtype=object)}
 
@@ -156,7 +169,8 @@ def range_cutpoints(ds: "ray.data.Dataset", col: str, num_partitions: int,
         return np.asarray([sk.quantile(q) for q in qs], np.float64)
     if mode != "exact":
         raise ValueError("mode must be 'exact' or 'kll'")
-    counts = ds.groupby(col).count().to_pandas().sort_values(col)
+    counts = ds.groupby(col).count().to_pandas()
+    counts = counts[counts[col].notna()].sort_values(col)
     vals = counts[col].to_numpy()
     cum = counts["count()"].to_numpy().cumsum()
     n = int(cum[-1]) if len(cum) else 0

@@ -95,3 +95,88 @@ def test_scrub_pii_redacts_and_counts(ray_session):
     assert "<EMAIL>" in t0 and "<PHONE>" in t0
     assert "jane" not in t0 and "555" not in t0
     assert out["text"].iloc[1] == "no pii here"
+
+
+# ---------------------------------------------------------------------------
+# quantile_threshold_filter / build_top_vocab / oov_rate
+# ---------------------------------------------------------------------------
+
+def _scored(values):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(values)), pa.int64()),
+        "score": pa.array(values, pa.float64()),
+    }))
+
+
+def test_quantile_threshold_filter_exact_top(ray_session):
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        quantile_threshold_filter,
+    )
+
+    # scores 1..10: percentile_disc(0.7) = value at rank ceil(7) = 7
+    ds = _scored([float(v) for v in range(1, 11)])
+    kept = quantile_threshold_filter(ds, "score", 0.7).to_pandas()
+    assert sorted(kept["score"]) == [7.0, 8.0, 9.0, 10.0]
+
+    bottom = quantile_threshold_filter(ds, "score", 0.3, keep="bottom").to_pandas()
+    assert sorted(bottom["score"]) == [1.0, 2.0, 3.0]
+
+
+def test_quantile_threshold_filter_null_and_partition_invariance(ray_session):
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        quantile_threshold_filter,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "score": pa.array([1.0, None, 3.0, 4.0, None, 6.0], pa.float64()),
+    })
+    # nulls carry no quality signal -> dropped, like SQL comparison-with-NULL
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        kept = quantile_threshold_filter(ds, "score", 0.5).to_pandas()
+        assert sorted(kept["score"]) == [3.0, 4.0, 6.0]
+
+
+def test_quantile_threshold_filter_kll_close_to_exact(ray_session):
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        quantile_threshold_filter,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = rng.normal(size=4000)
+    ds = _scored(vals.tolist()).repartition(8)
+    kept = quantile_threshold_filter(ds, "score", 0.9, mode="kll").to_pandas()
+    # KLL(k=200) rank error is well under 2% at n=4000
+    assert abs(len(kept) - 400) < 0.02 * 4000
+
+    with pytest.raises(ValueError):
+        quantile_threshold_filter(ds, "score", 0.5, keep="middle")
+
+
+def test_build_top_vocab_and_oov_rate(ray_session):
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        build_top_vocab,
+        oov_rate,
+    )
+
+    docs = _docs([
+        "the cat sat on the mat",
+        "the dog sat",
+        "zzz qqq",       # fully OOV under a top-3 vocab
+        "",              # zero words -> dropped from output
+    ])
+    vocab = build_top_vocab(docs, top_k=3)
+    # counts: the=3, sat=2, cat/dog/mat/on/qqq/zzz=1 -> top-3 ties by word
+    assert vocab.tolist() == ["cat", "sat", "the"]
+
+    out = oov_rate(docs, vocab).to_pandas().set_index("doc_id")
+    assert sorted(out.index) == [0, 1, 2]
+    # doc 0 = "the cat sat on the mat": OOV = {on, mat} -> 2 of 6 words
+    assert out.loc[0, "n_words"] == 6 and abs(out.loc[0, "oov_rate"] - 2 / 6) < 2e-6
+    assert abs(out.loc[1, "oov_rate"] - 1 / 3) < 2e-6  # rates round to 6dp
+    assert out.loc[2, "oov_rate"] == 1.0
+
+    # empty vocab: everything is OOV
+    all_oov = oov_rate(docs, np.array([], dtype=object)).to_pandas()
+    assert (all_oov["oov_rate"] == 1.0).all()

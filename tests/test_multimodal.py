@@ -202,3 +202,37 @@ def test_frame_sampling_fanout():
     counts = out.groupby("media_id").size()
     for mid, c in counts.items():
         assert c == max(dur[mid] // 1000, 1)
+
+
+def test_malformed_media_raises_valueerror_not_assert():
+    """Untrusted media bytes must fail with real exceptions (asserts are
+    stripped under ``python -O``): truncated payloads, absurd header dims,
+    missing RIFF chunks, unsupported sample formats."""
+    import struct
+
+    from cardinality_estimation_evaluation_framework_ray.stages.multimodal import (
+        decode_ppm,
+        decode_wav_pcm16,
+        encode_ppm,
+        encode_wav_pcm16,
+    )
+
+    # PPM whose header claims more pixels than the payload carries
+    good = encode_ppm(np.zeros((4, 5, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_ppm(good[:-8])
+    # header dims of zero
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n0 0\n255\n")
+    # 16-bit netpbm is unsupported, not silently misparsed
+    with pytest.raises(NotImplementedError):
+        decode_ppm(b"P5\n2 2\n65535\n" + b"\x00" * 8)
+
+    # WAV with a float32 fmt chunk (fmt tag 3) is unsupported
+    f32 = bytearray(encode_wav_pcm16(np.zeros(16), 8000))
+    struct.pack_into("<H", f32, 20, 3)  # wFormatTag lives at offset 20
+    with pytest.raises(NotImplementedError):
+        decode_wav_pcm16(bytes(f32))
+    # RIFF/WAVE shell with no fmt/data chunks at all
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"RIFF\x04\x00\x00\x00WAVE")
