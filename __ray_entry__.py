@@ -1476,6 +1476,16 @@ def _q_quality_quantile_filter(sf_dir: str):
         scores, "mean_word_len", 0.7, mode="exact").to_pandas()
 
 
+def _q_source_overlap(sf_dir: str):
+    """Cross-source n-gram duplication matrix (8-gram hash overlap counts
+    per source pair)."""
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        source_overlap_matrix,
+    )
+
+    return source_overlap_matrix(_read(sf_dir, "documents"), n=8)
+
+
 def _q_oov_rate(sf_dir: str):
     """Vocabulary coverage: per-doc OOV rate against the corpus's own
     top-100 word vocabulary (build_top_vocab -> broadcast -> oov_rate)."""
@@ -1543,6 +1553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": _q_lm_perplexity,
         "quality_quantile_filter": _q_quality_quantile_filter,
         "oov_rate": _q_oov_rate,
+        "source_overlap": _q_source_overlap,
         # rows-only (approximate / non-SQL-expressible; bound-checked in tests/)
         "hll_synthetic": _q_hll_synthetic,
         "multi_sketch_synthetic": _q_multi_sketch_synthetic,
@@ -1653,6 +1664,26 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY t.doc_id)
             SELECT doc_id, n_words, round(oov / n_words, 6) AS oov_rate
             FROM per_doc
+        """,
+        "source_overlap": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                 '[^a-z0-9]+'), x -> x <> '') AS w
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(w) >= 8
+                            THEN [array_to_string(w[i:i+7], ' ')
+                                  for i in range(1, len(w) - 6)]
+                            ELSE [array_to_string(w, ' ')] END) AS g
+              FROM words),
+            gs AS (SELECT DISTINCT d.source, gr.g
+                   FROM grams gr JOIN documents d USING (doc_id))
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS shared_grams
+            FROM gs a JOIN gs b ON a.g = b.g AND a.source < b.source
+            GROUP BY a.source, b.source
         """,
         "token_count_per_doc": """
             SELECT doc_id,

@@ -41,7 +41,7 @@ from .dedup import _doc_word_hashes, _shingle_hashes
 
 __all__ = ["benchmark_gram_hashes", "decontaminate", "repetition_stats",
            "scrub_pii", "PII_PATTERNS", "quantile_threshold_filter",
-           "build_top_vocab", "oov_rate"]
+           "build_top_vocab", "oov_rate", "source_overlap_matrix"]
 
 
 def _doc_gram_hashes(batch: pa.Table, text_col: str, n: int, seed: int):
@@ -315,3 +315,77 @@ def oov_rate(ds: "ray.data.Dataset", vocab: np.ndarray, *,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         rate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# cross-source n-gram overlap matrix
+# ---------------------------------------------------------------------------
+
+def source_overlap_matrix(ds: "ray.data.Dataset", *, n: int = 8,
+                          seed: int = 101, text_col: str = "text",
+                          key_col: str = "source"):
+    """Cross-source duplication diagnostic: for every pair of sources
+    (``source_a < source_b``), the number of DISTINCT word ``n``-grams
+    present in both — the matrix a curation pipeline inspects before
+    deciding which crawl snapshots overlap enough to dedup jointly.
+
+    Gram identity is the same mixed-FNV hash contract as ``decontaminate``
+    (a 2^64 collision would over-count one shared gram; the oracle gate
+    would catch it).  Docs with fewer than ``n`` words contribute their
+    one folded gram, mirroring ``_shingle_hashes``.
+
+    Scale shape (100 TB):
+      * map side emits DISTINCT (gram, source) pairs per batch (lexsort +
+        boundary mask — no Python per row), so repeats inside a batch never
+        enter the shuffle;
+      * one groupby over gram hashes; each group holds at most
+        ``num_blocks x num_sources`` rows and emits at most
+        ``num_sources^2`` pair rows — bounded by the source count, not the
+        corpus;
+      * the pair-count aggregate output is ``num_sources^2`` rows: driver-
+        safe by construction.
+    """
+    import pandas as pd
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        g, counts = _doc_gram_hashes(batch, text_col, n, seed)
+        src = batch.column(key_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = src.dictionary_encode()
+        codes = np.asarray(d.indices, dtype=np.int64)
+        vocab = np.asarray(d.dictionary.to_pylist(), dtype=object)
+        gram_src = np.repeat(codes, counts)
+        gi = g.view(np.int64)
+        order = np.lexsort((gram_src, gi))
+        gs, cs = gi[order], gram_src[order]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = (gs[1:] != gs[:-1]) | (cs[1:] != cs[:-1])
+        return pa.table({
+            "gram": pa.array(gs[first]),
+            key_col: pa.array(vocab[cs[first]].tolist(), type=pa.string()),
+        })
+
+    pairs_ds = ds.select_columns([key_col, text_col]).map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def emit(g: pa.Table) -> pa.Table:
+        srcs = np.unique(np.asarray(g.column(key_col).to_pylist(),
+                                    dtype=object))
+        ia, ib = np.triu_indices(len(srcs), k=1)
+        return pa.table({
+            "source_a": pa.array(srcs[ia].tolist(), type=pa.string()),
+            "source_b": pa.array(srcs[ib].tolist(), type=pa.string()),
+        })
+
+    out = (pairs_ds.groupby("gram")
+           .map_groups(emit, batch_format="pyarrow")
+           .groupby(["source_a", "source_b"]).count().to_pandas())
+    if out.empty:  # no shared grams at all: keep the schema stable
+        return pd.DataFrame({"source_a": pd.Series(dtype=object),
+                             "source_b": pd.Series(dtype=object),
+                             "shared_grams": pd.Series(dtype="int64")})
+    out = out.rename(columns={"count()": "shared_grams"})
+    out["shared_grams"] = out["shared_grams"].astype("int64")
+    return (out.sort_values(["source_a", "source_b"])
+            .reset_index(drop=True))

@@ -180,3 +180,35 @@ def test_build_top_vocab_and_oov_rate(ray_session):
     # empty vocab: everything is OOV
     all_oov = oov_rate(docs, np.array([], dtype=object)).to_pandas()
     assert (all_oov["oov_rate"] == 1.0).all()
+
+
+def test_source_overlap_matrix(ray_session):
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        source_overlap_matrix,
+    )
+
+    def tagged(texts_sources):
+        texts, sources = zip(*texts_sources)
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(list(texts), pa.string()),
+            "source": pa.array(list(sources), pa.string()),
+        }))
+
+    g1 = "one two three"           # < n words -> one folded gram
+    g2 = "four five six"
+    docs = tagged([
+        (g1, "a"), (g2, "a"),
+        (g1, "b"),                 # shares g1 with a
+        (g1, "c"), (g2, "c"),      # shares g1+g2 with a, g1 with b
+        (g1, "c"),                 # repeat within source: not double-counted
+    ]).repartition(3)
+    out = source_overlap_matrix(docs, n=8)
+    got = {(r.source_a, r.source_b): r.shared_grams
+           for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("a", "c"): 2, ("b", "c"): 1}
+
+    # disjoint sources -> empty matrix
+    none = source_overlap_matrix(
+        tagged([("aa bb", "x"), ("cc dd", "y")]), n=8)
+    assert len(none) == 0
