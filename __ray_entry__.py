@@ -1476,6 +1476,16 @@ def _q_quality_quantile_filter(sf_dir: str):
         scores, "mean_word_len", 0.7, mode="exact").to_pandas()
 
 
+def _q_tfidf_keywords(sf_dir: str):
+    """Per-doc keyword extraction: top-3 words by TF-IDF (big-big word
+    join for df — the vocabulary is never broadcast)."""
+    from cardinality_estimation_evaluation_framework_ray.stages.search import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(_read(sf_dir, "documents"), k=3).to_pandas()
+
+
 def _q_source_overlap(sf_dir: str):
     """Cross-source n-gram duplication matrix (8-gram hash overlap counts
     per source pair)."""
@@ -1554,6 +1564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_quantile_filter": _q_quality_quantile_filter,
         "oov_rate": _q_oov_rate,
         "source_overlap": _q_source_overlap,
+        "tfidf_keywords": _q_tfidf_keywords,
         # rows-only (approximate / non-SQL-expressible; bound-checked in tests/)
         "hll_synthetic": _q_hll_synthetic,
         "multi_sketch_synthetic": _q_multi_sketch_synthetic,
@@ -1664,6 +1675,27 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY t.doc_id)
             SELECT doc_id, n_words, round(oov / n_words, 6) AS oov_rate
             FROM per_doc
+        """,
+        "tfidf_keywords": f"""
+            {_TOKS_CTE},
+            tf AS (
+              SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY doc_id, tok),
+            df AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY tok),
+            n AS (SELECT count(*) AS nd FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.tok AS word,
+                     round(tf.tf * ln(CAST(n.nd AS DOUBLE) / df.df), 6)
+                         AS tfidf
+              FROM tf JOIN df USING (tok) CROSS JOIN n),
+            ranked AS (
+              SELECT doc_id, word, tfidf,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, word) AS rn
+              FROM scored)
+            SELECT doc_id, word, tfidf FROM ranked WHERE rn <= 3
         """,
         "source_overlap": """
             WITH words AS (

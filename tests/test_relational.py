@@ -240,3 +240,26 @@ def test_value_histogram_matches_numpy(ray_session):
     assert got["bin"].tolist() == exp.index.tolist()
     assert got["n_rows"].tolist() == exp.tolist()
     assert got["n_rows"].sum() == len(v)
+
+
+def test_quantiles_disc_matches_numpy_reference(ray_session):
+    """Exact mode == a brute-force percentile_disc on the driver, across
+    random value distributions and partition counts; nulls excluded."""
+    import pyarrow as pa
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        quantiles_disc,
+    )
+
+    rng = np.random.RandomState(11)
+    for trial in range(4):
+        vals = rng.randint(0, 50, size=rng.randint(5, 400)).astype(float)
+        nulls = rng.rand(len(vals)) < 0.1
+        col = [None if m else v for v, m in zip(vals, nulls)]
+        ds = ray.data.from_arrow(pa.table({
+            "v": pa.array(col, pa.float64())})).repartition(1 + trial * 3)
+        qs = np.array([0.1, 0.25, 0.5, 0.9, 1.0])
+        got = quantiles_disc(ds, "v", qs)
+        clean = np.sort(vals[~nulls])
+        want = clean[np.maximum(np.ceil(qs * len(clean)).astype(int) - 1, 0)]
+        np.testing.assert_array_equal(got, want)

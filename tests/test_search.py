@@ -75,3 +75,41 @@ def test_bm25_partition_invariance(ray_session):
                                 ["cat", "dog"]).to_pandas()
                     .sort_values("doc_id").reset_index(drop=True))
     assert outs[0].equals(outs[1])
+
+
+def test_doc_term_frequencies_and_tfidf_topk(ray_session):
+    import math
+
+    import pyarrow as pa
+
+    from cardinality_estimation_evaluation_framework_ray.stages.search import (
+        doc_term_frequencies,
+        tfidf_top_terms,
+    )
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "apple apple banana common",
+            "banana cherry common",
+            "common common",
+        ], pa.string()),
+    }))
+
+    tf = doc_term_frequencies(docs).to_pandas()
+    got = {(r.doc_id, r.word): r.tf for r in tf.itertuples()}
+    assert got[(0, "apple")] == 2 and got[(0, "banana")] == 1
+    assert got[(2, "common")] == 2 and len(got) == 7
+
+    out = tfidf_top_terms(docs, k=2).to_pandas()
+    by_doc = {d: g.sort_values("tfidf", ascending=False)
+              for d, g in out.groupby("doc_id")}
+    # doc 0: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert by_doc[0]["word"].tolist() == ["apple", "banana"]
+    assert by_doc[0]["tfidf"].iloc[0] == pytest.approx(
+        round(2 * math.log(3), 6), abs=1e-9)
+    # doc 2: only "common" (df=3 -> idf 0): one row, score 0
+    assert by_doc[2]["word"].tolist() == ["common"]
+    assert by_doc[2]["tfidf"].iloc[0] == 0.0
+    # ties rank by word ascending: doc 1 cherry (ln 3) > banana (ln 1.5) > common (0)
+    assert by_doc[1]["word"].tolist() == ["cherry", "banana"]
