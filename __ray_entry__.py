@@ -1476,6 +1476,17 @@ def _q_quality_quantile_filter(sf_dir: str):
         scores, "mean_word_len", 0.7, mode="exact").to_pandas()
 
 
+def _q_global_sample(sf_dir: str):
+    """Exact-n deterministic uniform corpus sample (global Knuth-priority
+    top-n; candidates-only driver merge, winners broadcast)."""
+    from cardinality_estimation_evaluation_framework_ray.stages.sampling import (
+        global_sample,
+    )
+
+    return global_sample(_read(sf_dir, "documents"), n=50,
+                         cols=["doc_id", "source"]).to_pandas()
+
+
 def _q_tfidf_keywords(sf_dir: str):
     """Per-doc keyword extraction: top-3 words by TF-IDF (big-big word
     join for df — the vocabulary is never broadcast)."""
@@ -1565,6 +1576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": _q_oov_rate,
         "source_overlap": _q_source_overlap,
         "tfidf_keywords": _q_tfidf_keywords,
+        "global_sample": _q_global_sample,
         # rows-only (approximate / non-SQL-expressible; bound-checked in tests/)
         "hll_synthetic": _q_hll_synthetic,
         "multi_sketch_synthetic": _q_multi_sketch_synthetic,
@@ -1977,6 +1989,15 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(t1, '\\+?[0-9][0-9()\\- ]{6,}[0-9]',
                                   '<PHONE>', 'g') AS text
             FROM e
+        """,
+        "global_sample": """
+            WITH r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                         ORDER BY (doc_id * 2654435761) % 4294967296,
+                                  doc_id) AS rk
+              FROM documents)
+            SELECT doc_id, source FROM r WHERE rk <= 50
         """,
         "per_key_sample": """
             WITH pr AS (

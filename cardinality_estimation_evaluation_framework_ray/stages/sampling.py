@@ -27,7 +27,7 @@ import pyarrow as pa
 import ray.data
 
 __all__ = ["knuth_priority", "per_key_sample", "hash_split",
-           "mixture_sample"]
+           "mixture_sample", "global_sample"]
 
 _KNUTH = np.uint64(2654435761)
 _MOD32 = np.uint64(0xFFFFFFFF)
@@ -208,3 +208,47 @@ def mixture_sample(ds: "ray.data.Dataset", *, budgets: dict[str, int],
         lambda g: _mixture_scan(g, rem, key_col, id_col, weight_col),
         batch_format="pandas")
     return full.union(cut)
+
+
+def global_sample(ds: "ray.data.Dataset", *, n: int, id_col: str = "doc_id",
+                  cols: list[str] | None = None) -> "ray.data.Dataset":
+    """Deterministic uniform-without-replacement sample of exactly ``n``
+    rows from the whole dataset: the ``n`` smallest Knuth priorities win
+    (ties by id) — replayable from ids alone, like ``per_key_sample`` with
+    one global key but WITHOUT the all-to-one groupby.  Assumes ``id_col``
+    values are unique (the table-key contract all samplers here share).
+
+    Two passes, both metadata-light: per-batch partial top-n emits at most
+    ``n`` (priority, id) candidate rows per BLOCK; the driver merges
+    ``<= num_blocks * n`` candidates (ids only, never payloads) and
+    broadcasts the winning id set; a stateless filter pass then keeps the
+    winners with ``cols`` (default id only — join payloads downstream)."""
+    cols = cols if cols is not None else [id_col]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], tbl.schema.field(id_col).type)})
+        prio = knuth_priority(ids)
+        order = np.lexsort((ids, prio))[:n]
+        return pa.table({id_col: pa.array(ids[order])})
+
+    cand = np.concatenate(
+        [b.column(id_col).to_numpy(zero_copy_only=False)
+         for b in ds.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+         .iter_batches(batch_format="pyarrow")] or
+        [np.empty(0, np.int64)])
+    order = np.lexsort((cand, knuth_priority(cand)))[:n]
+    winners_ref = ray.put(np.sort(cand[order]))
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        win = ray.get(winners_ref)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(win, ids)
+        hit = (pos < len(win)) & (win[np.minimum(pos, max(len(win) - 1, 0))]
+                                  == ids) if len(win) else \
+            np.zeros(len(ids), dtype=bool)
+        return tbl.select(cols).filter(pa.array(hit))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

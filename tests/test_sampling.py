@@ -138,3 +138,27 @@ def test_mixture_sample_bucketed_identical(ray_session):
         two = (mixture_sample(ds, budgets=budgets, n_buckets=8)
                .to_pandas().sort_values("doc_id").reset_index(drop=True))
         assert plain["doc_id"].tolist() == two["doc_id"].tolist()
+
+
+def test_global_sample_exact_n_and_partition_invariance(ray_session):
+    import pyarrow as pa
+
+    from cardinality_estimation_evaluation_framework_ray.stages.sampling import (
+        global_sample,
+        knuth_priority,
+    )
+
+    ids = np.arange(200, dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids),
+                    "source": pa.array([f"s{i % 4}" for i in ids])})
+    want = set(ids[np.lexsort((ids, knuth_priority(ids)))[:17]].tolist())
+
+    for blocks in (1, 7):
+        out = global_sample(ray.data.from_arrow(tbl).repartition(blocks),
+                            n=17).to_pandas()
+        assert set(out["doc_id"]) == want and list(out.columns) == ["doc_id"]
+
+    # n >= rows: whole table comes back
+    all_rows = global_sample(ray.data.from_arrow(tbl), n=1000,
+                             cols=["doc_id", "source"]).to_pandas()
+    assert len(all_rows) == 200 and set(all_rows.columns) == {"doc_id", "source"}
