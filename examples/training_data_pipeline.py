@@ -4,9 +4,12 @@
   1. exact dedup            (content-hash; hash+id shuffle only)
   2. near-dup pruning       (MinHash+LSH candidates -> drop non-canonical)
   3. decontamination        (broadcast gram-hash semi-join vs a held-out set)
-  4. quality filtering      (vectorized length/punct/stopword scores)
+  4. quality filtering      (percentile cut via one-pass KLL quantile)
   5. domain mixing          (mixture_sample: per-source char budgets)
   6. chunk + pack           (RAG chunks -> fixed-length training examples)
+
+Pre-curation diagnostics: cross-source 8-gram overlap matrix + OOV rate
+against the corpus top-k vocabulary.
 
 Every stage streams; document bodies move at most once (the final join);
 all selection stages exchange metadata (ids, hashes, weights) only.
@@ -48,7 +51,11 @@ def main() -> None:
         minhash_near_dups,
     )
     from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        build_top_vocab,
         decontaminate,
+        oov_rate,
+        quantile_threshold_filter,
+        source_overlap_matrix,
     )
     from cardinality_estimation_evaluation_framework_ray.stages.packing import (
         pack_sequences,
@@ -63,6 +70,12 @@ def main() -> None:
 
     docs = ray.data.read_parquet(f"{args.sf_dir}/documents.parquet")
     n0 = docs.count()
+
+    # 0) pre-curation diagnostics: which crawl sources overlap (joint-dedup
+    # candidates) and how well a top-k vocabulary covers the corpus
+    overlap = source_overlap_matrix(docs, n=8)
+    vocab = build_top_vocab(docs, top_k=20)
+    mean_oov = float(oov_rate(docs, vocab).to_pandas()["oov_rate"].mean())
 
     # 1) exact dedup: survivors carry their own id (metadata-only shuffle)
     survivors = dedup_exact_texts(docs).select_columns(["kept_doc_id"])
@@ -82,10 +95,13 @@ def main() -> None:
     drop_cont = set(cont.loc[cont["contaminated"], "doc_id"])
 
     # 4) quality: drop the worst decile by mean word length (a cheap
-    # gibberish proxy over this synthetic corpus)
-    q = quality_stats(docs).to_pandas()
-    cut = q["mean_word_len"].quantile(0.1)
-    drop_quality = set(q.loc[q["mean_word_len"] < cut, "doc_id"])
+    # gibberish proxy over this synthetic corpus) — percentile cutoff via
+    # the one-pass KLL sketch, the no-shuffle 100-TB path
+    scores = quality_stats(docs).select_columns(
+        ["doc_id", "mean_word_len"]).materialize()
+    kept_q = set(quantile_threshold_filter(
+        scores, "mean_word_len", 0.1, mode="kll").to_pandas()["doc_id"])
+    drop_quality = set(scores.to_pandas()["doc_id"]) - kept_q  # sandbox scale
 
     drop = (drop_near | drop_cont | drop_quality)
     kept_ids = np.array(sorted(keep_exact - drop), dtype=np.int64)
@@ -135,6 +151,11 @@ def main() -> None:
     n_examples = int(pk["last_pack"].max()) + 1 if len(pk) else 0
 
     print(f"docs in                 : {n0}")
+    if len(overlap):
+        hot = overlap.sort_values("shared_grams", ascending=False).iloc[0]
+        print(f"hottest source overlap  : {hot.source_a}~{hot.source_b} "
+              f"({hot.shared_grams} shared 8-grams)")
+    print(f"mean OOV vs top-20      : {mean_oov:.4f}")
     print(f"after exact dedup       : {len(keep_exact)}")
     print(f"dropped near-dup        : {len(drop_near)}")
     print(f"dropped contaminated    : {len(drop_cont)}")
