@@ -1476,6 +1476,37 @@ def _q_quality_quantile_filter(sf_dir: str):
         scores, "mean_word_len", 0.7, mode="exact").to_pandas()
 
 
+def _q_chars_pivot(sf_dir: str):
+    """Long -> wide pivot: per-source char totals, one column per lang."""
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        pivot_sum,
+    )
+
+    df = pivot_sum(_read(sf_dir, "documents"), index="source",
+                   columns="lang", value="n_chars").to_pandas()
+    return df.sort_values("source").reset_index(drop=True)
+
+
+def _q_events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (event_type, day) counts with an 'ALL' sentinel."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        rollup_counts,
+    )
+
+    ds = _read(sf_dir, "events").select_columns(["event_type", "ts"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t.column("ts"), format="%Y-%m-%d")
+        return pa.table({"event_type": t.column("event_type"), "day": day})
+
+    typed = ds.map_batches(add_day, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return rollup_counts(typed, ["event_type", "day"]).to_pandas()
+
+
 def _q_global_sample(sf_dir: str):
     """Exact-n deterministic uniform corpus sample (global Knuth-priority
     top-n; candidates-only driver merge, winners broadcast)."""
@@ -1577,6 +1608,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": _q_source_overlap,
         "tfidf_keywords": _q_tfidf_keywords,
         "global_sample": _q_global_sample,
+        "chars_pivot": _q_chars_pivot,
+        "events_rollup": _q_events_rollup,
         # rows-only (approximate / non-SQL-expressible; bound-checked in tests/)
         "hll_synthetic": _q_hll_synthetic,
         "multi_sketch_synthetic": _q_multi_sketch_synthetic,
@@ -1989,6 +2022,23 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(t1, '\\+?[0-9][0-9()\\- ]{6,}[0-9]',
                                   '<PHONE>', 'g') AS text
             FROM e
+        """,
+        "chars_pivot": """
+            SELECT source,
+                   CAST(coalesce(sum(CASE WHEN lang = 'de' THEN n_chars END), 0) AS BIGINT) AS de,
+                   CAST(coalesce(sum(CASE WHEN lang = 'en' THEN n_chars END), 0) AS BIGINT) AS en,
+                   CAST(coalesce(sum(CASE WHEN lang = 'es' THEN n_chars END), 0) AS BIGINT) AS es,
+                   CAST(coalesce(sum(CASE WHEN lang = 'fr' THEN n_chars END), 0) AS BIGINT) AS fr,
+                   CAST(coalesce(sum(CASE WHEN lang = 'zh' THEN n_chars END), 0) AS BIGINT) AS zh
+            FROM documents GROUP BY source
+        """,
+        "events_rollup": """
+            WITH e AS (
+              SELECT event_type, strftime(ts, '%Y-%m-%d') AS day FROM events)
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(day, 'ALL') AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM e GROUP BY ROLLUP (event_type, day)
         """,
         "global_sample": """
             WITH r AS (

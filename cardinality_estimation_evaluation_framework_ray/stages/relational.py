@@ -371,3 +371,82 @@ def value_histogram(ds: "ray.data.Dataset", col: str, *, lo: float,
            .to_pandas())
     return out.astype({"bin": "int64", "n_rows": "int64"}).sort_values(
         "bin").reset_index(drop=True)
+
+
+def pivot_sum(ds: "ray.data.Dataset", *, index: str, columns: str,
+              value: str, col_values: list | None = None
+              ) -> "ray.data.Dataset":
+    """Long -> wide pivot with a SUM cell aggregate (``melt``'s inverse):
+    one output row per ``index`` value, one int64 column per distinct
+    ``columns`` value, missing cells 0.
+
+    ``col_values`` (the output column set) is collected once if not given —
+    bounded by contract (a pivot with unbounded columns is a malformed
+    report).  The wide step runs on the ALREADY-AGGREGATED long table
+    (distinct (index, columns) pairs — the only corpus-wide shuffle), so
+    each ``map_groups`` group is at most ``len(col_values)`` rows.
+    """
+    import pandas as pd
+
+    if col_values is None:
+        col_values = sorted(ds.select_columns([columns]).unique(columns))
+    col_values = [str(c) for c in col_values]
+
+    long = ds.groupby([index, columns]).sum(value)
+    sum_col = f"sum({value})"
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        cells = dict(zip(g[columns].astype(str), g[sum_col]))
+        row = {index: g[index].iloc[0]}
+        for c in col_values:
+            row[c] = int(cells.get(c, 0))
+        return pd.DataFrame([row])
+
+    return long.groupby(index).map_groups(widen, batch_format="pandas")
+
+
+def rollup_counts(ds: "ray.data.Dataset", keys: list[str], *,
+                  total_label: str = "ALL", count_name: str = "n"
+                  ) -> "ray.data.Dataset":
+    """SQL ``GROUP BY ROLLUP(k1, .., kn)`` counts: the finest level plus
+    every prefix subtotal and the grand total, with rolled-up key columns
+    holding ``total_label`` (string keys required — a sentinel, not NULL,
+    so results hash identically to a ``coalesce``'d SQL oracle).
+
+    Scale shape: ONE corpus-wide groupby builds the finest count table;
+    every coarser level re-aggregates those partial counts (distinct-key
+    metadata, not rows), so n levels cost one data pass + (n-1) KB-scale
+    shuffles.
+    """
+    finest = ds.groupby(keys).count()
+
+    def norm_finest(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = {k: t.column(k) for k in keys}
+        cols[count_name] = pc.cast(t.column("count()"), pa.int64())
+        return pa.table(cols)
+
+    levels = [finest.map_batches(norm_finest, batch_format="pyarrow",
+                                 zero_copy_batch=True)]
+    for i in range(len(keys) - 1, 0, -1):
+        kept = keys[:i]
+        sub = finest.groupby(kept).sum("count()")
+
+        def norm_sub(t: pa.Table, kept=kept) -> pa.Table:
+            import pyarrow.compute as pc
+
+            n_rows = t.num_rows
+            cols = {k: t.column(k) for k in kept}
+            for k in keys[len(kept):]:
+                cols[k] = pa.array([total_label] * n_rows, pa.string())
+            cols[count_name] = pc.cast(t.column("sum(count())"), pa.int64())
+            return pa.table(cols)
+
+        levels.append(sub.map_batches(norm_sub, batch_format="pyarrow",
+                                      zero_copy_batch=True))
+    total = int(finest.sum("count()"))
+    levels.append(ray.data.from_arrow(pa.table(
+        {**{k: pa.array([total_label], pa.string()) for k in keys},
+         count_name: pa.array([total], pa.int64())})))
+    return union_all(levels)

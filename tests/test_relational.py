@@ -263,3 +263,50 @@ def test_quantiles_disc_matches_numpy_reference(ray_session):
         clean = np.sort(vals[~nulls])
         want = clean[np.maximum(np.ceil(qs * len(clean)).astype(int) - 1, 0)]
         np.testing.assert_array_equal(got, want)
+
+
+def test_pivot_sum_inverse_of_melt(ray_session):
+    import pyarrow as pa
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        pivot_sum,
+    )
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "a", "b", "b", "b"], pa.string()),
+        "c": pa.array(["x", "y", "x", "x", "z"], pa.string()),
+        "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })).repartition(3)
+    out = (pivot_sum(ds, index="k", columns="c", value="v").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    assert list(out.columns) == ["k", "x", "y", "z"]
+    assert out.loc[0].tolist() == ["a", 1, 2, 0]   # missing cell -> 0
+    assert out.loc[1].tolist() == ["b", 7, 0, 5]
+
+    # explicit column set pins the schema even for values absent in data
+    fixed = pivot_sum(ds, index="k", columns="c", value="v",
+                      col_values=["x", "q"]).to_pandas()
+    assert list(fixed.columns) == ["k", "q", "x"] or \
+        list(fixed.columns) == ["k", "x", "q"]
+    assert (fixed["q"] == 0).all()
+
+
+def test_rollup_counts_all_levels(ray_session):
+    import pyarrow as pa
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        rollup_counts,
+    )
+
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array(["p", "p", "q"], pa.string()),
+        "b": pa.array(["1", "2", "1"], pa.string()),
+    })).repartition(2)
+    out = rollup_counts(ds, ["a", "b"]).to_pandas()
+    got = {(r.a, r.b): r.n for r in out.itertuples()}
+    assert got == {
+        ("p", "1"): 1, ("p", "2"): 1, ("q", "1"): 1,
+        ("p", "ALL"): 2, ("q", "ALL"): 1,
+        ("ALL", "ALL"): 3,
+    }
+    assert out["n"].dtype == "int64"
