@@ -399,7 +399,7 @@ def pivot_sum(ds: "ray.data.Dataset", *, index: str, columns: str,
         cells = dict(zip(g[columns].astype(str), g[sum_col]))
         row = {index: g[index].iloc[0]}
         for c in col_values:
-            row[c] = int(cells.get(c, 0))
+            row[c] = cells.get(c, 0)  # native sum dtype (int or float)
         return pd.DataFrame([row])
 
     return long.groupby(index).map_groups(widen, batch_format="pandas")
@@ -418,7 +418,10 @@ def rollup_counts(ds: "ray.data.Dataset", keys: list[str], *,
     metadata, not rows), so n levels cost one data pass + (n-1) KB-scale
     shuffles.
     """
-    finest = ds.groupby(keys).count()
+    # the finest count table is distinct-key metadata — materialize it so
+    # the coarser levels and the grand total re-read it instead of
+    # re-executing the corpus groupby per level
+    finest = ds.groupby(keys).count().materialize()
 
     def norm_finest(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -193,7 +193,11 @@ def tfidf_top_terms(ds: "ray.data.Dataset", *, k: int = 3,
     from .joins import hash_join
 
     n_docs = ds.count()
-    tf = doc_term_frequencies(ds, text_col=text_col, id_col=id_col)
+    # tf feeds BOTH the df aggregate and the join probe side; materialize
+    # the narrow pair table once (spillable) instead of re-reading and
+    # re-tokenizing the corpus for each consumer
+    tf = doc_term_frequencies(ds, text_col=text_col,
+                              id_col=id_col).materialize()
 
     def as_df(batch: pa.Table) -> pa.Table:
         cnt = batch.column("count()")
