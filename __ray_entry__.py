@@ -1476,6 +1476,40 @@ def _q_quality_quantile_filter(sf_dir: str):
         scores, "mean_word_len", 0.7, mode="exact").to_pandas()
 
 
+def _custkey_sides(sf_dir: str):
+    import pyarrow as pa
+
+    left = _read(sf_dir, "customer").select_columns(["c_custkey"])
+
+    def as_custkey(t: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": t.column("user_id")})
+
+    right = (_read(sf_dir, "events").select_columns(["user_id"])
+             .map_batches(as_custkey, batch_format="pyarrow",
+                          zero_copy_batch=True))
+    return left, right
+
+
+def _q_custkeys_intersect(sf_dir: str):
+    """SQL INTERSECT: customers who generated >= 1 event."""
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        set_op,
+    )
+
+    left, right = _custkey_sides(sf_dir)
+    return set_op(left, right, on=["c_custkey"], op="intersect").to_pandas()
+
+
+def _q_custkeys_except(sf_dir: str):
+    """SQL EXCEPT: customers with no events."""
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        set_op,
+    )
+
+    left, right = _custkey_sides(sf_dir)
+    return set_op(left, right, on=["c_custkey"], op="except").to_pandas()
+
+
 def _q_chars_pivot(sf_dir: str):
     """Long -> wide pivot: per-source char totals, one column per lang."""
     from cardinality_estimation_evaluation_framework_ray.stages.relational import (
@@ -1610,6 +1644,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_sample": _q_global_sample,
         "chars_pivot": _q_chars_pivot,
         "events_rollup": _q_events_rollup,
+        "custkeys_intersect": _q_custkeys_intersect,
+        "custkeys_except": _q_custkeys_except,
         # rows-only (approximate / non-SQL-expressible; bound-checked in tests/)
         "hll_synthetic": _q_hll_synthetic,
         "multi_sketch_synthetic": _q_multi_sketch_synthetic,
@@ -2022,6 +2058,16 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(t1, '\\+?[0-9][0-9()\\- ]{6,}[0-9]',
                                   '<PHONE>', 'g') AS text
             FROM e
+        """,
+        "custkeys_intersect": """
+            SELECT c_custkey FROM customer
+            INTERSECT
+            SELECT user_id AS c_custkey FROM events
+        """,
+        "custkeys_except": """
+            SELECT c_custkey FROM customer
+            EXCEPT
+            SELECT user_id AS c_custkey FROM events
         """,
         "chars_pivot": """
             SELECT source,

@@ -453,3 +453,46 @@ def rollup_counts(ds: "ray.data.Dataset", keys: list[str], *,
         {**{k: pa.array([total_label], pa.string()) for k in keys},
          count_name: pa.array([total], pa.int64())})))
     return union_all(levels)
+
+
+def set_op(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
+           on: list[str], op: str = "intersect") -> "ray.data.Dataset":
+    """SQL ``INTERSECT`` / ``EXCEPT`` (distinct set semantics) over the
+    ``on`` columns: distinct left rows that do (``intersect``) or do not
+    (``except``) appear in right.
+
+    One shuffle over DISTINCT tagged rows, fully vectorized: both sides are
+    projected to ``on`` + a side tag, unioned, then a single
+    ``groupby(on).aggregate(Min/Max(tag))`` decides membership per distinct
+    row — no per-group Python, no driver state.  (``union`` here is Ray's
+    lazy concatenation — blocks are chained, not copied.)
+    """
+    if op not in ("intersect", "except"):
+        raise ValueError("op must be 'intersect' or 'except'")
+    from ray.data.aggregate import Max, Min
+
+    def tag(value: int):
+        def add(t: pa.Table) -> pa.Table:
+            sel = t.select(on)
+            return sel.append_column(
+                "__side", pa.array(np.full(t.num_rows, value, np.int64)))
+        return add
+
+    tagged = (left.map_batches(tag(0), batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .union(right.map_batches(tag(1), batch_format="pyarrow",
+                                       zero_copy_batch=True)))
+    agg = tagged.groupby(on).aggregate(Min("__side"), Max("__side"))
+
+    def pick(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lo = t.column("min(__side)")
+        hi = t.column("max(__side)")
+        present_left = pc.equal(lo, 0)
+        in_right = pc.equal(hi, 1)
+        mask = (pc.and_(present_left, in_right) if op == "intersect"
+                else pc.and_(present_left, pc.invert(in_right)))
+        return t.filter(mask).select(on)
+
+    return agg.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)

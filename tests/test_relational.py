@@ -310,3 +310,31 @@ def test_rollup_counts_all_levels(ray_session):
         ("ALL", "ALL"): 3,
     }
     assert out["n"].dtype == "int64"
+
+
+def test_set_op_intersect_except(ray_session):
+    import pyarrow as pa
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        set_op,
+    )
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 3, 4], pa.int64())})).repartition(2)
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 4, 4, 5], pa.int64())})).repartition(2)
+
+    inter = set_op(left, right, on=["k"]).to_pandas()
+    assert sorted(inter["k"]) == [2, 4]            # distinct semantics
+    exc = set_op(left, right, on=["k"], op="except").to_pandas()
+    assert sorted(exc["k"]) == [1, 3]
+    # right-only keys never leak into either result
+    assert 5 not in set(inter["k"]) | set(exc["k"])
+
+    # empty result keeps executing without error (schema loss at the
+    # to_pandas edge is the CALLER's concern, as in the oracle queries)
+    sub = set_op(right, right, on=["k"], op="except").to_pandas()
+    assert len(sub) == 0
+
+    with pytest.raises(ValueError):
+        set_op(left, right, on=["k"], op="union")
