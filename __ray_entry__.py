@@ -1476,6 +1476,37 @@ def _q_quality_quantile_filter(sf_dir: str):
         scores, "mean_word_len", 0.7, mode="exact").to_pandas()
 
 
+def _q_price_percentiles(sf_dir: str):
+    """Interpolated percentile_cont of lineitem extended price at the
+    quartiles (distinct-value count scan, no global sort)."""
+    import numpy as np
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        quantiles_cont,
+    )
+
+    qs = np.array([0.25, 0.5, 0.75])
+    vals = quantiles_cont(_read(sf_dir, "lineitem"), "l_extendedprice", qs)
+    return pd.DataFrame({"q": qs, "price": np.round(vals, 4)})
+
+
+def _q_events_value_lag(sf_dir: str):
+    """LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)."""
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_lead_lag,
+    )
+
+    out = grouped_lead_lag(
+        _read(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "ts", "value"]),
+        key="user_id", order_col="ts", value_col="value",
+        tiebreak=["event_id"]).to_pandas()
+    out["value"] = out["value"].round(6)
+    out["lag_value"] = out["lag_value"].round(6)
+    return out[["event_id", "user_id", "value", "lag_value"]]
+
+
 def _custkey_sides(sf_dir: str):
     import pyarrow as pa
 
@@ -1646,6 +1677,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _q_events_rollup,
         "custkeys_intersect": _q_custkeys_intersect,
         "custkeys_except": _q_custkeys_except,
+        "price_percentiles": _q_price_percentiles,
+        "events_value_lag": _q_events_value_lag,
         # rows-only (approximate / non-SQL-expressible; bound-checked in tests/)
         "hll_synthetic": _q_hll_synthetic,
         "multi_sketch_synthetic": _q_multi_sketch_synthetic,
@@ -2058,6 +2091,24 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(t1, '\\+?[0-9][0-9()\\- ]{6,}[0-9]',
                                   '<PHONE>', 'g') AS text
             FROM e
+        """,
+        "price_percentiles": """
+            SELECT 0.25 AS q, round(percentile_cont(0.25) WITHIN GROUP
+                   (ORDER BY l_extendedprice), 4) AS price FROM lineitem
+            UNION ALL
+            SELECT 0.5, round(percentile_cont(0.5) WITHIN GROUP
+                   (ORDER BY l_extendedprice), 4) FROM lineitem
+            UNION ALL
+            SELECT 0.75, round(percentile_cont(0.75) WITHIN GROUP
+                   (ORDER BY l_extendedprice), 4) FROM lineitem
+        """,
+        "events_value_lag": """
+            SELECT event_id, user_id,
+                   round(value, 6) AS value,
+                   round(lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 6)
+                       AS lag_value
+            FROM events
         """,
         "custkeys_intersect": """
             SELECT c_custkey FROM customer

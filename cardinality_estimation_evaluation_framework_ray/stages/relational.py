@@ -496,3 +496,58 @@ def set_op(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
         return t.filter(mask).select(on)
 
     return agg.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quantiles_cont(ds: "ray.data.Dataset", col: str, qs: np.ndarray,
+                   mode: str = "exact") -> np.ndarray:
+    """Interpolated quantiles (SQL ``percentile_cont``): linear
+    interpolation between the order statistics at rank ``1 + q*(n-1)``.
+
+    ``mode='exact'`` reuses the distinct-value count scan (one groupby over
+    distinct values; the order statistics fall out of the cumulative count
+    without materializing rows).  ``mode='kll'`` returns the KLL sketch's
+    quantile (already interpolation-free within rank error) — the 100-TB
+    path.  Nulls excluded, as in SQL.
+    """
+    qs = np.asarray(qs, np.float64)
+    if mode == "kll":
+        return quantiles_disc(ds, col, qs, mode="kll")
+    if mode != "exact":
+        raise ValueError("mode must be 'exact' or 'kll'")
+    counts = ds.groupby(col).count().to_pandas()
+    counts = counts[counts[col].notna()].sort_values(col)
+    vals = counts[col].to_numpy(dtype=np.float64)
+    cum = counts["count()"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return np.full(len(qs), np.nan)
+    # fractional rank h in [1, n]; value = v[h0] + (h - h0) * (v[h1] - v[h0])
+    h = 1.0 + qs * (n - 1)
+    h0 = np.floor(h).astype(np.int64)
+    h1 = np.minimum(h0 + 1, n)
+    v_lo = vals[np.searchsorted(cum, h0, side="left")]
+    v_hi = vals[np.searchsorted(cum, h1, side="left")]
+    return v_lo + (h - h0) * (v_hi - v_lo)
+
+
+def grouped_lead_lag(ds: "ray.data.Dataset", *, key: str, order_col: str,
+                     value_col: str, offset: int = 1,
+                     tiebreak: list[str] | None = None
+                     ) -> "ray.data.Dataset":
+    """SQL ``LAG(value, offset) OVER (PARTITION BY key ORDER BY order_col
+    [, tiebreak...])`` (negative ``offset`` = LEAD): one shuffle by
+    ``key``, per-group sort + shift — the generic peer of the fixed
+    ``lag_diff_per_group``.
+
+    Output: input columns + ``lag_<value_col>`` (None at window edges).
+    Single-key-fits-a-task assumption as for the other cogroup consumers
+    (sessions/asof) — pre-bucket hot keys upstream if violated.
+    """
+    sort_cols = [order_col] + (tiebreak or [])
+
+    def shift(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols).copy()
+        g[f"lag_{value_col}"] = g[value_col].shift(offset)
+        return g
+
+    return ds.groupby(key).map_groups(shift, batch_format="pandas")

@@ -338,3 +338,46 @@ def test_set_op_intersect_except(ray_session):
 
     with pytest.raises(ValueError):
         set_op(left, right, on=["k"], op="union")
+
+
+def test_quantiles_cont_matches_numpy(ray_session):
+    import pyarrow as pa
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        quantiles_cont,
+    )
+
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 30, size=157).astype(float)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(5)
+    qs = np.array([0.0, 0.25, 0.5, 0.9, 1.0])
+    got = quantiles_cont(ds, "v", qs)
+    # numpy's default 'linear' interpolation IS percentile_cont
+    want = np.quantile(vals, qs)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_grouped_lead_lag_matches_pandas(ray_session):
+    import pyarrow as pa
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_lead_lag,
+    )
+
+    tbl = pa.table({
+        "k": pa.array(["a", "a", "a", "b", "b"], pa.string()),
+        "t": pa.array([3, 1, 2, 5, 4], pa.int64()),
+        "v": pa.array([30.0, 10.0, 20.0, 50.0, 40.0]),
+    })
+    out = (grouped_lead_lag(ray.data.from_arrow(tbl).repartition(3),
+                            key="k", order_col="t", value_col="v")
+           .to_pandas().sort_values(["k", "t"]).reset_index(drop=True))
+    assert out["lag_v"].tolist()[0:3] == pytest.approx(
+        [np.nan, 10.0, 20.0], nan_ok=True)
+    assert np.isnan(out["lag_v"].iloc[3]) and out["lag_v"].iloc[4] == 40.0
+
+    # negative offset = LEAD
+    lead = (grouped_lead_lag(ray.data.from_arrow(tbl), key="k",
+                             order_col="t", value_col="v", offset=-1)
+            .to_pandas().sort_values(["k", "t"]).reset_index(drop=True))
+    assert lead["lag_v"].iloc[0] == 20.0 and np.isnan(lead["lag_v"].iloc[2])
