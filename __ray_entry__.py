@@ -1476,6 +1476,17 @@ def _q_quality_quantile_filter(sf_dir: str):
         scores, "mean_word_len", 0.7, mode="exact").to_pandas()
 
 
+def _q_events_props_k(sf_dir: str):
+    """Semi-structured extraction: the integer 'k' field of the JSON props
+    string (Arrow RE2, no JSON parser in the hot path)."""
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        extract_json_int,
+    )
+
+    return extract_json_int(_read(sf_dir, "events"), col="props", key="k",
+                            id_col="event_id").to_pandas()
+
+
 def _q_price_percentiles(sf_dir: str):
     """Interpolated percentile_cont of lineitem extended price at the
     quartiles (distinct-value count scan, no global sort)."""
@@ -1679,6 +1690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custkeys_except": _q_custkeys_except,
         "price_percentiles": _q_price_percentiles,
         "events_value_lag": _q_events_value_lag,
+        "events_props_k": _q_events_props_k,
         # rows-only (approximate / non-SQL-expressible; bound-checked in tests/)
         "hll_synthetic": _q_hll_synthetic,
         "multi_sketch_synthetic": _q_multi_sketch_synthetic,
@@ -2091,6 +2103,11 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(t1, '\\+?[0-9][0-9()\\- ]{6,}[0-9]',
                                   '<PHONE>', 'g') AS text
             FROM e
+        """,
+        "events_props_k": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
         """,
         "price_percentiles": """
             SELECT 0.25 AS q, round(percentile_cont(0.25) WITHIN GROUP

@@ -387,3 +387,32 @@ def normalize_text(ds: "ray.data.Dataset", *, text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def extract_json_int(ds: "ray.data.Dataset", *, col: str, key: str,
+                     id_col: str, out_col: str | None = None
+                     ) -> "ray.data.Dataset":
+    """Pull an integer field out of a flat-JSON string column (the
+    semi-structured "props" pattern): ``{"k": 42, ...}`` -> 42.
+
+    Pure Arrow RE2 (``extract_regex``) per batch — no JSON parser in the
+    hot path, no Python per row; rows without the key (or with a
+    non-numeric value) yield null.  The regex anchors on the quoted key so
+    substring keys can't false-match.  Contract: the field must be a JSON
+    integer — a float field yields its integer PREFIX (RE2 has no
+    lookahead to reject it), unlike ``CAST(json_extract(...))`` which
+    rounds; keep the op on integer fields.
+    """
+    out_col = out_col or key
+    pattern = '"' + key + '":\\s*(?P<v>-?[0-9]+)'
+
+    def extract(batch: pa.Table) -> pa.Table:
+        text = batch.column(col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        m = pc.extract_regex(pc.fill_null(text, ""), pattern)
+        vals = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        return pa.table({id_col: batch.column(id_col), out_col: vals})
+
+    return ds.select_columns([id_col, col]).map_batches(
+        extract, batch_format="pyarrow", zero_copy_batch=True)

@@ -220,3 +220,29 @@ def test_normalize_text():
     exp = [re.sub(r"\s+", " ", t.lower()).strip() for t in texts]
     assert got["norm_text"].tolist() == exp
     assert got["n_norm_chars"].tolist() == [len(e) for e in exp]
+
+
+def test_extract_json_int_edges(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        extract_json_int,
+    )
+
+    ds = ray.data.from_arrow(pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "props": pa.array(['{"k": 69}', '{"x": 1}', "garbage", None,
+                           '{"kk": 5, "k": -3}', '{"k": 1.5}'],
+                          pa.string()),
+    })).repartition(2)
+    out = (extract_json_int(ds, col="props", key="k", id_col="event_id")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert out["k"].tolist()[0] == 69
+    # missing key / garbage / null row all yield null
+    assert all(np.isnan(v) for v in out["k"].tolist()[1:4])
+    # quoted-key anchor: "kk" cannot false-match "k"
+    assert out["k"].tolist()[4] == -3
+    # documented contract: a float field yields its integer PREFIX
+    assert out["k"].tolist()[5] == 1
