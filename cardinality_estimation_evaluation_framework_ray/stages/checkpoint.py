@@ -70,7 +70,7 @@ def _checkpoint_is_valid(path: str, fingerprint: str, cfg_hash: str) -> bool:
 
 
 def build_partition_checkpoint(files: list[str], specs: dict[str, SketchSpec],
-                               partition_id: int, ckpt_dir: str,
+                               partition_id: "int | str", ckpt_dir: str,
                                key: str = "source", tokens_col: str = "tokens",
                                batch_size: int | None = 8192) -> str:
     """Build + atomically write one partition's per-key states. Returns path."""
@@ -95,9 +95,10 @@ def build_partition_checkpoint(files: list[str], specs: dict[str, SketchSpec],
         for name in specs:
             cols[state_col(name)].append(r[state_col(name)])
     n = len(rows)
+    pid_type = pa.int32() if isinstance(partition_id, int) else pa.string()
     tbl = pa.table({
         **{k: pa.array(v) for k, v in cols.items()},
-        "partition_id": pa.array([partition_id] * n, pa.int32()),
+        "partition_id": pa.array([partition_id] * n, pid_type),
         "input_files": pa.array([";".join(sorted(files))] * n),
         "input_fingerprint": pa.array([fingerprint] * n),
         "sketch_config_hash": pa.array([cfg_hash] * n),
@@ -134,6 +135,13 @@ def build_sketch_states_resumable(files: list[str], specs: dict[str, SketchSpec]
     for pid, part_files in enumerate(partitions):
         paths.append(build_partition_checkpoint(
             part_files, specs, pid, ckpt_dir, key, tokens_col, batch_size))
+    del tree_width  # subsumed by the sort-free combiner in merge_partials
+    return _reduce_checkpoints(paths, specs, key)
+
+
+def _reduce_checkpoints(paths: list[str], specs: dict[str, SketchSpec],
+                        key: str) -> "ray.data.Dataset":
+    """Merge per-partition checkpoint tables through the usual merge tree."""
     ck = ray.data.read_parquet(paths)
     keep = [key, "n_rows", "n_tokens"] + [state_col(n) for n in specs]
 
@@ -145,8 +153,52 @@ def build_sketch_states_resumable(files: list[str], specs: dict[str, SketchSpec]
         return tbl.append_column("salt", pa.array(salt))
 
     partials = ck.map_batches(strip, batch_format="pyarrow")
-    del tree_width  # subsumed by the sort-free combiner in merge_partials
     return merge_partials(partials, specs, key)
+
+
+def stable_partition_label(files: list[str]) -> str:
+    """Order-independent partition id: digest of the partition's file NAMES
+    (not stat) — stable across corpus appends, re-listings and reorderings,
+    unlike the positional ids of ``build_sketch_states_resumable``."""
+    joined = ";".join(sorted(os.path.basename(f) for f in files))
+    return hashlib.sha1(joined.encode()).hexdigest()[:16]
+
+
+def build_sketch_states_incremental(
+        files: list[str], specs: dict[str, SketchSpec], ckpt_dir: str, *,
+        key: str = "source", tokens_col: str = "tokens",
+        files_per_partition: int = 1, batch_size: int | None = 8192):
+    """Append-friendly resumable build over a GROWING corpus directory.
+
+    Partitions are keyed by ``stable_partition_label`` (a digest of their
+    file names) instead of their position in the sorted listing, so
+    appending files to the corpus leaves every existing checkpoint's path
+    AND validity untouched: a re-run builds only the new (or
+    content-changed, per input fingerprint) partitions and re-reduces.
+    Positional ids would shift on append and invalidate everything after
+    the insertion point.
+
+    Returns ``(merged per-key state Dataset, report)`` where ``report`` is
+    ``{"reused": [...], "built": [...]}`` partition labels — the lineage a
+    scheduler logs per incremental run.
+    """
+    if batch_size is None:
+        batch_size = 8192
+    if batch_size <= 0:
+        raise ValueError("batch_size must be positive")
+    cfg_hash = _config_hash(specs)
+    paths, reused, built = [], [], []
+    for part_files in partition_input_files(files, files_per_partition):
+        label = stable_partition_label(part_files)
+        path = _ckpt_path(ckpt_dir, label)
+        if _checkpoint_is_valid(path, _fingerprint(part_files), cfg_hash):
+            reused.append(label)
+        else:
+            built.append(label)
+        paths.append(build_partition_checkpoint(
+            part_files, specs, label, ckpt_dir, key, tokens_col, batch_size))
+    merged = _reduce_checkpoints(paths, specs, key)
+    return merged, {"reused": sorted(reused), "built": sorted(built)}
 
 
 def _write_checkpoint(path: str, cols: dict, specs: dict[str, SketchSpec],

@@ -130,3 +130,40 @@ def test_epoch_resumable_skips_valid_checkpoints(tokens_files, tmp_path):
     mtimes = {p: os.path.getmtime(p) for p in paths}
     build_sketch_states_epoch_resumable(tokens_files, specs, ck).count()
     assert {p: os.path.getmtime(p) for p in paths} == mtimes
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_append_reuses_existing_checkpoints(tokens_files, tmp_path):
+    """Corpus append: the incremental build reuses every prior partition
+    checkpoint verbatim (stable file-name labels, not positional ids),
+    builds only the appended file, and the merged estimates equal a full
+    rebuild."""
+    from cardinality_estimation_evaluation_framework_ray.stages.checkpoint import (
+        build_sketch_states_incremental,
+        stable_partition_label,
+    )
+
+    specs = {"hll": HllSpec(p=10, seed=5)}
+    ck = str(tmp_path / "ckpt_inc")
+
+    initial = tokens_files[:-1]
+    _, rep1 = build_sketch_states_incremental(initial, specs, ck)
+    assert len(rep1["built"]) == len(initial) and not rep1["reused"]
+
+    # "append" the last file: only its partition builds
+    states, rep2 = build_sketch_states_incremental(tokens_files, specs, ck)
+    assert sorted(rep2["reused"]) == sorted(rep1["built"])
+    assert rep2["built"] == [stable_partition_label([tokens_files[-1]])]
+
+    per_key = collect_states(states, specs)
+    direct = collect_states(
+        build_sketch_states(ray.data.read_parquet(tokens_files), specs), specs)
+    assert set(per_key) == set(direct)
+    for k in per_key:
+        assert np.array_equal(per_key[k]["hll"].buckets,
+                              direct[k]["hll"].buckets)
+
+    # config change invalidates everything (different sketch config hash)
+    _, rep3 = build_sketch_states_incremental(
+        tokens_files, {"hll": HllSpec(p=11, seed=5)}, ck)
+    assert len(rep3["built"]) == len(tokens_files) and not rep3["reused"]
