@@ -1476,6 +1476,20 @@ def _q_quality_quantile_filter(sf_dir: str):
         scores, "mean_word_len", 0.7, mode="exact").to_pandas()
 
 
+def _q_neardup_edit_distance(sf_dir: str):
+    """Exact Levenshtein verification of the (oracled) exact-Jaccard
+    candidate pairs — the char-level evidence stage of a dedup pipeline."""
+    from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
+        edit_distance_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _read(sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=1, threshold=0.8, max_df=250)
+    return (edit_distance_pairs(pairs, docs).to_pandas()
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
 def _q_events_props_k(sf_dir: str):
     """Semi-structured extraction: the integer 'k' field of the JSON props
     string (Arrow RE2, no JSON parser in the hot path)."""
@@ -1691,6 +1705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_percentiles": _q_price_percentiles,
         "events_value_lag": _q_events_value_lag,
         "events_props_k": _q_events_props_k,
+        "neardup_edit_distance": _q_neardup_edit_distance,
         # rows-only (approximate / non-SQL-expressible; bound-checked in tests/)
         "hll_synthetic": _q_hll_synthetic,
         "multi_sketch_synthetic": _q_multi_sketch_synthetic,
@@ -2103,6 +2118,34 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(t1, '\\+?[0-9][0-9()\\- ]{6,}[0-9]',
                                   '<PHONE>', 'g') AS text
             FROM e
+        """,
+        "neardup_edit_distance": """
+            WITH toks0 AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tok
+              FROM documents),
+            kept_tok AS (
+              SELECT tok FROM toks0 GROUP BY tok HAVING count(*) <= 250),
+            toks AS (SELECT t.doc_id, t.tok FROM toks0 t
+                     JOIN kept_tok USING (tok)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nc
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT c.doc_a, c.doc_b
+              FROM common c
+              JOIN sizes sa ON sa.doc_id = c.doc_a
+              JOIN sizes sb ON sb.doc_id = c.doc_b
+              WHERE CAST(c.nc AS DOUBLE) / (sa.sz + sb.sz - c.nc) >= 0.8)
+            SELECT p.doc_a, p.doc_b,
+                   CAST(levenshtein(da.text, db.text) AS BIGINT)
+                       AS edit_distance
+            FROM pairs p
+            JOIN documents da ON da.doc_id = p.doc_a
+            JOIN documents db ON db.doc_id = p.doc_b
         """,
         "events_props_k": """
             SELECT event_id,

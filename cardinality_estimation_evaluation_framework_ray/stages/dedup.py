@@ -726,3 +726,65 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", *, n: int = 1,
                          "jaccard": pa.array(np.round(j[keep], 6))})
 
     return j2.map_batches(jaccard, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact edit-distance verification of candidate pairs
+# ---------------------------------------------------------------------------
+
+def _levenshtein(a: str, b: str) -> int:
+    """Exact Levenshtein distance, row-DP with the prefix-relaxation trick:
+    the insertion dependency ``cur[j] = min(cur[j], cur[j-1]+1)`` equals
+    ``min_k<=j (cur[k] + (j-k)) = j + running_min(cur[k]-k)`` — one
+    ``np.minimum.accumulate`` instead of a per-cell Python scan, so the
+    inner loop is O(len(a)) numpy row ops on codepoint arrays."""
+    if a == b:
+        return 0
+    A = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    B = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    if len(A) == 0 or len(B) == 0:
+        return max(len(A), len(B))
+    idx = np.arange(len(B) + 1, dtype=np.int64)
+    prev = idx.copy()
+    cur = np.empty(len(B) + 1, dtype=np.int64)
+    for i in range(len(A)):
+        cur[0] = i + 1
+        np.minimum(prev[:-1] + (B != A[i]), prev[1:] + 1, out=cur[1:])
+        np.minimum(cur, idx + np.minimum.accumulate(cur - idx), out=cur)
+        prev, cur = cur, prev
+    return int(prev[-1])
+
+
+def edit_distance_pairs(pairs: "ray.data.Dataset", docs: "ray.data.Dataset",
+                        *, id_a: str = "doc_a", id_b: str = "doc_b",
+                        id_col: str = "doc_id", text_col: str = "text"
+                        ) -> "ray.data.Dataset":
+    """Exact Levenshtein distance for every candidate pair — the final
+    verification stage of a near-dup pipeline (LSH/Jaccard candidates ->
+    character-exact evidence before dropping a document).
+
+    Texts are attached through TWO cogroup joins on near-unique doc ids
+    (``stages/cogroup.py:attach_by_key``) — the corpus never broadcasts
+    and only candidate-pair rows carry text.  The DP itself is
+    O(len_a * len_b / vector-width) per pair; run it AFTER candidate
+    pruning, never on the cross product.
+
+    Output: (id_a, id_b, edit_distance:int64).
+    """
+    from .cogroup import attach_by_key
+
+    kv = docs.select_columns([id_col, text_col])
+    with_a = attach_by_key(pairs, id_a, kv, id_col, text_col, "__ta")
+    with_b = attach_by_key(with_a, id_b, kv, id_col, text_col, "__tb")
+
+    def dist(t: pa.Table) -> pa.Table:
+        ta = t.column("__ta").to_pylist()
+        tb = t.column("__tb").to_pylist()
+        d = np.fromiter((_levenshtein(x or "", y or "")
+                         for x, y in zip(ta, tb)), dtype=np.int64,
+                        count=t.num_rows)
+        return pa.table({id_a: t.column(id_a), id_b: t.column(id_b),
+                         "edit_distance": pa.array(d)})
+
+    return with_b.map_batches(dist, batch_format="pyarrow",
+                              zero_copy_batch=True)

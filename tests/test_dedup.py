@@ -226,3 +226,55 @@ def test_minhash_bucket_guard_star_plus_chain():
     unguarded = minhash_near_dups(ds, num_perm=64, bands=16, threshold=0.9,
                                   shingle=1, max_bucket_size=None).to_pandas()
     assert len(unguarded) == n * (n - 1) / 2
+
+
+def test_levenshtein_kernel_matches_reference():
+    """The accumulate-trick DP == the classic O(n*m) per-cell DP."""
+    from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
+        _levenshtein,
+    )
+
+    def ref(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a):
+            cur = [i + 1]
+            for j, cb in enumerate(b):
+                cur.append(min(prev[j] + (ca != cb), prev[j + 1] + 1,
+                               cur[j] + 1))
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.RandomState(13)
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("kitten", "sitting"),
+             ("flaw", "lawn"), ("éàü", "eau"), ("same", "same")]
+    for _ in range(30):
+        n1, n2 = rng.randint(0, 12, size=2)
+        cases.append(("".join(rng.choice(list("abcd"), n1)),
+                      "".join(rng.choice(list("abcd"), n2))))
+    for a, b in cases:
+        assert _levenshtein(a, b) == ref(a, b), (a, b)
+
+
+def test_edit_distance_pairs_end_to_end(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
+        edit_distance_pairs,
+    )
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["the quick fox", "the quick fix", "unrelated"],
+                         pa.string()),
+    }))
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([1, 1], pa.int64()),
+        "doc_b": pa.array([2, 3], pa.int64()),
+    }))
+    out = (edit_distance_pairs(pairs, docs).to_pandas()
+           .sort_values("doc_b").reset_index(drop=True))
+    assert out["edit_distance"].tolist()[0] == 1          # fox -> fix
+    assert out["edit_distance"].tolist()[1] == 13
+    assert list(out.columns) == ["doc_a", "doc_b", "edit_distance"]
