@@ -346,3 +346,50 @@ def union_across_keys(per_key: dict[str, dict[str, Sketch]],
             acc.merge_in(per_key[k][name])
         out[name] = acc
     return out
+
+
+def sketch_aggregation(spec, *, tokens_col: str = "tokens",
+                       name: str | None = None, output: str = "estimate"):
+    """Expose a sketch spec as a NATIVE ``ray.data.aggregate.AggregateFn``
+    so callers can write idiomatic ``ds.groupby(key).aggregate(...)``
+    alongside Count/Sum — the UDAF face of the same spec/state machinery
+    the build stages use (vectorized block accumulate, associative merge).
+
+    ``output='estimate'`` finalizes to the sketch's first estimate value
+    (cardinality for HLL/Bloom, the sketch's own head metric otherwise);
+    ``output='state'`` finalizes to the pickled state blob for downstream
+    cross-key algebra.
+
+    Accumulation is per BLOCK (one ``update_tokens`` over the block's
+    flattened token values — zero-copy, no Python per row); Ray's
+    hash-shuffle aggregator handles partial merge, so the shuffle payload
+    per (block, key) is one serialized sketch state.
+    """
+    if output not in ("estimate", "state"):
+        raise ValueError("output must be 'estimate' or 'state'")
+    import pickle
+
+    from ray.data.aggregate import AggregateFn
+
+    agg_name = name or f"{output}({spec.__class__.__name__})"
+
+    def init(_key):
+        return spec.new()
+
+    def accumulate_block(state, block: pa.Table):
+        vals, _ = flat_tokens(block, tokens_col)
+        if len(vals):
+            state.update_tokens(vals)
+        return state
+
+    def merge(a, b):
+        a.merge_in(b)
+        return a
+
+    def finalize(state):
+        if output == "state":
+            return pickle.dumps(state.state_dict())
+        return float(np.asarray(state.estimate())[0])
+
+    return AggregateFn(init=init, merge=merge, name=agg_name,
+                       accumulate_block=accumulate_block, finalize=finalize)

@@ -103,3 +103,56 @@ def test_epoch_mode_matches_task_mode():
     b = reach_report(tokens_dataset(TINY, override_num_blocks=8), specs,
                      mode="epoch").set_index("source").sort_index()
     assert a.equals(b)
+
+
+def test_sketch_aggregation_native_udaf(ray_session):
+    """sketch_aggregation exposes specs as ray.data AggregateFns:
+    groupby(key).aggregate(hll_agg, Count) estimates per-key distinct
+    counts within the HLL 3-sigma band, and the 'state' output round-trips
+    back into a mergeable sketch."""
+    import pickle
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.build import (
+        sketch_aggregation,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import HllSpec
+
+    rng = np.random.RandomState(5)
+    rows = []
+    truth = {}
+    for src, n in (("a", 4000), ("b", 900)):
+        toks = rng.randint(0, 10_000_000, size=n * 12).astype(np.int64)
+        truth[src] = len(np.unique(toks))
+        for i in range(n):
+            rows.append({"source": src,
+                         "tokens": toks[i * 12:(i + 1) * 12].tolist()})
+    ds = ray.data.from_items(rows).repartition(8)
+
+    spec = HllSpec(p=12, seed=9)
+    agg = sketch_aggregation(spec, name="hll_est")
+    out = ds.groupby("source").aggregate(agg).to_pandas()
+    got = dict(zip(out["source"], out["hll_est"]))
+    band = 3 * 1.04 / np.sqrt(2 ** 12)
+    for src, t in truth.items():
+        assert abs(got[src] - t) / t < band, (src, got[src], t)
+
+    # 'state' output: blobs merge back through the spec to the union
+    sagg = sketch_aggregation(spec, output="state", name="hll_state")
+    st = ds.groupby("source").aggregate(sagg).to_pandas()
+    union = spec.new()
+    for blob in st["hll_state"]:
+        other = spec.new()
+        other.load_state(pickle.loads(blob))
+        union.merge_in(other)
+    all_truth = len(set().union(*[
+        set(np.concatenate([np.asarray(r["tokens"]) for r in rows
+                            if r["source"] == s]).tolist())
+        for s in truth]))
+    assert abs(union.estimate()[0] - all_truth) / all_truth < band
+
+    with pytest.raises(ValueError):
+        sketch_aggregation(spec, output="blob")
