@@ -1193,6 +1193,63 @@ def _q_reach_users_by_type(sf_dir: str):
     })
 
 
+def _q_reach_by_lang_udaf(sf_dir: str):
+    """Distinct words per LANGUAGE via the native ``AggregateFn`` UDAF face
+    (``sketch_aggregation``) — the idiomatic ``ds.groupby(key).aggregate(...)``
+    spelling of the same spec/state machinery ``reach_report`` drives.
+    Sparse HLL is hash-exact at this scale, so the DuckDB COUNT(DISTINCT)
+    oracle matches exactly."""
+    from cardinality_estimation_evaluation_framework_ray.stages.build import (
+        sketch_aggregation,
+    )
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        tokenize_documents,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import HllSpec
+
+    toks = tokenize_documents(_read(sf_dir, "documents"), source_col="lang")
+    agg = sketch_aggregation(HllSpec(p=14, seed=7), name="distinct_words")
+    df = toks.groupby("source").aggregate(agg).to_pandas()
+    df = df.rename(columns={"source": "lang"})
+    df["distinct_words"] = df["distinct_words"].astype("int64")
+    return df
+
+
+def _q_windowed_reach(sf_dir: str):
+    """Distinct users per (tumbling 1h window, event_type): the sketch UDAF
+    over a DERIVED window key — streaming-window x sketch composition with
+    one hash-shuffle of KB-scale sketch states (user ids never co-locate).
+    Sparse HLL is hash-exact at this scale."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cardinality_estimation_evaluation_framework_ray.stages.build import (
+        sketch_aggregation,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import HllSpec
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["ts", "event_type", "user_id"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        ws = pc.floor_temporal(t.column("ts"), unit="hour")
+        return pa.table({
+            "window_start": ws,
+            "event_type": t.column("event_type"),
+            "user_id": t.column("user_id"),
+        })
+
+    ds = ev.map_batches(add_window, batch_format="pyarrow")
+    agg = sketch_aggregation(HllSpec(p=14, seed=7), tokens_col="user_id",
+                             name="distinct_users")
+    df = ds.groupby(["window_start", "event_type"]).aggregate(agg).to_pandas()
+    df["distinct_users"] = df["distinct_users"].astype("int64")
+    # floor_temporal keeps second resolution; the parquet ts column (and the
+    # DuckDB oracle) are microsecond timestamps — normalize for the gate.
+    df["window_start"] = df["window_start"].astype("datetime64[us]")
+    return df
+
+
 def _q_events_zscore_by_type(sf_dir: str):
     """Per-event-type standardization of value-cents (broadcast-stats
     normalization; exact integer moments make z bit-reproducible)."""
@@ -1680,6 +1737,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": _q_bm25_search,
         "price_global_rank": _q_price_global_rank,
         "reach_users_by_type": _q_reach_users_by_type,
+        "reach_by_lang_udaf": _q_reach_by_lang_udaf,
+        "windowed_reach": _q_windowed_reach,
         "events_zscore_by_type": _q_events_zscore_by_type,
         "value_histogram": _q_value_histogram,
         "normalized_text": _q_normalized_text,
@@ -2376,6 +2435,18 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT '__union__',
                    CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+        """,
+        "reach_by_lang_udaf": """
+            WITH toks AS (SELECT lang, unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS tok FROM documents)
+            SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS distinct_words
+            FROM toks GROUP BY lang
+        """,
+        "windowed_reach": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+            FROM events GROUP BY 1, 2
         """,
         "price_global_rank": """
             SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_extendedprice,
