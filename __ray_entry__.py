@@ -1162,6 +1162,59 @@ def _q_price_global_rank(sf_dir: str):
                        "l_linenumber": "int64"})
 
 
+def _q_returnflag_corr(sf_dir: str):
+    """Streaming grouped Pearson correlation / population covariance of
+    (quantity, price-in-dollars) per returnflag: exact int64 moment partials
+    per batch, one KB groupby, fixed float expression tree — bit-identical
+    to the oracle computing the same formula from the same integer sums."""
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_corr,
+    )
+
+    li = _read(sf_dir, "lineitem")
+    return grouped_corr(li, "l_returnflag", "l_quantity", "l_extendedprice",
+                        quantize=1.0)
+
+
+def _q_price_deciles(sf_dir: str):
+    """NTILE(10) over price (ties broken by orderkey/linenumber), summarized
+    per tile — exercises the exact piecewise NTILE closed form and the
+    range-partition rank machinery end-to-end."""
+    import pyarrow.compute as pc
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        ntile,
+    )
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"])
+    tiled = ntile(li, "l_extendedprice",
+                  tiebreak=["l_orderkey", "l_linenumber"], buckets=10,
+                  num_partitions=16, out_col="decile")
+
+    def cents(t):
+        import pyarrow as pa
+
+        v = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100 + 0.5).astype(np.int64)
+        return pa.table({"decile": t.column("decile"), "cents": pa.array(c)})
+
+    import numpy as np
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    out = (tiled.map_batches(cents, batch_format="pyarrow")
+           .groupby("decile")
+           .aggregate(Count(alias_name="n_rows"),
+                      Min("cents", alias_name="min_cents"),
+                      Max("cents", alias_name="max_cents"),
+                      Sum("cents", alias_name="sum_cents"))
+           .to_pandas())
+    return out.astype({"decile": "int64", "n_rows": "int64",
+                       "min_cents": "int64", "max_cents": "int64",
+                       "sum_cents": "int64"}).sort_values(
+        "decile").reset_index(drop=True)
+
+
 def _q_reach_users_by_type(sf_dir: str):
     """Sketch x relational composition: distinct USERS per event_type (a
     derived key from the events table, not the canonical tokens schema) via
@@ -1736,6 +1789,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_range_buckets": _q_price_range_buckets,
         "bm25_search": _q_bm25_search,
         "price_global_rank": _q_price_global_rank,
+        "returnflag_corr": _q_returnflag_corr,
+        "price_deciles": _q_price_deciles,
         "reach_users_by_type": _q_reach_users_by_type,
         "reach_by_lang_udaf": _q_reach_by_lang_udaf,
         "windowed_reach": _q_windowed_reach,
@@ -2435,6 +2490,42 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT '__union__',
                    CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+        """,
+        "returnflag_corr": """
+            WITH q AS (SELECT l_returnflag,
+                              CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
+                              CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT)
+                                  AS y
+                       FROM lineitem),
+            m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                         SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,
+                         SUM(y*y) AS syy, SUM(x*y) AS sxy
+                  FROM q GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+                   ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE)
+                                     * CAST(sy AS DOUBLE))), 6) AS corr,
+                   ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+                       AS covar_pop
+            FROM m
+        """,
+        "price_deciles": """
+            WITH tiled AS (
+                SELECT CAST(NTILE(10) OVER (ORDER BY l_extendedprice,
+                            l_orderkey, l_linenumber) AS BIGINT) AS decile,
+                       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM lineitem)
+            SELECT decile, CAST(count(*) AS BIGINT) AS n_rows,
+                   MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM tiled GROUP BY decile
         """,
         "reach_by_lang_udaf": """
             WITH toks AS (SELECT lang, unnest(list_filter(

@@ -243,6 +243,47 @@ def global_rank(ds: "ray.data.Dataset", col: str, *,
                                                  batch_format="pandas")
 
 
+def ntile(ds: "ray.data.Dataset", col: str, *, buckets: int,
+          tiebreak: list[str], num_partitions: int = 32,
+          mode: str = "exact", out_col: str = "tile") -> "ray.data.Dataset":
+    """SQL ``NTILE(b) OVER (ORDER BY col, *tiebreak)`` without a global
+    sort: the same range-partition → bucket-count → driver prefix-sum
+    machinery as ``global_rank`` (comparisons never cross range buckets;
+    the only all-to-all is the bucket cogroup), then the exact NTILE
+    closed form per row.  SQL's contract — the first ``total mod b`` tiles
+    get one extra row — is NOT ``floor(i*b/total)+1`` (brute-force
+    counterexample: total=2, b=4); it is the piecewise form below, verified
+    exhaustively for total<400, b<30.  ``tiebreak`` must make rows unique
+    so tile assignment is deterministic.  1-based tiles.
+    """
+    bucketed = range_partition(ds, col, num_partitions, mode=mode)
+    counts = (bucketed.groupby("bucket").count().to_pandas()
+              .sort_values("bucket"))
+    offs = {}
+    acc = 0
+    for b, c in zip(counts["bucket"], counts["count()"]):
+        offs[int(b)] = acc
+        acc += int(c)
+    q, r = divmod(acc, buckets)
+    cut = r * (q + 1)
+    off_ref = ray.put(offs)
+
+    def tile_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        offsets = ray.get(off_ref)
+        g = g.sort_values([col] + tiebreak, kind="stable").reset_index(drop=True)
+        i = offsets[int(g["bucket"].iloc[0])] + np.arange(len(g),
+                                                          dtype=np.int64)
+        if q == 0:
+            tile = i + 1  # fewer rows than tiles: one row per leading tile
+        else:
+            tile = np.where(i < cut, i // (q + 1), r + (i - cut) // q) + 1
+        g[out_col] = tile.astype(np.int64)
+        return g.drop(columns=["bucket"])
+
+    return bucketed.groupby("bucket").map_groups(tile_bucket,
+                                                 batch_format="pandas")
+
+
 def write_sorted_partitioned(ds: "ray.data.Dataset", col: str, out_dir: str,
                              *, tiebreak: list[str] | None = None,
                              num_partitions: int = 32, mode: str = "exact"
@@ -343,6 +384,77 @@ def group_zscore(ds: "ray.data.Dataset", key: str, value_col: str, *,
 
     return ds.select_columns([id_col, key, value_col]).map_batches(
         normalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_corr(ds: "ray.data.Dataset", key: str, x_col: str, y_col: str, *,
+                 quantize: float = 1.0) -> pd.DataFrame:
+    """Per-group Pearson correlation + population covariance, streaming.
+
+    One pass: each batch pre-aggregates (n, Σx, Σy, Σx², Σy², Σxy) per key —
+    at most #distinct-keys rows leave a batch regardless of batch size — and
+    one KB-scale groupby folds the partials.  Moments are EXACT int64 (both
+    columns are quantized to ``round(v / quantize)`` ints first), so the
+    fold is order-independent and the final float expression tree
+    (corr = (nΣxy − ΣxΣy) / √((nΣx²−Σx²)(nΣy²−Σy²))) is fixed →
+    bit-reproducible and SQL-hashable against an oracle computing the same
+    formula from the same integer sums.
+
+    Scale: the shuffle carries only the tiny partial-moment rows; the corpus
+    itself never moves.  int64 bound: Σ(x̂²) must stay < 2^63 — pick
+    ``quantize`` so |v/quantize| ≲ 10^5 at ~10^8 rows (document per use).
+    Zero-variance groups return NaN (same as SQL ``corr``).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        xq = np.floor(x / quantize + 0.5).astype(np.int64)
+        yq = np.floor(y / quantize + 0.5).astype(np.int64)
+        kcol = t.column(key)
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        enc = kcol.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        k = len(enc.dictionary)
+        cnt = np.bincount(codes, minlength=k)
+        agg = lambda v: np.bincount(codes, weights=v, minlength=k)
+        # float64 bincount weights are exact for |v| < 2^53; the int64
+        # per-group sums below stay exact because each addend and each
+        # running sum is within float64's integer-exact range by the
+        # documented quantize bound.
+        return pa.table({
+            key: enc.dictionary,
+            "__n": pa.array(cnt.astype(np.int64)),
+            "__sx": pa.array(agg(xq).astype(np.int64)),
+            "__sy": pa.array(agg(yq).astype(np.int64)),
+            "__sxx": pa.array(agg((xq * xq).astype(np.float64)).astype(np.int64)),
+            "__syy": pa.array(agg((yq * yq).astype(np.float64)).astype(np.int64)),
+            "__sxy": pa.array(agg((xq * yq).astype(np.float64)).astype(np.int64)),
+        })
+
+    m = (ds.select_columns([key, x_col, y_col])
+         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+         .groupby(key)
+         .aggregate(Sum("__n", alias_name="n"),
+                    Sum("__sx", alias_name="sx"),
+                    Sum("__sy", alias_name="sy"),
+                    Sum("__sxx", alias_name="sxx"),
+                    Sum("__syy", alias_name="syy"),
+                    Sum("__sxy", alias_name="sxy"))
+         .to_pandas())
+    n = m["n"].astype("float64")
+    sx, sy = m["sx"].astype("float64"), m["sy"].astype("float64")
+    sxx, syy = m["sxx"].astype("float64"), m["syy"].astype("float64")
+    sxy = m["sxy"].astype("float64")
+    cov_num = n * sxy - sx * sy
+    den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corr = cov_num / den
+    out = pd.DataFrame({key: m[key], "n": m["n"].astype("int64"),
+                        "corr": np.round(corr, 6),
+                        "covar_pop": np.round(cov_num / (n * n), 6)})
+    return out.sort_values(key).reset_index(drop=True)
 
 
 def value_histogram(ds: "ray.data.Dataset", col: str, *, lo: float,

@@ -381,3 +381,105 @@ def test_grouped_lead_lag_matches_pandas(ray_session):
                              order_col="t", value_col="v", offset=-1)
             .to_pandas().sort_values(["k", "t"]).reset_index(drop=True))
     assert lead["lag_v"].iloc[0] == 20.0 and np.isnan(lead["lag_v"].iloc[2])
+
+
+def test_grouped_corr_matches_numpy(ray_session):
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_corr,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    key = rng.choice(["a", "b", "c"], size=n)
+    x = rng.randint(1, 51, size=n).astype(np.float64)
+    y = 3.0 * x + rng.randint(0, 1000, size=n)  # correlated, integer-valued
+    df = pd.DataFrame({"k": key, "x": x, "y": y})
+    ds = ray.data.from_pandas(df, override_num_blocks=9)
+    out = grouped_corr(ds, "k", "x", "y", quantize=1.0)
+    assert list(out["k"]) == ["a", "b", "c"]
+    for _, row in out.iterrows():
+        g = df[df["k"] == row["k"]]
+        ref_corr = np.corrcoef(g["x"], g["y"])[0, 1]
+        ref_cov = np.cov(g["x"], g["y"], bias=True)[0, 1]
+        assert abs(row["corr"] - ref_corr) < 1e-5
+        assert abs(row["covar_pop"] - ref_cov) < 1e-5
+        assert row["n"] == len(g)
+
+
+def test_grouped_corr_partition_invariance(ray_session):
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_corr,
+    )
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({"k": rng.choice(["p", "q"], size=1000),
+                       "x": rng.randint(0, 100, size=1000).astype("float64"),
+                       "y": rng.randint(0, 100, size=1000).astype("float64")})
+    outs = [grouped_corr(ray.data.from_pandas(df, override_num_blocks=nb),
+                         "k", "x", "y")
+            for nb in (1, 17)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_grouped_corr_zero_variance_is_nan(ray_session):
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_corr,
+    )
+
+    df = pd.DataFrame({"k": ["z"] * 10, "x": [5.0] * 10,
+                       "y": np.arange(10, dtype="float64")})
+    out = grouped_corr(ray.data.from_pandas(df), "k", "x", "y")
+    assert np.isnan(out["corr"].iloc[0])
+    assert out["covar_pop"].iloc[0] == 0.0
+
+
+def _sql_ntile_reference(total: int, buckets: int) -> np.ndarray:
+    q, r = divmod(total, buckets)
+    tiles = []
+    for t in range(1, buckets + 1):
+        tiles += [t] * (q + (1 if t <= r else 0))
+    return np.array(tiles, dtype=np.int64)
+
+
+def test_ntile_matches_sql_contract(ray_session):
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        ntile,
+    )
+
+    rng = np.random.RandomState(3)
+    for total, buckets in [(997, 10), (50, 7), (6, 10), (1, 4)]:
+        df = pd.DataFrame({"v": rng.randint(0, 200, size=total).astype("float64"),
+                           "id": np.arange(total, dtype="int64")})
+        ds = ray.data.from_pandas(df, override_num_blocks=min(total, 5))
+        out = (ntile(ds, "v", buckets=buckets, tiebreak=["id"],
+                     num_partitions=4).to_pandas()
+               .sort_values(["v", "id"]).reset_index(drop=True))
+        ref = _sql_ntile_reference(total, buckets)
+        assert np.array_equal(out["tile"].to_numpy(), ref), (total, buckets)
+
+
+def test_ntile_partition_invariance(ray_session):
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        ntile,
+    )
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"v": rng.randint(0, 30, size=500).astype("float64"),
+                       "id": np.arange(500, dtype="int64")})
+    outs = []
+    for nb, nparts in [(1, 2), (13, 8)]:
+        ds = ray.data.from_pandas(df, override_num_blocks=nb)
+        outs.append(ntile(ds, "v", buckets=9, tiebreak=["id"],
+                          num_partitions=nparts).to_pandas()
+                    .sort_values(["v", "id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
