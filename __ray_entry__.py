@@ -1303,6 +1303,24 @@ def _q_windowed_reach(sf_dir: str):
     return df
 
 
+def _q_sliding_reach_6h(sf_dir: str):
+    """Trailing-6-hour distinct users per hour via SKETCH ALGEBRA: one scan
+    builds a per-hour HLL state (KB-scale groupby payload), each window is
+    an O(6) state merge — no W× re-scan, ids never co-locate.  Sparse HLL
+    is hash-exact at this scale, so the windowed COUNT(DISTINCT) oracle
+    matches exactly."""
+    from cardinality_estimation_evaluation_framework_ray.stages.windows import (
+        sliding_window_distinct,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import HllSpec
+
+    df = sliding_window_distinct(
+        _read(sf_dir, "events"), HllSpec(p=14, seed=7), ts_col="ts",
+        id_col="user_id", window_buckets=6, bucket="hour",
+        out_col="distinct_users")
+    return df
+
+
 def _q_events_zscore_by_type(sf_dir: str):
     """Per-event-type standardization of value-cents (broadcast-stats
     normalization; exact integer moments make z bit-reproducible)."""
@@ -1794,6 +1812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reach_users_by_type": _q_reach_users_by_type,
         "reach_by_lang_udaf": _q_reach_by_lang_udaf,
         "windowed_reach": _q_windowed_reach,
+        "sliding_reach_6h": _q_sliding_reach_6h,
         "events_zscore_by_type": _q_events_zscore_by_type,
         "value_histogram": _q_value_histogram,
         "normalized_text": _q_normalized_text,
@@ -2533,6 +2552,16 @@ def oracle_sql() -> dict[str, str]:
                 x -> x <> '')) AS tok FROM documents)
             SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS distinct_words
             FROM toks GROUP BY lang
+        """,
+        "sliding_reach_6h": """
+            WITH hours AS (SELECT DISTINCT date_trunc('hour', ts) AS h
+                           FROM events)
+            SELECT h AS bucket_start,
+                   CAST(count(DISTINCT e.user_id) AS BIGINT)
+                       AS distinct_users
+            FROM hours JOIN events e
+              ON e.ts >= h - INTERVAL 5 HOUR AND e.ts < h + INTERVAL 1 HOUR
+            GROUP BY h
         """,
         "windowed_reach": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

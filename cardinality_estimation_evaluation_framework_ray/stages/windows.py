@@ -122,3 +122,59 @@ def _schema_type(ds: "ray.data.Dataset", col: str) -> pa.DataType:
         return pa.from_numpy_dtype(np.dtype(t))
     except (TypeError, pa.ArrowNotImplementedError):
         return pa.string()
+
+
+def sliding_window_distinct(ds: "ray.data.Dataset", spec, *, ts_col: str,
+                            id_col: str, window_buckets: int,
+                            bucket: str = "hour",
+                            out_col: str = "distinct_ids") -> pd.DataFrame:
+    """Trailing-window COUNT(DISTINCT id) per time bucket via SKETCH ALGEBRA.
+
+    The exact-engine shape re-scans W buckets of raw events per window (W×
+    read amplification, ids shuffled for every window).  Here the corpus is
+    read ONCE: one sketch state per bucket (``sketch_aggregation`` UDAF —
+    the groupby's shuffle payload is KB-scale states, never ids), then each
+    trailing window of ``window_buckets`` buckets is an O(W) associative
+    state merge over the tiny per-bucket table.  With a sparse (hash-exact)
+    spec such as ``HllSpec(p=14)`` below saturation the result EQUALS exact
+    windowed COUNT(DISTINCT); dense sketches give the usual error bound.
+
+    Output: one row per bucket present in the data — (bucket_start,
+    ``out_col``) for the window of the ``window_buckets`` CALENDAR buckets
+    ending at that bucket (absent intermediate buckets contribute nothing
+    but still advance the window, matching the SQL RANGE-interval frame).
+
+    Scale: the second stage touches only #buckets state rows (hours of a
+    year ≈ 8.8k); the driver fold is O(#buckets × W) merges of KB states.
+    """
+    import pyarrow.compute as pc
+
+    from .build import sketch_aggregation
+    from ..state.base import Sketch, merge_many
+
+    def to_bucket(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket_start": pc.floor_temporal(t.column(ts_col), unit=bucket),
+            id_col: t.column(id_col),
+        })
+
+    agg = sketch_aggregation(spec, tokens_col=id_col, output="state",
+                             name="__state")
+    states = (ds.select_columns([ts_col, id_col])
+              .map_batches(to_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("bucket_start").aggregate(agg)
+              .to_pandas())
+    states = states.sort_values("bucket_start").reset_index(drop=True)
+    starts = states["bucket_start"].astype("datetime64[us]")
+    step = {"hour": np.timedelta64(3600, "s"), "day": np.timedelta64(86400, "s"),
+            "minute": np.timedelta64(60, "s")}[bucket]
+    span = step * (window_buckets - 1)
+    lo = np.searchsorted(starts.to_numpy(), starts.to_numpy() - span,
+                         side="left")
+    est = np.empty(len(states), dtype=np.int64)
+    blobs = states["__state"].tolist()
+    for i in range(len(states)):
+        merged = merge_many(spec, blobs[lo[i]:i + 1])
+        est[i] = int(np.asarray(merged.estimate())[0] + 0.5)
+    return pd.DataFrame({"bucket_start": starts, out_col: est})

@@ -115,3 +115,36 @@ def test_windowed_agg_float_ts():
                         id_col="eid", value_col="v", window=0.6,
                         bucket_span=1.0).to_pandas().sort_values("eid")
     assert got2["n_window"].tolist() == got["n_window"].tolist()
+
+
+def test_sliding_window_distinct_matches_brute_force(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.windows import (
+        sliding_window_distinct,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import HllSpec
+
+    rng = np.random.RandomState(13)
+    n = 4000
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    # spread over ~50 hours with gaps (some hours absent entirely)
+    offsets_h = rng.choice(np.delete(np.arange(50), [7, 8, 23]), size=n)
+    ts = base + offsets_h * np.timedelta64(3600, "s") \
+        + rng.randint(0, 3600, size=n) * np.timedelta64(1, "s")
+    uid = rng.randint(0, 300, size=n).astype(np.int64)
+    df = pd.DataFrame({"ts": ts, "user_id": uid})
+    ds = ray.data.from_pandas(df, override_num_blocks=7)
+
+    out = sliding_window_distinct(ds, HllSpec(p=14, seed=3), ts_col="ts",
+                                  id_col="user_id", window_buckets=4,
+                                  bucket="hour", out_col="d")
+
+    hours = df["ts"].dt.floor("h")
+    for _, row in out.iterrows():
+        h = row["bucket_start"]
+        mask = (hours > h - pd.Timedelta(hours=4)) & (hours <= h)
+        assert row["d"] == df.loc[mask, "user_id"].nunique(), h
+    # one row per hour PRESENT in the data, calendar-gap semantics
+    assert set(out["bucket_start"]) == set(hours.unique())
