@@ -1486,6 +1486,19 @@ def _q_repetition_stats(sf_dir: str):
     return repetition_stats(_read(sf_dir, "documents"), n=2).to_pandas()
 
 
+def _q_cross_doc_dup(sf_dir: str):
+    """Per-doc cross-document duplicated 3-gram ratio (Lee et al. 2022
+    diagnostic): all-aggregate shape — n_dup = n_distinct - (#grams whose
+    doc-frequency is 1), and df==1 ownership comes from groupby(gram)
+    .agg(Count, Min(doc_id)), so no gram group ever materializes."""
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        cross_doc_dup_stats,
+    )
+
+    out = cross_doc_dup_stats(_read(sf_dir, "documents"), n=3).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_scrub_pii(sf_dir: str):
     """PII scrub over documents augmented with deterministic synthetic PII
     (both sides derive ``text || ' contact<id>@example.com call +1 555 0<id>'``
@@ -1822,6 +1835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
         "scrub_pii": _q_scrub_pii,
+        "cross_doc_dup": _q_cross_doc_dup,
         "per_key_sample": _q_per_key_sample,
         "train_test_split": _q_train_test_split,
         "pack_sequences": _q_pack_sequences,
@@ -2229,6 +2243,33 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6)
                        AS dup_frac
             FROM grams GROUP BY doc_id
+        """,
+        "cross_doc_dup": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                 '[^a-z0-9]+'), x -> x <> '') AS w
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(w) >= 3
+                              THEN [array_to_string(w[i:i+2], ' ')
+                                    for i in range(1, len(w) - 1)]
+                              ELSE [array_to_string(w, ' ')] END) AS g
+                FROM words)),
+            df AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+            per AS (SELECT gr.doc_id,
+                           CAST(count(*) AS BIGINT) AS n_distinct_grams,
+                           CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_dup_grams
+                    FROM grams gr JOIN df ON gr.g = df.g
+                    GROUP BY gr.doc_id)
+            SELECT doc_id, n_distinct_grams, n_dup_grams,
+                   CAST(FLOOR(CAST(n_dup_grams AS DOUBLE) * 1000000
+                              / GREATEST(n_distinct_grams, 1) + 0.5)
+                        AS BIGINT) AS dup_frac_micros
+            FROM per
         """,
         "scrub_pii": """
             WITH aug AS (

@@ -40,6 +40,7 @@ from ..functions.segments import segment_sums
 from .dedup import _doc_word_hashes, _shingle_hashes
 
 __all__ = ["benchmark_gram_hashes", "decontaminate", "repetition_stats",
+           "cross_doc_dup_stats",
            "scrub_pii", "PII_PATTERNS", "quantile_threshold_filter",
            "build_top_vocab", "oov_rate", "source_overlap_matrix"]
 
@@ -151,6 +152,99 @@ def repetition_stats(ds: "ray.data.Dataset", *, n: int = 2, seed: int = 101,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated-span diagnostics (Lee et al. 2022 shape)
+# ---------------------------------------------------------------------------
+
+def cross_doc_dup_stats(ds: "ray.data.Dataset", *, n: int = 3,
+                        seed: int = 101, text_col: str = "text",
+                        id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Per-doc fraction of its DISTINCT word n-grams that also occur in at
+    least one OTHER document — the corpus-level duplicated-span diagnostic
+    of "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022), complementing ``repetition_stats`` (within-doc).
+
+    Output: (doc_id, n_distinct_grams, n_dup_grams, dup_frac).
+
+    Scale shape — ALL aggregates, nothing ever materializes a gram group:
+    a gram is cross-doc-duplicated iff its doc-frequency df >= 2, so
+    ``n_dup = n_distinct - #grams UNIQUE to the doc``, and uniqueness is an
+    aggregate: ``groupby(gram).agg(Count, Min(doc_id))`` — for df == 1
+    groups the min IS the owning doc.  Hot grams (df ~ #docs) collapse in
+    the hash-agg combiner instead of forming a giant cogroup; only 16-byte
+    (gram-hash, doc_id) pairs ever shuffle, never text.
+    """
+    from ray.data.aggregate import Count, Min, Sum
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        g, counts = _doc_gram_hashes(batch, text_col, n, seed)
+        doc_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        order = np.lexsort((g, doc_idx))
+        dd, gg = doc_idx[order], g[order]
+        first = np.ones(len(dd), dtype=bool)
+        first[1:] = (dd[1:] != dd[:-1]) | (gg[1:] != gg[:-1])
+        return pa.table({
+            "gram": pa.array(gg[first].astype(np.int64)),
+            id_col: pa.array(doc_ids[dd[first]]),
+        })
+
+    def totals(batch: pa.Table) -> pa.Table:
+        g, counts = _doc_gram_hashes(batch, text_col, n, seed)
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        order = np.lexsort((g, doc_idx))
+        dd, gg = doc_idx[order], g[order]
+        first = np.ones(len(dd), dtype=bool)
+        first[1:] = (dd[1:] != dd[:-1]) | (gg[1:] != gg[:-1])
+        n_distinct = np.bincount(dd[first],
+                                 minlength=len(counts)).astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "__tot": pa.array(n_distinct),
+            "__uniq": pa.array(np.zeros(len(counts), dtype=np.int64)),
+        })
+
+    docs = ds.select_columns([id_col, text_col])
+    pairs = docs.map_batches(distinct_pairs, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    per_gram = pairs.groupby("gram").aggregate(
+        Count(alias_name="__df"), Min(id_col, alias_name="__owner"))
+
+    def owner_rows(t: pa.Table) -> pa.Table:
+        df = t.column("__df").to_numpy(zero_copy_only=False)
+        own = t.column("__owner").to_numpy(zero_copy_only=False)
+        sel = df == 1
+        # batch pre-agg: one (owner, count) row per distinct owner
+        uk, cnt = np.unique(own[sel], return_counts=True)
+        return pa.table({id_col: pa.array(uk.astype(np.int64)),
+                         "__tot": pa.array(np.zeros(len(uk), np.int64)),
+                         "__uniq": pa.array(cnt.astype(np.int64))})
+
+    uniq = per_gram.map_batches(owner_rows, batch_format="pyarrow")
+    folded = (docs.map_batches(totals, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .union(uniq)
+              .groupby(id_col)
+              .aggregate(Sum("__tot", alias_name="n_distinct_grams"),
+                         Sum("__uniq", alias_name="n_uniq")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        tot = t.column("n_distinct_grams").to_numpy(zero_copy_only=False)
+        tot = tot.astype(np.int64)
+        uq = t.column("n_uniq").to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = tot - uq
+        # integer micro-units, not ROUND(x, 6): small rationals like 1/128
+        # land exactly on a .5 at the 7th decimal, where np.round
+        # (half-even) and SQL ROUND (half-away) disagree
+        micros = np.floor(dup * 1_000_000 / np.maximum(tot, 1) + 0.5)
+        return pa.table({id_col: t.column(id_col),
+                         "n_distinct_grams": pa.array(tot),
+                         "n_dup_grams": pa.array(dup),
+                         "dup_frac_micros": pa.array(micros.astype(np.int64))})
+
+    return folded.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

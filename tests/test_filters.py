@@ -212,3 +212,66 @@ def test_source_overlap_matrix(ray_session):
     none = source_overlap_matrix(
         tagged([("aa bb", "x"), ("cc dd", "y")]), n=8)
     assert len(none) == 0
+
+
+def test_cross_doc_dup_stats_matches_brute_force(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        cross_doc_dup_stats,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "a b c d e",          # shares "a b c" with doc 2
+            "a b c x y",          # shares with 1
+            "q r s t u",          # fully unique
+            "q r s t u",          # exact dup of 3 -> all grams dup
+            "zz",                 # short doc: one gram "zz", unique
+        ],
+    })
+    ds = ray.data.from_pandas(docs, override_num_blocks=3)
+    out = (cross_doc_dup_stats(ds, n=3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    # brute force in python
+    def grams(t):
+        w = [x for x in t.split() if x]
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    gsets = {r.doc_id: grams(r.text) for r in docs.itertuples()}
+    for _, row in out.iterrows():
+        mine = gsets[row["doc_id"]]
+        others = set().union(*(g for d, g in gsets.items()
+                               if d != row["doc_id"]))
+        n_dup = len(mine & others)
+        assert row["n_distinct_grams"] == len(mine)
+        assert row["n_dup_grams"] == n_dup
+        assert row["dup_frac_micros"] == int(
+            n_dup * 1_000_000 / len(mine) + 0.5)
+
+
+def test_cross_doc_dup_stats_partition_invariance(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        cross_doc_dup_stats,
+    )
+
+    rng = np.random.RandomState(17)
+    vocab = np.array(["w%d" % i for i in range(40)])
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(2, 30)))
+             for _ in range(200)]
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype="int64"),
+                       "text": texts})
+    outs = []
+    for nb in (1, 23):
+        ds = ray.data.from_pandas(df, override_num_blocks=nb)
+        outs.append(cross_doc_dup_stats(ds, n=2).to_pandas()
+                    .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
