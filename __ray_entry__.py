@@ -860,6 +860,28 @@ def _q_sessions(sf_dir: str):
                       "max_session_events": "int64"})
 
 
+def _q_word_entropy(sf_dir: str):
+    """Per-doc Shannon word entropy (information-density quality score):
+    embarrassingly parallel batch kernel, exact-formula DuckDB oracle."""
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        word_entropy,
+    )
+
+    out = word_entropy(_read(sf_dir, "documents")).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_zipf_slope(sf_dir: str):
+    """Per-source Zipf exponent (OLS of ln-freq on ln-rank over the ranked
+    vocabulary) — corpus-mix drift diagnostic with a fixed-expression SQL
+    oracle."""
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        zipf_slope_by_group,
+    )
+
+    return zipf_slope_by_group(_read(sf_dir, "documents"))
+
+
 def _q_top_words(sf_dir: str):
     """Exact distributed top-20 words by global frequency."""
     import pyarrow as pa
@@ -1800,6 +1822,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cum_by_type": _q_events_cum_by_type,
         "sessions": _q_sessions,
         "top_words": _q_top_words,
+        "word_entropy": _q_word_entropy,
+        "zipf_slope": _q_zipf_slope,
         "top_words_per_source": _q_top_words_per_source,
         "mktsegment_revenue": _q_mktsegment_revenue,
         "asof_last_order": _q_asof_last_order,
@@ -2243,6 +2267,48 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6)
                        AS dup_frac
             FROM grams GROUP BY doc_id
+        """,
+        "word_entropy": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                         regexp_split_to_array(lower(coalesce(text, '')),
+                                               '[^a-z0-9]+'),
+                         x -> x <> '')) AS tok
+              FROM documents),
+            c AS (SELECT doc_id, tok, count(*) AS c
+                  FROM toks GROUP BY doc_id, tok),
+            t AS (SELECT doc_id, SUM(c) AS tot,
+                         SUM(c * ln(c)) AS s
+                  FROM c GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(t.tot, 0) AS BIGINT) AS n_tokens,
+                   ROUND(coalesce(ln(t.tot) - t.s / t.tot, 0.0), 6)
+                       AS word_entropy
+            FROM documents d LEFT JOIN t USING (doc_id)
+        """,
+        "zipf_slope": """
+            WITH toks AS (
+              SELECT source, unnest(list_filter(
+                         regexp_split_to_array(lower(coalesce(text, '')),
+                                               '[^a-z0-9]+'),
+                         x -> x <> '')) AS tok
+              FROM documents),
+            c AS (SELECT source, tok, count(*) AS c
+                  FROM toks GROUP BY source, tok),
+            r AS (SELECT source, c,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY c DESC, tok) AS rk
+                  FROM c),
+            s AS (SELECT source, CAST(count(*) AS BIGINT) AS v,
+                         SUM(ln(rk)) AS sx, SUM(ln(c)) AS sy,
+                         SUM(ln(rk) * ln(rk)) AS sxx,
+                         SUM(ln(rk) * ln(c)) AS sxy
+                  FROM r GROUP BY source)
+            SELECT source, v AS n_distinct_words,
+                   ROUND((CAST(v AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(v AS DOUBLE) * sxx - sx * sx), 6)
+                       AS zipf_slope
+            FROM s
         """,
         "cross_doc_dup": """
             WITH words AS (

@@ -416,3 +416,92 @@ def extract_json_int(ds: "ray.data.Dataset", *, col: str, key: str,
 
     return ds.select_columns([id_col, col]).map_batches(
         extract, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def word_entropy(ds: "ray.data.Dataset", *, text_col: str = "text",
+                 id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Per-doc Shannon entropy (nats) of the word distribution — the
+    information-density quality score (low entropy = repetitive/boilerplate,
+    complements ``stages/filters.py:repetition_stats``).
+
+    H = ln(T) − (Σ c·ln c)/T over per-doc word counts c (T = doc tokens).
+    Embarrassingly parallel: dictionary-encode the batch's flattened words,
+    one lexsort per batch gives (doc, word) run lengths, ``bincount`` folds
+    Σ c·ln c per doc.  No shuffle; only (doc_id, 2 numbers) leave the task.
+    Empty docs emit entropy 0.
+    """
+
+    def stats(batch: pa.Table) -> pa.Table:
+        values, lengths = _split_lists(batch.column(text_col))
+        n_docs = len(lengths)
+        codes = np.asarray(values.dictionary_encode().indices,
+                           dtype=np.int64)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+        order = np.lexsort((codes, doc_idx))
+        dd, cc = doc_idx[order], codes[order]
+        first = np.ones(len(dd), dtype=bool)
+        first[1:] = (dd[1:] != dd[:-1]) | (cc[1:] != cc[:-1])
+        starts = np.flatnonzero(first)
+        runs = np.diff(np.append(starts, len(dd)))  # count per (doc, word)
+        run_doc = dd[first]
+        clnc = np.bincount(run_doc, weights=runs * np.log(runs),
+                           minlength=n_docs)
+        tot = lengths.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ent = np.where(tot > 0, np.log(tot) - clnc / np.maximum(tot, 1),
+                           0.0)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(lengths.astype(np.int64)),
+            "word_entropy": pa.array(np.round(ent, 6)),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def zipf_slope_by_group(ds: "ray.data.Dataset", *, group_col: str = "source",
+                        text_col: str = "text") -> "pd.DataFrame":
+    """Per-group Zipf exponent: OLS slope of ln(word-frequency) on ln(rank)
+    over the group's frequency-ranked vocabulary (natural text ≈ −1; a
+    corpus-mix drift diagnostic).
+
+    Shape: flatten words → ``groupby(group, word).count()`` (hash-agg with
+    combiner — raw tokens never form a group) → per-group ``map_groups``
+    sorts its ≤-vocab-size count table by (−count, word) and folds the four
+    OLS moments.  The per-task group is ONE GROUP'S VOCABULARY (counts, not
+    occurrences): ~10⁵–10⁷ rows even for a web-scale source, the documented
+    single-key-fits-a-task assumption.  Rank ties break on the word string,
+    matching the SQL ``ORDER BY c DESC, word`` oracle.
+    """
+    import pandas as pd
+
+    def words(batch: pa.Table) -> pa.Table:
+        values, lengths = _split_lists(batch.column(text_col))
+        grp = batch.column(group_col).to_numpy(zero_copy_only=False)
+        return pa.table({group_col: pa.array(np.repeat(grp, lengths)),
+                         "word": values})
+
+    counts = (ds.select_columns([group_col, text_col])
+              .map_batches(words, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby([group_col, "word"]).count())
+
+    def slope(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["count()", "word"],
+                          ascending=[False, True], kind="stable")
+        c = g["count()"].to_numpy(dtype=np.float64)
+        x = np.log(np.arange(1, len(c) + 1, dtype=np.float64))
+        y = np.log(c)
+        v = float(len(c))
+        sx, sy = x.sum(), y.sum()
+        sxx, sxy = (x * x).sum(), (x * y).sum()
+        den = v * sxx - sx * sx
+        val = (v * sxy - sx * sy) / den if den > 0 else 0.0
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]],
+                             "n_distinct_words": [np.int64(len(c))],
+                             "zipf_slope": [np.round(val, 6)]})
+
+    out = counts.groupby(group_col).map_groups(
+        slope, batch_format="pandas").to_pandas()
+    return out.sort_values(group_col).reset_index(drop=True)

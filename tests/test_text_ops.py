@@ -246,3 +246,48 @@ def test_extract_json_int_edges(ray_session):
     assert out["k"].tolist()[4] == -3
     # documented contract: a float field yields its integer PREFIX
     assert out["k"].tolist()[5] == 1
+
+
+def test_word_entropy_matches_scipy_formula(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        word_entropy,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a a a a",          # H = 0
+                 "a b c d",          # H = ln 4
+                 "a a b b",          # H = ln 2
+                 ""],                # empty -> 0
+    })
+    out = (word_entropy(ray.data.from_pandas(df, override_num_blocks=2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_tokens"].tolist() == [4, 4, 4, 0]
+    exp = [0.0, np.log(4), np.log(2), 0.0]
+    assert np.allclose(out["word_entropy"], np.round(exp, 6))
+
+
+def test_zipf_slope_recovers_planted_exponent(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        zipf_slope_by_group,
+    )
+
+    # plant freq(rank) = round(1000 * rank^-0.8): slope should be ~ -0.8
+    words = ["w%03d" % i for i in range(60)]
+    toks = []
+    for rk, w in enumerate(words, start=1):
+        toks += [w] * max(int(1000 * rk ** -0.8 + 0.5), 1)
+    rng = np.random.RandomState(23)
+    rng.shuffle(toks)
+    # split into docs of 50 tokens
+    docs = [" ".join(toks[i:i + 50]) for i in range(0, len(toks), 50)]
+    df = pd.DataFrame({"source": ["s"] * len(docs), "text": docs})
+    out = zipf_slope_by_group(ray.data.from_pandas(df, override_num_blocks=4))
+    assert out["n_distinct_words"].iloc[0] == 60
+    assert abs(out["zipf_slope"].iloc[0] + 0.8) < 0.05
