@@ -1621,6 +1621,28 @@ def _q_kmeans_clusters(sf_dir: str):
     return out.sort_values("cluster").reset_index(drop=True)
 
 
+def _q_pca_projection(sf_dir: str):
+    """Rows-only (eigendecomposition, non-SQL-expressible): distributed PCA
+    fit (per-block d x d moment partials, KB-scale; driver eigh) + projection
+    of every embedding onto the top-4 components.  Component sign is fixed
+    by convention; exactness vs numpy is asserted in tests/test_cluster.py."""
+    import numpy as np
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.cluster import (
+        pca_fit, pca_transform,
+    )
+
+    ds = _read(sf_dir, "embeddings")
+    mu, comps, ev = pca_fit(ds, k=4)
+    out = pca_transform(ds, mu, comps).to_pandas()
+    pcs = np.stack([np.asarray(v) for v in out["pc"]])
+    df = pd.DataFrame({"vec_id": out["vec_id"].astype("int64")})
+    for i in range(4):
+        df[f"pc{i + 1}"] = np.round(pcs[:, i], 4)
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_quality_quantile_filter(sf_dir: str):
     """Percentile quality cut: keep docs whose mean word length reaches the
     corpus-wide p70 (quality_stats -> quantile_threshold_filter, exact
@@ -1894,6 +1916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_union": _q_stratified_union,
         "smoke_eval": _q_smoke_eval,
         "kmeans_clusters": _q_kmeans_clusters,
+        "pca_projection": _q_pca_projection,
     }
 
 

@@ -31,7 +31,7 @@ import ray.data
 from .ann import _emb_matrix
 from .sampling import knuth_priority
 
-__all__ = ["kmeans", "assign_clusters"]
+__all__ = ["kmeans", "assign_clusters", "pca_fit", "pca_transform"]
 
 
 def _init_centroids(ds: "ray.data.Dataset", k: int, emb_col: str,
@@ -139,3 +139,86 @@ def assign_clusters(ds: "ray.data.Dataset", centroids: np.ndarray, *,
 
     return ds.select_columns([id_col, emb_col]).map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pca_fit(ds: "ray.data.Dataset", *, k: int, emb_col: str = "embedding"
+            ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distributed PCA fit: returns (mean (d,), components (k, d),
+    explained_variance (k,)).
+
+    One streaming pass folds per-block second-moment partials — each block
+    emits ONE row of (n, Σv, ΣvᵀV flattened): d²·8 bytes (d=64 → 32 KB),
+    independent of block size — then the driver assembles the d×d
+    covariance and runs a LOCAL ``eigh`` (d×d is tiny by contract; PCA over
+    wide features needs a different algorithm, not a bigger driver).  The
+    corpus is never shuffled or materialized.
+
+    Determinism: the same preserve_order treatment as ``kmeans`` pins the
+    float64 fold order; component SIGN is fixed by convention (the
+    largest-|coefficient| entry of each component is made positive), so
+    reruns and the transform stage agree.
+    """
+    vecs = ds.select_columns([emb_col])
+    try:
+        opts = vecs.context.execution_options
+        prev_preserve = opts.preserve_order
+        opts.preserve_order = True
+    except AttributeError:
+        opts = prev_preserve = None
+    try:
+        def partial(tbl: pa.Table) -> pa.Table:
+            m = _emb_matrix(tbl, emb_col).astype(np.float64)
+            return pa.table({
+                "n": pa.array([m.shape[0]], pa.int64()),
+                "s": pa.array([m.sum(axis=0).tolist()],
+                              pa.list_(pa.float64())),
+                "ss": pa.array([(m.T @ m).ravel().tolist()],
+                               pa.list_(pa.float64())),
+            })
+
+        n_tot, s_tot, ss_tot = 0, None, None
+        for b in vecs.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True).iter_batches(
+                                      batch_format="pyarrow"):
+            for n, s, ss in zip(b.column("n").to_pylist(),
+                                b.column("s").to_pylist(),
+                                b.column("ss").to_pylist()):
+                n_tot += n
+                s_tot = np.asarray(s) if s_tot is None else s_tot + np.asarray(s)
+                ss_tot = (np.asarray(ss) if ss_tot is None
+                          else ss_tot + np.asarray(ss))
+    finally:
+        if opts is not None:
+            opts.preserve_order = prev_preserve
+    d = len(s_tot)
+    mu = s_tot / n_tot
+    cov = ss_tot.reshape(d, d) / n_tot - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)      # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T               # (k, d)
+    # sign convention: largest-|coeff| entry of each component positive
+    flip = np.sign(comps[np.arange(k), np.argmax(np.abs(comps), axis=1)])
+    comps = comps * flip[:, None]
+    return mu, comps, evals[order]
+
+
+def pca_transform(ds: "ray.data.Dataset", mu: np.ndarray,
+                  components: np.ndarray, *, emb_col: str = "embedding",
+                  id_col: str = "vec_id",
+                  out_col: str = "pc") -> "ray.data.Dataset":
+    """Project each embedding onto the fitted components: one broadcast of
+    (μ, W) via ``ray.put``, one matmul per batch, output
+    (id, list<float> of k scores)."""
+    ref = ray.put((mu.astype(np.float64), components.astype(np.float64)))
+
+    def project(tbl: pa.Table) -> pa.Table:
+        m_, w_ = ray.get(ref)
+        m = _emb_matrix(tbl, emb_col).astype(np.float64)
+        proj = (m - m_) @ w_.T
+        return pa.table({
+            id_col: tbl.column(id_col),
+            out_col: pa.array(proj.tolist(), pa.list_(pa.float64())),
+        })
+
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True)

@@ -63,3 +63,46 @@ def test_kmeans_more_clusters_than_points(ray_session):
     centroids, _ = kmeans(ds, 2, iters=5)
     out = assign_clusters(ds, centroids).to_pandas()
     assert sorted(out["cluster"]) == [0, 1]
+
+
+def test_pca_matches_numpy_eigh(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.cluster import (
+        pca_fit, pca_transform,
+    )
+
+    rng = np.random.RandomState(31)
+    # anisotropic gaussian: planted principal axes
+    d, n = 16, 3000
+    scales = np.linspace(5.0, 0.1, d)
+    basis, _ = np.linalg.qr(rng.normal(size=(d, d)))
+    x = (rng.normal(size=(n, d)) * scales) @ basis.T + rng.normal(size=d)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype="int64"),
+                       "embedding": [r.astype("float32").tolist()
+                                     for r in x]})
+    ds = ray.data.from_pandas(df, override_num_blocks=8)
+
+    mu, comps, ev = pca_fit(ds, k=3)
+    xf = np.stack([np.asarray(v, dtype=np.float32).astype(np.float64)
+                   for v in df["embedding"]])
+    ref_mu = xf.mean(axis=0)
+    cov = np.cov(xf.T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    ref_c = evecs[:, order].T
+    flip = np.sign(ref_c[np.arange(3), np.argmax(np.abs(ref_c), axis=1)])
+    ref_c = ref_c * flip[:, None]
+
+    assert np.allclose(mu, ref_mu, atol=1e-8)
+    assert np.allclose(ev, evals[order], atol=1e-6)
+    assert np.allclose(comps, ref_c, atol=1e-6)
+
+    out = pca_transform(ds, mu, comps).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    proj = np.stack([np.asarray(v) for v in out["pc"]])
+    ref_proj = (xf - ref_mu) @ ref_c.T
+    assert np.allclose(proj, ref_proj, atol=1e-5)
+    # variance actually concentrates on the first component
+    assert ev[0] > ev[1] > ev[2] > 0
