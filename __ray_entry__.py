@@ -882,6 +882,17 @@ def _q_zipf_slope(sf_dir: str):
     return zipf_slope_by_group(_read(sf_dir, "documents"))
 
 
+def _q_source_jsd(sf_dir: str):
+    """Pairwise Jensen-Shannon divergence between source word distributions
+    (corpus-mix drift matrix): one self-join on the shared vocabulary,
+    private words folded analytically (0.5*ln2*(1-shared mass) per side)."""
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        jsd_source_matrix,
+    )
+
+    return jsd_source_matrix(_read(sf_dir, "documents"))
+
+
 def _q_top_words(sf_dir: str):
     """Exact distributed top-20 words by global frequency."""
     import pyarrow as pa
@@ -1846,6 +1857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_words": _q_top_words,
         "word_entropy": _q_word_entropy,
         "zipf_slope": _q_zipf_slope,
+        "source_jsd": _q_source_jsd,
         "top_words_per_source": _q_top_words_per_source,
         "mktsegment_revenue": _q_mktsegment_revenue,
         "asof_last_order": _q_asof_last_order,
@@ -2290,6 +2302,38 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6)
                        AS dup_frac
             FROM grams GROUP BY doc_id
+        """,
+        "source_jsd": """
+            WITH toks AS (
+              SELECT source, unnest(list_filter(
+                         regexp_split_to_array(lower(coalesce(text, '')),
+                                               '[^a-z0-9]+'),
+                         x -> x <> '')) AS tok
+              FROM documents),
+            c AS (SELECT source, tok, count(*) AS c
+                  FROM toks GROUP BY source, tok),
+            t AS (SELECT source, CAST(SUM(c) AS DOUBLE) AS tot
+                  FROM c GROUP BY source),
+            pairs AS (SELECT a.source AS sa, b.source AS sb
+                      FROM t a JOIN t b ON a.source < b.source),
+            u AS (SELECT p.sa, p.sb, w.tok,
+                         coalesce(ca.c, 0) / ta.tot AS pp,
+                         coalesce(cb.c, 0) / tb.tot AS qq
+                  FROM pairs p
+                  CROSS JOIN (SELECT DISTINCT tok FROM c) w
+                  LEFT JOIN c ca ON ca.source = p.sa AND ca.tok = w.tok
+                  LEFT JOIN c cb ON cb.source = p.sb AND cb.tok = w.tok
+                  JOIN t ta ON ta.source = p.sa
+                  JOIN t tb ON tb.source = p.sb
+                  WHERE coalesce(ca.c, 0) + coalesce(cb.c, 0) > 0)
+            SELECT sa AS source_a, sb AS source_b,
+                   ROUND(SUM(CASE WHEN pp > 0
+                             THEN 0.5 * pp * ln(2 * pp / (pp + qq))
+                             ELSE 0 END)
+                         + SUM(CASE WHEN qq > 0
+                               THEN 0.5 * qq * ln(2 * qq / (pp + qq))
+                               ELSE 0 END), 6) AS jsd
+            FROM u GROUP BY sa, sb
         """,
         "word_entropy": """
             WITH toks AS (

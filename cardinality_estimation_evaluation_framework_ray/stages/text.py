@@ -505,3 +505,100 @@ def zipf_slope_by_group(ds: "ray.data.Dataset", *, group_col: str = "source",
     out = counts.groupby(group_col).map_groups(
         slope, batch_format="pandas").to_pandas()
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def jsd_source_matrix(ds: "ray.data.Dataset", *, group_col: str = "source",
+                      text_col: str = "text") -> "pd.DataFrame":
+    """Pairwise Jensen-Shannon divergence (nats) between the groups' word
+    distributions — the corpus-mix drift matrix (which sources' language
+    actually differs, not just which share spans like
+    ``stages/filters.py:source_overlap_matrix``).
+
+    Join-based decomposition — no per-word group ever forms: for the shared
+    vocabulary the per-word JSD term needs (c_a, c_b) jointly, which is ONE
+    self-``hash_join`` of the (group, word, count) table on word (group
+    size ≤ #groups per word, bounded); words private to one side contribute
+    analytically — ½·ln2·(1 − Σ_shared p) per side — so only shared-word
+    rows carry float work.  Totals are a KB broadcast; the pair sums are a
+    ≤(#groups²)-row groupby.  Exact formula:
+    JSD(P,Q) = ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q)).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    def words(batch: pa.Table) -> pa.Table:
+        values, lengths = _split_lists(batch.column(text_col))
+        grp = batch.column(group_col).to_numpy(zero_copy_only=False)
+        return pa.table({group_col: pa.array(np.repeat(grp, lengths)),
+                         "word": values})
+
+    counts = (ds.select_columns([group_col, text_col])
+              .map_batches(words, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby([group_col, "word"]).count())
+    # totals per group: KB-scale, broadcast once
+    tot = (counts.groupby(group_col)
+           .aggregate(Sum("count()", alias_name="t")).to_pandas())
+    t_lut = dict(zip(tot[group_col], tot["t"].astype("float64")))
+    t_ref = ray.put(t_lut)
+
+    def rename_b(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["gb", "word", "cb"])
+
+    right = counts.map_batches(rename_b, batch_format="pyarrow")
+    joined = hash_join(counts, right, on="word")
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        lut = ray.get(t_ref)
+        ga = t.column(group_col).to_numpy(zero_copy_only=False)
+        gb = t.column("gb").to_numpy(zero_copy_only=False)
+        keep = ga < gb  # unordered pairs once
+        if not keep.any():
+            return pa.table({"ga": pa.array([], pa.string()),
+                             "gb": pa.array([], pa.string()),
+                             "__jsd": pa.array([], pa.float64()),
+                             "__pa": pa.array([], pa.float64()),
+                             "__pb": pa.array([], pa.float64())})
+        ga, gb = ga[keep], gb[keep]
+        ca = t.column("count()").to_numpy(zero_copy_only=False)[keep]
+        cb = t.column("cb").to_numpy(zero_copy_only=False)[keep]
+        ta = np.array([lut[g] for g in ga])
+        tb = np.array([lut[g] for g in gb])
+        p, q = ca / ta, cb / tb
+        m = p + q
+        contrib = 0.5 * (p * np.log(2.0 * p / m) + q * np.log(2.0 * q / m))
+        # batch pre-agg: one row per pair
+        key = pd.MultiIndex.from_arrays([ga, gb])
+        dfp = pd.DataFrame({"__jsd": contrib, "__pa": p, "__pb": q},
+                           index=key).groupby(level=[0, 1]).sum()
+        return pa.table({
+            "ga": pa.array(dfp.index.get_level_values(0)),
+            "gb": pa.array(dfp.index.get_level_values(1)),
+            "__jsd": pa.array(dfp["__jsd"].to_numpy()),
+            "__pa": pa.array(dfp["__pa"].to_numpy()),
+            "__pb": pa.array(dfp["__pb"].to_numpy()),
+        })
+
+    folded = (joined.map_batches(pair_partials, batch_format="pyarrow")
+              .groupby(["ga", "gb"])
+              .aggregate(Sum("__jsd", alias_name="s_jsd"),
+                         Sum("__pa", alias_name="s_pa"),
+                         Sum("__pb", alias_name="s_pb"))
+              .to_pandas())
+    half_ln2 = 0.5 * np.log(2.0)
+    jsd = (folded["s_jsd"].to_numpy()
+           + half_ln2 * (1.0 - folded["s_pa"].to_numpy())
+           + half_ln2 * (1.0 - folded["s_pb"].to_numpy()))
+    out = pd.DataFrame({"source_a": folded["ga"], "source_b": folded["gb"],
+                        "jsd": np.round(jsd, 6)})
+    # pairs with NO shared vocabulary never appear in the join: JSD = ln 2
+    groups = sorted(t_lut)
+    allp = pd.DataFrame([(a, b) for i, a in enumerate(groups)
+                         for b in groups[i + 1:]],
+                        columns=["source_a", "source_b"])
+    out = allp.merge(out, on=["source_a", "source_b"], how="left")
+    out["jsd"] = out["jsd"].fillna(np.round(np.log(2.0), 6))
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)

@@ -291,3 +291,47 @@ def test_zipf_slope_recovers_planted_exponent(ray_session):
     out = zipf_slope_by_group(ray.data.from_pandas(df, override_num_blocks=4))
     assert out["n_distinct_words"].iloc[0] == 60
     assert abs(out["zipf_slope"].iloc[0] + 0.8) < 0.05
+
+
+def test_jsd_source_matrix_matches_scipy_formula(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        jsd_source_matrix,
+    )
+
+    df = pd.DataFrame({
+        "source": ["s1", "s1", "s2", "s3"],
+        "text": ["a a b", "b c", "a c c d", "x y z"],
+    })
+    out = jsd_source_matrix(ray.data.from_pandas(df, override_num_blocks=2))
+
+    def dist(texts):
+        from collections import Counter
+        c = Counter(w for t in texts for w in t.split())
+        tot = sum(c.values())
+        return {w: v / tot for w, v in c.items()}
+
+    def jsd(p, q):
+        words = set(p) | set(q)
+        s = 0.0
+        for w in words:
+            pw, qw = p.get(w, 0.0), q.get(w, 0.0)
+            m = (pw + qw) / 2
+            if pw > 0:
+                s += 0.5 * pw * np.log(pw / m)
+            if qw > 0:
+                s += 0.5 * qw * np.log(qw / m)
+        return s
+
+    dists = {s: dist(df[df["source"] == s]["text"]) for s in
+             ["s1", "s2", "s3"]}
+    assert len(out) == 3
+    for _, row in out.iterrows():
+        ref = jsd(dists[row["source_a"]], dists[row["source_b"]])
+        assert abs(row["jsd"] - ref) < 1e-6, (row["source_a"],
+                                              row["source_b"])
+    # disjoint-vocabulary pair (s1 vs s3 share nothing) -> exactly ln 2
+    d = out[(out["source_a"] == "s1") & (out["source_b"] == "s3")]
+    assert abs(d["jsd"].iloc[0] - np.log(2)) < 1e-6
