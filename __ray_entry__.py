@@ -1793,6 +1793,27 @@ def _q_events_rollup(sf_dir: str):
     return rollup_counts(typed, ["event_type", "day"]).to_pandas()
 
 
+def _q_events_cube(sf_dir: str):
+    """GROUP BY CUBE (event_type, day) counts: all 4 key subsets from one
+    corpus groupby + metadata re-aggregations."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        cube_counts,
+    )
+
+    ds = _read(sf_dir, "events").select_columns(["event_type", "ts"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t.column("ts"), format="%Y-%m-%d")
+        return pa.table({"event_type": t.column("event_type"), "day": day})
+
+    typed = ds.map_batches(add_day, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return cube_counts(typed, ["event_type", "day"]).to_pandas()
+
+
 def _q_global_sample(sf_dir: str):
     """Exact-n deterministic uniform corpus sample (global Knuth-priority
     top-n; candidates-only driver merge, winners broadcast)."""
@@ -1905,6 +1926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_sample": _q_global_sample,
         "chars_pivot": _q_chars_pivot,
         "events_rollup": _q_events_rollup,
+        "events_cube": _q_events_cube,
         "custkeys_intersect": _q_custkeys_intersect,
         "custkeys_except": _q_custkeys_except,
         "price_percentiles": _q_price_percentiles,
@@ -2503,6 +2525,14 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(day, 'ALL') AS day,
                    CAST(count(*) AS BIGINT) AS n
             FROM e GROUP BY ROLLUP (event_type, day)
+        """,
+        "events_cube": """
+            WITH e AS (
+              SELECT event_type, strftime(ts, '%Y-%m-%d') AS day FROM events)
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(day, 'ALL') AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM e GROUP BY CUBE (event_type, day)
         """,
         "global_sample": """
             WITH r AS (

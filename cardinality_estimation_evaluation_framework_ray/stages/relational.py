@@ -567,6 +567,56 @@ def rollup_counts(ds: "ray.data.Dataset", keys: list[str], *,
     return union_all(levels)
 
 
+def cube_counts(ds: "ray.data.Dataset", keys: list[str], *,
+                total_label: str = "ALL", count_name: str = "n"
+                ) -> "ray.data.Dataset":
+    """SQL ``GROUP BY CUBE(k1, .., kn)`` counts: every one of the 2ⁿ key
+    subsets, rolled-up columns holding ``total_label`` (string keys, same
+    sentinel contract as ``rollup_counts``).
+
+    Scale shape mirrors ``rollup_counts``: ONE corpus-wide groupby builds
+    the finest table, every other subset re-aggregates that distinct-key
+    metadata — 2ⁿ−1 KB-scale shuffles, one data pass.  n is bounded by
+    contract (a cube over many columns is 2ⁿ output families).
+    """
+    from itertools import combinations
+
+    finest = ds.groupby(keys).count().materialize()
+    levels = []
+    for r in range(len(keys), -1, -1):
+        for kept in combinations(keys, r):
+            kept = list(kept)
+            if r == len(keys):
+                sub, src_col = finest, "count()"
+            elif r == 0:
+                total = int(finest.sum("count()"))
+                levels.append(ray.data.from_arrow(pa.table(
+                    {**{k: pa.array([total_label], pa.string())
+                        for k in keys},
+                     count_name: pa.array([total], pa.int64())})))
+                continue
+            else:
+                sub, src_col = (finest.groupby(kept).sum("count()"),
+                                "sum(count())")
+
+            def norm(t: pa.Table, kept=kept, src_col=src_col) -> pa.Table:
+                import pyarrow.compute as pc
+
+                cols = {}
+                for k in keys:  # preserve original column order
+                    if k in kept:
+                        cols[k] = t.column(k)
+                    else:
+                        cols[k] = pa.array([total_label] * t.num_rows,
+                                           pa.string())
+                cols[count_name] = pc.cast(t.column(src_col), pa.int64())
+                return pa.table(cols)
+
+            levels.append(sub.map_batches(norm, batch_format="pyarrow",
+                                          zero_copy_batch=True))
+    return union_all(levels)
+
+
 def set_op(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
            on: list[str], op: str = "intersect") -> "ray.data.Dataset":
     """SQL ``INTERSECT`` / ``EXCEPT`` (distinct set semantics) over the

@@ -483,3 +483,29 @@ def test_ntile_partition_invariance(ray_session):
                           num_partitions=nparts).to_pandas()
                     .sort_values(["v", "id"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_cube_counts_all_subsets(ray_session):
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        cube_counts,
+    )
+
+    df = pd.DataFrame({"a": ["x", "x", "y", "y", "y"],
+                       "b": ["1", "2", "1", "1", "2"]})
+    out = (cube_counts(ray.data.from_pandas(df, override_num_blocks=2),
+                       ["a", "b"]).to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    ref = (df.groupby(["a", "b"]).size().reset_index(name="n"))
+    # finest
+    for _, r in ref.iterrows():
+        got = out[(out["a"] == r["a"]) & (out["b"] == r["b"])]
+        assert got["n"].iloc[0] == r["n"]
+    # marginals
+    assert out[(out["a"] == "x") & (out["b"] == "ALL")]["n"].iloc[0] == 2
+    assert out[(out["a"] == "ALL") & (out["b"] == "1")]["n"].iloc[0] == 3
+    assert out[(out["a"] == "ALL") & (out["b"] == "2")]["n"].iloc[0] == 2
+    assert out[(out["a"] == "ALL") & (out["b"] == "ALL")]["n"].iloc[0] == 5
+    # 2^2 subsets: finest(4) + a-marginal(2) + b-marginal(2) + total(1)
+    assert len(out) == 4 + 2 + 2 + 1
