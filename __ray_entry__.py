@@ -1354,6 +1354,72 @@ def _q_sliding_reach_6h(sf_dir: str):
     return df
 
 
+def _q_theta_reach_by_lang(sf_dir: str):
+    """Distinct words per lang via the Theta/KMV sketch UDAF — below
+    saturation (k=65536 >> per-lang vocab) the KMV retained set is the full
+    hash set, so the estimate is EXACT and the COUNT(DISTINCT) oracle
+    matches."""
+    from cardinality_estimation_evaluation_framework_ray.stages.build import (
+        sketch_aggregation,
+    )
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        tokenize_documents,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import ThetaSpec
+
+    toks = tokenize_documents(_read(sf_dir, "documents"), source_col="lang")
+    agg = sketch_aggregation(ThetaSpec(k=65536, seed=11),
+                             name="distinct_words")
+    df = toks.groupby("source").aggregate(agg).to_pandas()
+    df = df.rename(columns={"source": "lang"})
+    df["distinct_words"] = df["distinct_words"].astype("int64")
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+def _q_theta_common_words(sf_dir: str):
+    """Pairwise shared/exclusive vocabulary between langs via theta-sketch
+    SET ALGEBRA: one corpus scan builds a per-lang state; every pair is a
+    driver-side intersect/difference on KB states (exact below
+    saturation)."""
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.build import (
+        sketch_aggregation,
+    )
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        tokenize_documents,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import (
+        ThetaSpec,
+        theta_difference,
+        theta_intersect,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state.base import (
+        Sketch,
+    )
+    import pickle
+
+    spec = ThetaSpec(k=65536, seed=11)
+    toks = tokenize_documents(_read(sf_dir, "documents"), source_col="lang")
+    agg = sketch_aggregation(spec, name="st", output="state")
+    states = toks.groupby("source").aggregate(agg).to_pandas()
+    sk = {r["source"]: Sketch.from_bytes(spec, r["st"])
+          for _, r in states.iterrows()}
+    langs = sorted(sk)
+    rows = []
+    for i, a in enumerate(langs):
+        for b in langs[i + 1:]:
+            rows.append({
+                "lang_a": a, "lang_b": b,
+                "n_common": int(theta_intersect(sk[a], sk[b]).estimate()[0]
+                                + 0.5),
+                "n_only_a": int(theta_difference(sk[a], sk[b]).estimate()[0]
+                                + 0.5),
+            })
+    return pd.DataFrame(rows).astype({"n_common": "int64",
+                                      "n_only_a": "int64"})
+
+
 def _q_events_zscore_by_type(sf_dir: str):
     """Per-event-type standardization of value-cents (broadcast-stats
     normalization; exact integer moments make z bit-reproducible)."""
@@ -1905,6 +1971,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reach_by_lang_udaf": _q_reach_by_lang_udaf,
         "windowed_reach": _q_windowed_reach,
         "sliding_reach_6h": _q_sliding_reach_6h,
+        "theta_reach_by_lang": _q_theta_reach_by_lang,
+        "theta_common_words": _q_theta_common_words,
         "events_zscore_by_type": _q_events_zscore_by_type,
         "value_histogram": _q_value_histogram,
         "normalized_text": _q_normalized_text,
@@ -2756,6 +2824,34 @@ def oracle_sql() -> dict[str, str]:
                 x -> x <> '')) AS tok FROM documents)
             SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS distinct_words
             FROM toks GROUP BY lang
+        """,
+        "theta_reach_by_lang": """
+            WITH toks AS (SELECT lang, unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS tok FROM documents)
+            SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS distinct_words
+            FROM toks GROUP BY lang
+        """,
+        "theta_common_words": """
+            WITH toks AS (SELECT DISTINCT lang, tok FROM (
+                SELECT lang, unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS tok FROM documents)),
+            langs AS (SELECT DISTINCT lang FROM toks),
+            pairs AS (SELECT a.lang AS lang_a, b.lang AS lang_b
+                      FROM langs a JOIN langs b ON a.lang < b.lang),
+            common AS (SELECT ta.lang AS lang_a, tb.lang AS lang_b,
+                              count(*) AS n_common
+                       FROM toks ta JOIN toks tb
+                         ON ta.tok = tb.tok AND ta.lang < tb.lang
+                       GROUP BY 1, 2),
+            sizes AS (SELECT lang, count(*) AS n FROM toks GROUP BY lang)
+            SELECT p.lang_a, p.lang_b,
+                   CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+                   CAST(s.n - coalesce(c.n_common, 0) AS BIGINT) AS n_only_a
+            FROM pairs p
+            LEFT JOIN common c USING (lang_a, lang_b)
+            JOIN sizes s ON s.lang = p.lang_a
         """,
         "sliding_reach_6h": """
             WITH hours AS (SELECT DISTINCT date_trunc('hour', ts) AS h

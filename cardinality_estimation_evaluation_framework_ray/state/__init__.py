@@ -50,6 +50,12 @@ from .stratified import (  # noqa: F401
     SequentialEstimator as StratifiedSequentialEstimator,
 )
 from .quantiles import KllSketch, KllSpec, TDigestSketch, TDigestSpec  # noqa: F401
+from .theta import (  # noqa: F401
+    ThetaSketch,
+    ThetaSpec,
+    theta_difference,
+    theta_intersect,
+)
 from .voc import (  # noqa: F401
     PairwiseEstimator as VocPairwiseEstimator,
     SequentialEstimator as VocSequentialEstimator,

@@ -16,6 +16,7 @@ from cardinality_estimation_evaluation_framework_ray.state import (
     LiquidLegionsSpec,
     SkaSpec,
     TDigestSpec,
+    ThetaSpec,
     VocSpec,
 )
 from cardinality_estimation_evaluation_framework_ray.state.base import Sketch
@@ -36,6 +37,7 @@ SPECS = [
     ExactMultiSetSpec(),
     VocSpec(num_buckets=64, seed=3),  # on disjoint partitions of a multiset
     TDigestSpec(compression=32.0),
+    ThetaSpec(k=64, seed=3),
 ]
 
 tokens_strategy = st.lists(st.integers(0, 2**31 - 2), min_size=0, max_size=300)
