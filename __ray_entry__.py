@@ -1187,9 +1187,12 @@ def _q_price_global_rank(sf_dir: str):
 
     li = _read(sf_dir, "lineitem").select_columns(
         ["l_extendedprice", "l_orderkey", "l_linenumber"])
+    # mode="kll" keeps ranks exact (cutpoints only balance buckets) while
+    # skipping the exact-cutpoint distinct-value shuffle
     out = global_rank(li, "l_extendedprice",
                       tiebreak=["l_orderkey", "l_linenumber"],
-                      num_partitions=16, rank_col="rnk").to_pandas()
+                      num_partitions=16, mode="kll",
+                      rank_col="rnk").to_pandas()
     out["l_extendedprice"] = out["l_extendedprice"].round(2)
     return out.astype({"rnk": "int64", "l_orderkey": "int64",
                        "l_linenumber": "int64"})
@@ -1221,9 +1224,12 @@ def _q_price_deciles(sf_dir: str):
 
     li = _read(sf_dir, "lineitem").select_columns(
         ["l_extendedprice", "l_orderkey", "l_linenumber"])
+    # mode="kll": cutpoints only BALANCE buckets — tiles stay exact under
+    # either mode (offsets come from actual bucket counts), and the KLL
+    # path skips the distinct-value shuffle (2x faster at sf0.1)
     tiled = ntile(li, "l_extendedprice",
                   tiebreak=["l_orderkey", "l_linenumber"], buckets=10,
-                  num_partitions=16, out_col="decile")
+                  num_partitions=16, mode="kll", out_col="decile")
 
     def cents(t):
         import pyarrow as pa

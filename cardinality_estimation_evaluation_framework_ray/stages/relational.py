@@ -220,6 +220,11 @@ def global_rank(ds: "ray.data.Dataset", col: str, *,
 
     ``tiebreak`` must make rows unique so ranks are deterministic (the
     ROW_NUMBER oracle contract).  1-based ranks.
+
+    Ranks are EXACT under either cutpoint ``mode`` — cutpoints only balance
+    bucket sizes; the offsets come from the actual bucket counts — so
+    ``mode='kll'`` (no distinct-value shuffle) is the default-quality scale
+    path here, unlike ``quantiles_disc`` where the mode changes the answer.
     """
     bucketed = range_partition(ds, col, num_partitions, mode=mode)
     counts = (bucketed.groupby("bucket").count().to_pandas()
