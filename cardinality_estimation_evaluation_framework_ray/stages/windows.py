@@ -150,7 +150,7 @@ def sliding_window_distinct(ds: "ray.data.Dataset", spec, *, ts_col: str,
     import pyarrow.compute as pc
 
     from .build import sketch_aggregation
-    from ..state.base import Sketch, merge_many
+    from ..state.base import merge_many
 
     def to_bucket(t: pa.Table) -> pa.Table:
         return pa.table({
