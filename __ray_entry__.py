@@ -1474,6 +1474,36 @@ def _q_customers_semi_anti(sf_dir: str, how: str = "semi"):
     return out.astype({"c_custkey": "int64"})
 
 
+def _q_bloom_filtered_semi_join(sf_dir: str):
+    """Filter-then-verify semi join: a broadcast Bloom filter over the
+    urgent-order custkeys prunes the customer side WITHOUT a shuffle (no
+    false negatives, ~1% extras), then the exact semi join runs on the
+    survivors only — output EXACTLY equals the exact semi join, so it
+    shares its oracle.  At 100 TB this is the big-big semi-join plan: m/8
+    bytes broadcast once instead of shuffling the probe corpus."""
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        build_bloom_membership,
+        filter_by_bloom,
+    )
+    from cardinality_estimation_evaluation_framework_ray.stages.joins import (
+        hash_join,
+    )
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderpriority"]).filter(
+        lambda r: r["o_orderpriority"] == "1-URGENT")
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_name", "c_mktsegment"])
+    bloom = build_bloom_membership(orders, key_col="o_custkey",
+                                   length=200_000, num_hashes=4)
+    candidates = filter_by_bloom(cust, bloom, key_col="c_custkey",
+                                 how="semi")
+    out = hash_join(candidates, orders, on="c_custkey",
+                    right_key="o_custkey", how="semi").to_pandas()
+    return (out.astype({"c_custkey": "int64"})
+            .sort_values("c_custkey").reset_index(drop=True))
+
+
 def _q_customers_no_urgent_order(sf_dir: str):
     """Anti-join variant of `customers_semi_urgent` (NOT EXISTS)."""
     return _q_customers_semi_anti(sf_dir, how="anti")
@@ -1886,6 +1916,22 @@ def _q_events_cube(sf_dir: str):
     return cube_counts(typed, ["event_type", "day"]).to_pandas()
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Exact-n weighted-without-replacement sample (Efraimidis-Spirakis
+    A-Res over the Knuth-hash uniform, weight = n_chars): replayable from
+    ids alone, two metadata-light passes, fixed float key expression so the
+    SQL ORDER BY ranks identically."""
+    from cardinality_estimation_evaluation_framework_ray.stages.sampling import (
+        weighted_sample,
+    )
+
+    out = weighted_sample(_read(sf_dir, "documents"), n=50,
+                          weight_col="n_chars",
+                          cols=["doc_id", "source", "n_chars"]).to_pandas()
+    return (out.astype({"doc_id": "int64", "n_chars": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _q_global_sample(sf_dir: str):
     """Exact-n deterministic uniform corpus sample (global Knuth-priority
     top-n; candidates-only driver merge, winners broadcast)."""
@@ -1962,6 +2008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_join_salted": _q_orders_customer_join_salted,
         "customer_order_left_join": _q_customer_order_left_join,
         "customers_semi_urgent": _q_customers_semi_urgent,
+        "bloom_filtered_semi_join": _q_bloom_filtered_semi_join,
         "customers_no_urgent_order": _q_customers_no_urgent_order,
         "doc_chunks": _q_doc_chunks,
         "events_windowed_1h": _q_events_windowed_1h,
@@ -1998,6 +2045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": _q_source_overlap,
         "tfidf_keywords": _q_tfidf_keywords,
         "global_sample": _q_global_sample,
+        "weighted_sample": _q_weighted_sample,
         "chars_pivot": _q_chars_pivot,
         "events_rollup": _q_events_rollup,
         "events_cube": _q_events_cube,
@@ -2600,6 +2648,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM e GROUP BY ROLLUP (event_type, day)
         """,
+        "weighted_sample": """
+            WITH w AS (
+              SELECT doc_id, source, n_chars,
+                     ln(((doc_id * 2654435761) % 4294967296 + 0.5)
+                        / 4294967296.0) / n_chars AS k
+              FROM documents WHERE n_chars > 0),
+            r AS (SELECT doc_id, source, n_chars,
+                         row_number() OVER (ORDER BY k DESC, doc_id) AS rk
+                  FROM w)
+            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+            FROM r WHERE rk <= 50
+        """,
         "events_cube": """
             WITH e AS (
               SELECT event_type, strftime(ts, '%Y-%m-%d') AS day FROM events)
@@ -2940,6 +3000,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         """,
         "customers_semi_urgent": """
+            SELECT c.c_custkey, c.c_name, c.c_mktsegment
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        """,
+        "bloom_filtered_semi_join": """
             SELECT c.c_custkey, c.c_name, c.c_mktsegment
             FROM customer c
             WHERE EXISTS (SELECT 1 FROM orders o

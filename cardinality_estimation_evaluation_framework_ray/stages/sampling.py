@@ -27,7 +27,7 @@ import pyarrow as pa
 import ray.data
 
 __all__ = ["knuth_priority", "per_key_sample", "hash_split",
-           "mixture_sample", "global_sample"]
+           "mixture_sample", "global_sample", "weighted_sample"]
 
 _KNUTH = np.uint64(2654435761)
 _MOD32 = np.uint64(0xFFFFFFFF)
@@ -249,6 +249,72 @@ def global_sample(ds: "ray.data.Dataset", *, n: int, id_col: str = "doc_id",
         hit = (pos < len(win)) & (win[np.minimum(pos, max(len(win) - 1, 0))]
                                   == ids) if len(win) else \
             np.zeros(len(ids), dtype=bool)
+        return tbl.select(cols).filter(pa.array(hit))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_sample(ds: "ray.data.Dataset", *, n: int, weight_col: str,
+                    id_col: str = "doc_id",
+                    cols: list[str] | None = None) -> "ray.data.Dataset":
+    """Deterministic weighted-without-replacement sample of exactly ``n``
+    rows — Efraimidis-Spirakis A-Res with the Knuth-hash uniform: row i
+    wins with key ``ln(u_i) / w_i`` (top-n by key), u_i =
+    (knuth_priority(id) + 0.5) / 2^32, so inclusion probability follows the
+    weights (sample docs ∝ length/quality for token-budget curation) and
+    the draw is replayable from ids alone — no driver RNG, same contract as
+    ``global_sample``.
+
+    Same two metadata-light passes as ``global_sample``: per-block partial
+    top-n of (key, id) candidates, driver merge of ≤ blocks×n candidates,
+    broadcast winner ids, stateless filter.  Rows with weight <= 0 are
+    excluded (SQL mirror: WHERE w > 0).  The key is one fixed float64
+    expression, so a DuckDB ORDER BY of the same expression ranks
+    identically.
+    """
+    cols = cols if cols is not None else [id_col]
+
+    def key_of(ids: np.ndarray, w: np.ndarray) -> np.ndarray:
+        u = (knuth_priority(ids).astype(np.float64) + 0.5) / 4294967296.0
+        return np.log(u) / w
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        w = tbl.column(weight_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        keep = w > 0
+        ids, w = ids[keep], w[keep]
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array(
+                [], tbl.schema.field(id_col).type),
+                "__w": pa.array([], pa.float64())})
+        k = key_of(ids, w)
+        order = np.lexsort((ids, -k))[:n]  # largest key wins
+        return pa.table({id_col: pa.array(ids[order]),
+                         "__w": pa.array(w[order])})
+
+    cand_ids, cand_w = [], []
+    for b in ds.select_columns([id_col, weight_col]).map_batches(
+            partial, batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        cand_ids.append(b.column(id_col).to_numpy(zero_copy_only=False))
+        cand_w.append(b.column("__w").to_numpy(zero_copy_only=False))
+    ids = (np.concatenate(cand_ids) if cand_ids
+           else np.empty(0, np.int64))
+    w = np.concatenate(cand_w) if cand_w else np.empty(0, np.float64)
+    order = np.lexsort((ids, -key_of(ids, w)))[:n] if len(ids) else []
+    winners_ref = ray.put(np.sort(ids[order]) if len(ids)
+                          else np.empty(0, np.int64))
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        win = ray.get(winners_ref)
+        ids_ = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        if len(win):
+            pos = np.searchsorted(win, ids_)
+            hit = (pos < len(win)) & (win[np.minimum(pos, len(win) - 1)]
+                                      == ids_)
+        else:
+            hit = np.zeros(len(ids_), dtype=bool)
         return tbl.select(cols).filter(pa.array(hit))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

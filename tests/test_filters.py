@@ -275,3 +275,40 @@ def test_cross_doc_dup_stats_partition_invariance(ray_session):
         outs.append(cross_doc_dup_stats(ds, n=2).to_pandas()
                     .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_bloom_membership_no_false_negatives_and_bounded_fpr(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        build_bloom_membership,
+        filter_by_bloom,
+    )
+
+    rng = np.random.RandomState(41)
+    members = np.unique(rng.randint(0, 10**9, size=3000)).astype(np.int64)
+    non_members = np.setdiff1d(
+        np.unique(rng.randint(10**9, 2 * 10**9, size=3000)), members)
+    keys_ds = ray.data.from_pandas(
+        pd.DataFrame({"k": members}), override_num_blocks=5)
+    bloom = build_bloom_membership(keys_ds, key_col="k",
+                                   length=len(members) * 10, num_hashes=4)
+
+    probe = pd.DataFrame({"k": np.concatenate([members, non_members])})
+    kept = filter_by_bloom(
+        ray.data.from_pandas(probe, override_num_blocks=7), bloom,
+        key_col="k", how="semi").to_pandas()
+    kept_set = set(kept["k"])
+    # no false negatives: every true member survives
+    assert set(members) <= kept_set
+    # FPR bound: (1 - e^{-kn/m})^k ~ 1.2% at m=10n, k=4; allow 3x slack
+    fpr = (len(kept_set) - len(members)) / len(non_members)
+    assert fpr < 0.04, fpr
+
+    # anti is the exact complement of semi on the same probe
+    dropped = filter_by_bloom(
+        ray.data.from_pandas(probe, override_num_blocks=7), bloom,
+        key_col="k", how="anti").to_pandas()
+    assert kept_set.isdisjoint(set(dropped["k"]))
+    assert len(kept) + len(dropped) == len(probe)

@@ -162,3 +162,46 @@ def test_global_sample_exact_n_and_partition_invariance(ray_session):
     all_rows = global_sample(ray.data.from_arrow(tbl), n=1000,
                              cols=["doc_id", "source"]).to_pandas()
     assert len(all_rows) == 200 and set(all_rows.columns) == {"doc_id", "source"}
+
+
+def test_weighted_sample_exact_n_and_distribution(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.sampling import (
+        weighted_sample,
+    )
+
+    n_rows = 4000
+    # two weight classes: heavy rows 10x more likely per unit
+    w = np.where(np.arange(n_rows) % 2 == 0, 10.0, 1.0)
+    df = pd.DataFrame({"doc_id": np.arange(n_rows, dtype="int64"),
+                       "w": w})
+    ds = ray.data.from_pandas(df, override_num_blocks=6)
+    out = weighted_sample(ds, n=400, weight_col="w",
+                          cols=["doc_id", "w"]).to_pandas()
+    assert len(out) == 400
+    assert out["doc_id"].is_unique
+    heavy = (out["w"] == 10.0).sum()
+    # E[heavy] via A-Res is well above the unweighted 200; loose band
+    assert heavy > 280, heavy
+
+    # partition invariance: identical winners at any block count
+    out1 = weighted_sample(ray.data.from_pandas(df, override_num_blocks=1),
+                           n=400, weight_col="w").to_pandas()
+    assert set(out1["doc_id"]) == set(out["doc_id"])
+
+
+def test_weighted_sample_excludes_nonpositive_weights(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.sampling import (
+        weighted_sample,
+    )
+
+    df = pd.DataFrame({"doc_id": np.arange(20, dtype="int64"),
+                       "w": [0.0] * 10 + [1.0] * 10})
+    out = weighted_sample(ray.data.from_pandas(df), n=15,
+                          weight_col="w").to_pandas()
+    assert set(out["doc_id"]) == set(range(10, 20))
