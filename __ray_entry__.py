@@ -1488,10 +1488,17 @@ def _q_bloom_filtered_semi_join(sf_dir: str):
     from cardinality_estimation_evaluation_framework_ray.stages.joins import (
         hash_join,
     )
+    import pyarrow.compute as pc
 
     orders = _read(sf_dir, "orders").select_columns(
-        ["o_custkey", "o_orderpriority"]).filter(
-        lambda r: r["o_orderpriority"] == "1-URGENT")
+        ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderpriority"),
+                                    "1-URGENT")),
+        batch_format="pyarrow")
+    # the filtered orders feed TWO consumers (bloom build + join build
+    # side); without a materialize Ray re-runs the scan+filter per
+    # consumer (diamond rule, SCALE.md) — pin the small side once
+    orders = orders.materialize()
     cust = _read(sf_dir, "customer").select_columns(
         ["c_custkey", "c_name", "c_mktsegment"])
     bloom = build_bloom_membership(orders, key_col="o_custkey",
@@ -2866,10 +2873,13 @@ def oracle_sql() -> dict[str, str]:
                                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                                    - CAST(sy AS DOUBLE)
                                      * CAST(sy AS DOUBLE))), 6) AS corr,
-                   ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
-                       AS covar_pop
+                   FLOOR(ABS((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                         * 1000000.0 + 0.5)
+                   * SIGN((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   / 1000000.0 + 0.0 AS covar_pop
             FROM m
         """,
         "price_deciles": """

@@ -157,10 +157,14 @@ def _reduce_checkpoints(paths: list[str], specs: dict[str, SketchSpec],
 
 
 def stable_partition_label(files: list[str]) -> str:
-    """Order-independent partition id: digest of the partition's file NAMES
+    """Order-independent partition id: digest of the partition's file PATHS
     (not stat) — stable across corpus appends, re-listings and reorderings,
-    unlike the positional ids of ``build_sketch_states_resumable``."""
-    joined = ";".join(sorted(os.path.basename(f) for f in files))
+    unlike the positional ids of ``build_sketch_states_resumable``.  Full
+    normalized paths, not basenames: two shard directories routinely reuse
+    the same file names (2024/part-0.parquet vs 2025/part-0.parquet), and a
+    basename digest would collide their checkpoints onto one path —
+    double-merging one partition and silently dropping the other."""
+    joined = ";".join(sorted(os.path.normpath(f) for f in files))
     return hashlib.sha1(joined.encode()).hexdigest()[:16]
 
 

@@ -456,9 +456,15 @@ def grouped_corr(ds: "ray.data.Dataset", key: str, x_col: str, y_col: str, *,
     den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
     with np.errstate(invalid="ignore", divide="ignore"):
         corr = cov_num / den
+    # covar_pop is exactly rational (integer sums / n^2) so np.round's
+    # half-even ties can disagree with SQL ROUND at .5e-6 boundaries;
+    # round half-away-from-zero explicitly (mirrored in the oracle SQL).
+    # corr carries an irrational sqrt, so np.round is safe there.
+    cv = cov_num / (n * n)
+    covar = np.floor(np.abs(cv) * 1e6 + 0.5) * np.sign(cv) / 1e6 + 0.0
     out = pd.DataFrame({key: m[key], "n": m["n"].astype("int64"),
                         "corr": np.round(corr, 6),
-                        "covar_pop": np.round(cov_num / (n * n), 6)})
+                        "covar_pop": covar})
     return out.sort_values(key).reset_index(drop=True)
 
 

@@ -18,6 +18,8 @@ the stateful-actor-pool pattern (state built in ``__init__``, reused per
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -397,14 +399,16 @@ def extract_json_int(ds: "ray.data.Dataset", *, col: str, key: str,
 
     Pure Arrow RE2 (``extract_regex``) per batch — no JSON parser in the
     hot path, no Python per row; rows without the key (or with a
-    non-numeric value) yield null.  The regex anchors on the quoted key so
-    substring keys can't false-match.  Contract: the field must be a JSON
+    non-numeric value) yield null.  The regex anchors on the quoted key
+    (``re.escape``d, so metachar keys like ``a.b`` match literally and
+    can't false-match a sibling field) and tolerates JSON whitespace on
+    either side of the colon.  Contract: the field must be a JSON
     integer — a float field yields its integer PREFIX (RE2 has no
     lookahead to reject it), unlike ``CAST(json_extract(...))`` which
     rounds; keep the op on integer fields.
     """
     out_col = out_col or key
-    pattern = '"' + key + '":\\s*(?P<v>-?[0-9]+)'
+    pattern = '"' + re.escape(key) + '"\\s*:\\s*(?P<v>-?[0-9]+)'
 
     def extract(batch: pa.Table) -> pa.Table:
         text = batch.column(col)
@@ -539,6 +543,10 @@ def jsd_source_matrix(ds: "ray.data.Dataset", *, group_col: str = "source",
               .map_batches(words, batch_format="pyarrow",
                            zero_copy_batch=True)
               .groupby([group_col, "word"]).count())
+    # The (group, word, count) table feeds THREE consumers (totals, join
+    # left, join right) and Ray Data re-executes the whole corpus tokenize
+    # per consumer on a diamond (SCALE.md) — pin the narrow aggregate once.
+    counts = counts.materialize()
     # totals per group: KB-scale, broadcast once
     tot = (counts.groupby(group_col)
            .aggregate(Sum("count()", alias_name="t")).to_pandas())

@@ -135,7 +135,7 @@ def test_epoch_resumable_skips_valid_checkpoints(tokens_files, tmp_path):
 @pytest.mark.usefixtures("ray_session")
 def test_incremental_append_reuses_existing_checkpoints(tokens_files, tmp_path):
     """Corpus append: the incremental build reuses every prior partition
-    checkpoint verbatim (stable file-name labels, not positional ids),
+    checkpoint verbatim (stable file-path labels, not positional ids),
     builds only the appended file, and the merged estimates equal a full
     rebuild."""
     from cardinality_estimation_evaluation_framework_ray.stages.checkpoint import (
@@ -167,3 +167,19 @@ def test_incremental_append_reuses_existing_checkpoints(tokens_files, tmp_path):
     _, rep3 = build_sketch_states_incremental(
         tokens_files, {"hll": HllSpec(p=11, seed=5)}, ck)
     assert len(rep3["built"]) == len(tokens_files) and not rep3["reused"]
+
+
+def test_stable_partition_label_distinct_dirs_same_basename():
+    """Shard dirs routinely reuse file names (2024/part-0 vs 2025/part-0);
+    labels must digest full paths or the checkpoints collide."""
+    from cardinality_estimation_evaluation_framework_ray.stages.checkpoint import (
+        stable_partition_label,
+    )
+
+    a = stable_partition_label(["/data/2024/part-0.parquet"])
+    b = stable_partition_label(["/data/2025/part-0.parquet"])
+    assert a != b
+    # still order-independent within a partition
+    two = ["/d/x.parquet", "/d/y.parquet"]
+    assert (stable_partition_label(two)
+            == stable_partition_label(list(reversed(two))))

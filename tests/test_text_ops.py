@@ -248,6 +248,29 @@ def test_extract_json_int_edges(ray_session):
     assert out["k"].tolist()[5] == 1
 
 
+def test_extract_json_int_metachar_key_and_whitespace(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        extract_json_int,
+    )
+
+    ds = ray.data.from_arrow(pa.table({
+        "event_id": pa.array(range(3), pa.int64()),
+        # metachar key "a.b" must match literally, not as regex-any;
+        # JSON allows whitespace before the colon
+        "props": pa.array(['{"axb": 7, "a.b": 9}', '{"a.b" : 4}',
+                           '{"axb": 7}'], pa.string()),
+    }))
+    out = (extract_json_int(ds, col="props", key="a.b", id_col="event_id")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert out["a.b"].tolist()[0] == 9
+    assert out["a.b"].tolist()[1] == 4
+    assert np.isnan(out["a.b"].tolist()[2])
+
+
 def test_word_entropy_matches_scipy_formula(ray_session):
     import pandas as pd
     import ray.data
