@@ -1212,6 +1212,62 @@ def _q_returnflag_corr(sf_dir: str):
                         quantize=1.0)
 
 
+def _q_quantity_moments(sf_dir: str):
+    """Per-returnflag population skewness / excess kurtosis: exact int64
+    power-sum partials (Σx..Σx⁴) per batch, one KB groupby, fixed float
+    expression tree mirrored verbatim in the oracle SQL."""
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_moments,
+    )
+
+    li = _read(sf_dir, "lineitem")
+    return grouped_moments(li, "l_returnflag", "l_quantity", quantize=1.0)
+
+
+def _q_rolling_orders(sf_dir: str):
+    """Per-customer ROWS-frame rolling sum: cents of the 5 most recent
+    orders (ORDER BY o_orderdate, o_orderkey) — the SQL ROWS BETWEEN 4
+    PRECEDING AND CURRENT ROW window, one shuffle on custkey, vectorized
+    per-group cumsum scan."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cardinality_estimation_evaluation_framework_ray.stages.windows import (
+        rolling_agg,
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(
+            t.column("o_totalprice"), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        return t.append_column("cents", c)
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(cents, batch_format="pyarrow")
+    out = rolling_agg(orders, key_col="o_custkey",
+                      order_cols=["o_orderdate", "o_orderkey"],
+                      id_col="o_orderkey", frame_rows=5,
+                      value_col="cents").to_pandas()
+    return (out.astype({"o_orderkey": "int64", "o_custkey": "int64",
+                        "roll_n": "int64", "roll_sum": "int64"})
+            .sort_values("o_orderkey").reset_index(drop=True))
+
+
+def _q_region_nations_concat(sf_dir: str):
+    """Ordered grouped string concatenation (STRING_AGG ... ORDER BY) over
+    the nation dimension table — group-size == row-size op, dimension
+    scale by contract."""
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        group_concat,
+    )
+
+    out = group_concat(_read(sf_dir, "nation"), "n_regionkey", "n_name",
+                       sep=",", out_col="nations").to_pandas()
+    return (out.astype({"n_regionkey": "int64"})
+            .sort_values("n_regionkey").reset_index(drop=True))
+
+
 def _q_price_deciles(sf_dir: str):
     """NTILE(10) over price (ties broken by orderkey/linenumber), summarized
     per tile — exercises the exact piecewise NTILE closed form and the
@@ -2026,6 +2082,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": _q_bm25_search,
         "price_global_rank": _q_price_global_rank,
         "returnflag_corr": _q_returnflag_corr,
+        "quantity_moments": _q_quantity_moments,
+        "rolling_orders": _q_rolling_orders,
+        "region_nations_concat": _q_region_nations_concat,
         "price_deciles": _q_price_deciles,
         "reach_users_by_type": _q_reach_users_by_type,
         "reach_by_lang_udaf": _q_reach_by_lang_udaf,
@@ -2881,6 +2940,58 @@ def oracle_sql() -> dict[str, str]:
                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
                    / 1000000.0 + 0.0 AS covar_pop
             FROM m
+        """,
+        "quantity_moments": """
+            WITH q AS (SELECT l_returnflag,
+                              CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x
+                       FROM lineitem),
+            s AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                         SUM(x) AS s1, SUM(x*x) AS s2, SUM(x*x*x) AS s3,
+                         SUM(x*x*x*x) AS s4
+                  FROM q GROUP BY l_returnflag),
+            t AS (SELECT l_returnflag, n,
+                         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+                         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+                         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+                  FROM s),
+            u AS (SELECT l_returnflag, n,
+                         r2 - mean * mean AS m2,
+                         r3 - 3.0 * mean * r2
+                            + 2.0 * mean * mean * mean AS m3,
+                         r4 - 4.0 * mean * r3
+                            + 6.0 * (mean * mean) * r2
+                            - 3.0 * mean * mean * mean * mean AS m4
+                  FROM t),
+            v AS (SELECT l_returnflag, n,
+                         m3 / (m2 * SQRT(m2)) AS sk,
+                         m4 / (m2 * m2) - 3.0 AS ku
+                  FROM u)
+            SELECT l_returnflag, n,
+                   FLOOR(ABS(sk) * 1000000.0 + 0.5) * SIGN(sk)
+                       / 1000000.0 + 0.0 AS skew_pop,
+                   FLOOR(ABS(ku) * 1000000.0 + 0.5) * SIGN(ku)
+                       / 1000000.0 + 0.0 AS kurt_excess
+            FROM v
+        """,
+        "rolling_orders": """
+            WITH q AS (SELECT o_orderkey, o_custkey, o_orderdate,
+                              CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT) AS cents
+                       FROM orders)
+            SELECT o_orderkey, o_custkey,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+                   CAST(SUM(cents) OVER w AS BIGINT) AS roll_sum
+            FROM q
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            ORDER BY o_orderkey
+        """,
+        "region_nations_concat": """
+            SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+                   STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+            FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
         """,
         "price_deciles": """
             WITH tiled AS (

@@ -724,3 +724,98 @@ def grouped_lead_lag(ds: "ray.data.Dataset", *, key: str, order_col: str,
         return g
 
     return ds.groupby(key).map_groups(shift, batch_format="pandas")
+
+
+def grouped_moments(ds: "ray.data.Dataset", key: str, value_col: str, *,
+                    quantize: float = 1.0) -> pd.DataFrame:
+    """Per-group population skewness and excess kurtosis, streaming — the
+    3rd/4th-moment extension of ``grouped_corr``'s plan: each batch
+    pre-aggregates (n, Σx, Σx², Σx³, Σx⁴) per key over quantized ints, one
+    KB-scale groupby folds the partials, and the driver evaluates a FIXED
+    float64 expression tree from the exact integer sums (mirrored verbatim
+    in the oracle SQL, so results hash-compare bit-for-bit).
+
+    central moments: m_k = Σxᵏ/n − binomial expansion in mean;
+    skew_pop = m₃ / (m₂·√m₂);  kurt_excess = m₄ / m₂² − 3.
+
+    int64 bound: Σ(x̂⁴) < 2^63 — pick ``quantize`` so |v/quantize|⁴ ×
+    group_rows ≲ 9e18 (|x̂| ≤ 500 is safe to ~10^8 rows/group).
+    Zero-variance groups divide by m₂ = 0 → engine NaN; SQL division by
+    zero yields NULL, so keep such groups out of oracle-compared inputs.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        xq = np.floor(x / quantize + 0.5).astype(np.int64)
+        kcol = t.column(key)
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        enc = kcol.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        k = len(enc.dictionary)
+        agg = lambda v: np.bincount(codes, weights=v, minlength=k)
+        # float64 bincount weights stay integer-exact within the documented
+        # quantize bound (|x̂|⁴ · rows < 2^53 per batch; int64 across folds)
+        x2 = (xq * xq).astype(np.float64)
+        return pa.table({
+            key: enc.dictionary,
+            "__n": pa.array(np.bincount(codes, minlength=k).astype(np.int64)),
+            "__s1": pa.array(agg(xq.astype(np.float64)).astype(np.int64)),
+            "__s2": pa.array(agg(x2).astype(np.int64)),
+            "__s3": pa.array(agg(x2 * xq).astype(np.int64)),
+            "__s4": pa.array(agg(x2 * x2).astype(np.int64)),
+        })
+
+    m = (ds.select_columns([key, value_col])
+         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+         .groupby(key)
+         .aggregate(Sum("__n", alias_name="n"),
+                    Sum("__s1", alias_name="s1"),
+                    Sum("__s2", alias_name="s2"),
+                    Sum("__s3", alias_name="s3"),
+                    Sum("__s4", alias_name="s4"))
+         .to_pandas())
+    n = m["n"].astype("float64")
+    s1, s2 = m["s1"].astype("float64"), m["s2"].astype("float64")
+    s3, s4 = m["s3"].astype("float64"), m["s4"].astype("float64")
+    # expression tree mirrored in the oracle SQL — keep the op order fixed
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean
+    m4 = (s4 / n - 4.0 * mean * (s3 / n)
+          + 6.0 * (mean * mean) * (s2 / n)
+          - 3.0 * mean * mean * mean * mean)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        skew = m3 / (m2 * np.sqrt(m2))
+        kurt = m4 / (m2 * m2) - 3.0
+    # kurtosis (and degenerate skews) are exactly rational — round
+    # half-away-from-zero like covar_pop above, mirrored in the oracle
+    micro = lambda v: np.floor(np.abs(v) * 1e6 + 0.5) * np.sign(v) / 1e6 + 0.0
+    out = pd.DataFrame({key: m[key], "n": m["n"].astype("int64"),
+                        "skew_pop": micro(skew),
+                        "kurt_excess": micro(kurt)})
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def group_concat(ds: "ray.data.Dataset", key: str, value_col: str, *,
+                 sep: str = ",", out_col: str = "concat"
+                 ) -> "ray.data.Dataset":
+    """SQL ``STRING_AGG(value, sep ORDER BY value)`` per group: one shuffle
+    on the key, per-group codepoint sort + join (Python str order ==
+    DuckDB's default binary collation, so the oracle hashes identically).
+
+    Scale contract: the OUTPUT row carries the whole group, so this is a
+    dimension-table op (labels per region, tags per doc) — group size is
+    the row size and a hot key cannot be split by construction.  Corpus-
+    scale concatenation belongs in a sink, not a column.
+    """
+
+    def cat(g: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(g[value_col].astype(str).tolist())
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             out_col: [sep.join(vals)]})
+
+    return (ds.select_columns([key, value_col])
+            .groupby(key).map_groups(cat, batch_format="pandas"))

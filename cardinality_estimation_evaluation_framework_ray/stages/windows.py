@@ -28,7 +28,7 @@ import pyarrow as pa
 
 import ray.data
 
-__all__ = ["windowed_agg"]
+__all__ = ["windowed_agg", "rolling_agg"]
 
 _BUCKET = "__win_bucket__"
 _OWNER = "__win_owner__"
@@ -111,6 +111,60 @@ def windowed_agg(ds: "ray.data.Dataset", *, key_col: str, ts_col: str,
     return (ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
             .groupby([key_col, _BUCKET])
             .map_groups(per_bucket, batch_format="pandas"))
+
+
+def rolling_agg(ds: "ray.data.Dataset", *, key_col: str, order_cols: list,
+                id_col: str, frame_rows: int, value_col: str,
+                count_name: str = "roll_n", sum_name: str = "roll_sum",
+                max_group_rows: int | None = None) -> "ray.data.Dataset":
+    """Per-key ROWS-frame rolling aggregate: for each row, count and sum of
+    ``value_col`` over the ``frame_rows`` most recent same-key rows in
+    ``order_cols`` order (inclusive of the current row) — the SQL
+    ``agg(...) OVER (PARTITION BY key ORDER BY ... ROWS BETWEEN f-1
+    PRECEDING AND CURRENT ROW)`` frame.  ``windowed_agg`` above is the
+    RANGE-frame (time-bounded) sibling; this one is row-count-bounded.
+
+    Determinism contract: ``(key_col, *order_cols)`` must totally order the
+    group (append a unique id as the last order col), exactly as the SQL
+    window's ORDER BY must — otherwise peer rows make both sides ambiguous.
+    Exact-sum contract: integer ``value_col`` (quantize floats upstream).
+
+    Distributed shape: ONE shuffle on the key, then a per-group lexsort +
+    cumulative-sum difference — fully vectorized, no driver state.  Unlike
+    a RANGE frame, a ROWS frame has no time bound, so the two-level
+    bucket-with-context plan of ``windowed_agg`` does not apply (a frame
+    can reach arbitrarily far back through sparse buckets); a key must fit
+    one task.  ``max_group_rows`` is the loud guard for that assumption:
+    a group above it raises instead of silently OOMing the worker.
+    """
+    if frame_rows < 1:
+        raise ValueError("frame_rows must be >= 1")
+    cols = list(dict.fromkeys([id_col, key_col, *order_cols, value_col]))
+    ds = ds.select_columns(cols)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if max_group_rows is not None and n > max_group_rows:
+            raise ValueError(
+                f"rolling_agg group {g[key_col].iloc[0]!r} has {n} rows "
+                f"> max_group_rows={max_group_rows}; split the key upstream "
+                "or raise the guard")
+        order = np.lexsort([_to_ns(g[c].to_numpy())
+                            if g[c].to_numpy().dtype != object
+                            else g[c].to_numpy()
+                            for c in reversed(order_cols)])
+        v = g[value_col].to_numpy()[order].astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(v)])
+        i = np.arange(n, dtype=np.int64)
+        lo = np.maximum(0, i - frame_rows + 1)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy()[order],
+            key_col: g[key_col].to_numpy()[order],
+            count_name: i - lo + 1,
+            sum_name: csum[i + 1] - csum[lo],
+        })
+
+    return ds.groupby(key_col).map_groups(scan, batch_format="pandas")
 
 
 def _schema_type(ds: "ray.data.Dataset", col: str) -> pa.DataType:

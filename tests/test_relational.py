@@ -509,3 +509,57 @@ def test_cube_counts_all_subsets(ray_session):
     assert out[(out["a"] == "ALL") & (out["b"] == "ALL")]["n"].iloc[0] == 5
     # 2^2 subsets: finest(4) + a-marginal(2) + b-marginal(2) + total(1)
     assert len(out) == 4 + 2 + 2 + 1
+
+
+def test_grouped_moments_matches_scipy(ray_session):
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_moments,
+    )
+
+    rng = np.random.RandomState(13)
+    n = 4000
+    df = pd.DataFrame({"k": rng.choice(["a", "b"], size=n),
+                       "x": rng.gamma(2.0, 10.0, size=n).round()})
+    out = grouped_moments(ray.data.from_pandas(df, override_num_blocks=9),
+                          "k", "x", quantize=1.0)
+    for _, row in out.iterrows():
+        x = df[df["k"] == row["k"]]["x"].to_numpy()
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        m3 = ((x - m) ** 3).mean()
+        m4 = ((x - m) ** 4).mean()
+        assert abs(row["skew_pop"] - m3 / m2 ** 1.5) < 1e-4
+        assert abs(row["kurt_excess"] - (m4 / m2 ** 2 - 3.0)) < 1e-4
+        assert row["n"] == len(x)
+
+
+def test_grouped_moments_partition_invariance(ray_session):
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_moments,
+    )
+
+    rng = np.random.RandomState(17)
+    df = pd.DataFrame({"k": rng.choice(["p", "q", "r"], size=1500),
+                       "x": rng.randint(0, 200, size=1500).astype("float64")})
+    outs = [grouped_moments(ray.data.from_pandas(df, override_num_blocks=nb),
+                            "k", "x") for nb in (1, 23)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_group_concat_sorted_join(ray_session):
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        group_concat,
+    )
+
+    df = pd.DataFrame({"g": ["r1", "r2", "r1", "r1", "r2"],
+                       "name": ["zulu", "alpha", "echo", "alpha", "mike"]})
+    out = (group_concat(ray.data.from_pandas(df, override_num_blocks=3),
+                        "g", "name", sep="|", out_col="names")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    assert out["names"].tolist() == ["alpha|echo|zulu", "alpha|mike"]

@@ -148,3 +148,76 @@ def test_sliding_window_distinct_matches_brute_force(ray_session):
         assert row["d"] == df.loc[mask, "user_id"].nunique(), h
     # one row per hour PRESENT in the data, calendar-gap semantics
     assert set(out["bucket_start"]) == set(hours.unique())
+
+
+def test_rolling_agg_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.windows import (
+        rolling_agg,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 2000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.choice(["a", "b", "c"], size=n),
+        "ts": rng.randint(0, 500, size=n).astype(np.int64),
+        "v": rng.randint(-10, 100, size=n).astype(np.int64),
+    })
+    out = (rolling_agg(ray.data.from_pandas(df, override_num_blocks=7),
+                       key_col="k", order_cols=["ts", "id"], id_col="id",
+                       frame_rows=4, value_col="v")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    ref = df.sort_values(["k", "ts", "id"]).copy()
+    ref["roll_sum"] = (ref.groupby("k")["v"]
+                       .transform(lambda s: s.rolling(4, min_periods=1).sum())
+                       .astype(np.int64))
+    ref["roll_n"] = (ref.groupby("k")["v"]
+                     .transform(lambda s: s.rolling(4, min_periods=1).count())
+                     .astype(np.int64))
+    ref = ref.sort_values("id").reset_index(drop=True)
+    assert out["roll_sum"].tolist() == ref["roll_sum"].tolist()
+    assert out["roll_n"].tolist() == ref["roll_n"].tolist()
+
+
+def test_rolling_agg_partition_invariance(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.windows import (
+        rolling_agg,
+    )
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"id": np.arange(500, dtype=np.int64),
+                       "k": rng.choice(["p", "q"], size=500),
+                       "ts": rng.randint(0, 50, size=500).astype(np.int64),
+                       "v": rng.randint(0, 9, size=500).astype(np.int64)})
+    outs = [rolling_agg(ray.data.from_pandas(df, override_num_blocks=nb),
+                        key_col="k", order_cols=["ts", "id"], id_col="id",
+                        frame_rows=7, value_col="v")
+            .to_pandas().sort_values("id").reset_index(drop=True)
+            for nb in (1, 13)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_rolling_agg_group_guard(ray_session):
+    import pandas as pd
+
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.windows import (
+        rolling_agg,
+    )
+
+    df = pd.DataFrame({"id": np.arange(100, dtype=np.int64),
+                       "k": ["hot"] * 100,
+                       "ts": np.arange(100, dtype=np.int64),
+                       "v": np.ones(100, dtype=np.int64)})
+    ds = ray.data.from_pandas(df)
+    with pytest.raises(Exception, match="max_group_rows"):
+        rolling_agg(ds, key_col="k", order_cols=["ts", "id"], id_col="id",
+                    frame_rows=3, value_col="v",
+                    max_group_rows=10).materialize()
