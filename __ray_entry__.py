@@ -522,6 +522,44 @@ def _q_embedding_dup_clusters(sf_dir: str):
     return df.astype({"doc_id": "int64", "cluster_id": "int64"})
 
 
+def _q_neardup_pagerank(sf_dir: str):
+    """Distributed PageRank over the undirected near-dup similarity graph
+    (each cosine pair contributes both directions): centrality of documents
+    inside duplicate neighborhoods.  Iterative message passing — rows-only
+    at the gate; exactness vs numpy power iteration in tests/test_graph.py."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from cardinality_estimation_evaluation_framework_ray.stages.ann import (
+        embedding_near_dups,
+    )
+    from cardinality_estimation_evaluation_framework_ray.stages.graph import (
+        pagerank,
+    )
+
+    pairs = embedding_near_dups(_read(sf_dir, "embeddings"), threshold=0.4,
+                                n_planes=0)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("vec_a")
+        b = t.column("vec_b")
+        return pa.table({
+            "src": pa.concat_arrays([pa.array(a.to_pylist(), pa.int64()),
+                                     pa.array(b.to_pylist(), pa.int64())]),
+            "dst": pa.concat_arrays([pa.array(b.to_pylist(), pa.int64()),
+                                     pa.array(a.to_pylist(), pa.int64())]),
+        })
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+    out = pagerank(edges, iters=8).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "rank": pd.Series(dtype="float64")})
+    out["rank"] = out["rank"].round(9)
+    return (out.astype({"node": "int64"})
+            .sort_values("node").reset_index(drop=True))
+
+
 def _q_minhash_near_dups(sf_dir: str):
     from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
         minhash_near_dups,
@@ -1222,6 +1260,19 @@ def _q_quantity_moments(sf_dir: str):
 
     li = _read(sf_dir, "lineitem")
     return grouped_moments(li, "l_returnflag", "l_quantity", quantize=1.0)
+
+
+def _q_returnflag_ols(sf_dir: str):
+    """Per-returnflag simple linear regression (regr_slope/intercept of
+    price on quantity): exact int64 moment partials, fixed float tree
+    mirrored in the oracle SQL, half-away micro-rounding."""
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_ols,
+    )
+
+    li = _read(sf_dir, "lineitem")
+    return grouped_ols(li, "l_returnflag", "l_quantity", "l_extendedprice",
+                       quantize=1.0)
 
 
 def _q_rolling_orders(sf_dir: str):
@@ -2054,6 +2105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_jaccard_pairs": _q_word_jaccard_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
+        "neardup_pagerank": _q_neardup_pagerank,
         "events_cum_by_type": _q_events_cum_by_type,
         "sessions": _q_sessions,
         "top_words": _q_top_words,
@@ -2083,6 +2135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_global_rank": _q_price_global_rank,
         "returnflag_corr": _q_returnflag_corr,
         "quantity_moments": _q_quantity_moments,
+        "returnflag_ols": _q_returnflag_ols,
         "rolling_orders": _q_rolling_orders,
         "region_nations_concat": _q_region_nations_concat,
         "price_deciles": _q_price_deciles,
@@ -2973,6 +3026,35 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(ABS(ku) * 1000000.0 + 0.5) * SIGN(ku)
                        / 1000000.0 + 0.0 AS kurt_excess
             FROM v
+        """,
+        "returnflag_ols": """
+            WITH q AS (SELECT l_returnflag,
+                              CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
+                              CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT)
+                                  AS y
+                       FROM lineitem),
+            m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                         SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,
+                         SUM(x*y) AS sxy
+                  FROM q GROUP BY l_returnflag),
+            t AS (SELECT l_returnflag, n, sx, sy,
+                         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             AS slope
+                  FROM m),
+            u AS (SELECT l_returnflag, n, slope,
+                         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                         - slope * (CAST(sx AS DOUBLE)
+                                    / CAST(n AS DOUBLE)) AS icept
+                  FROM t)
+            SELECT l_returnflag, n,
+                   FLOOR(ABS(slope) * 1000000.0 + 0.5) * SIGN(slope)
+                       / 1000000.0 + 0.0 AS slope,
+                   FLOOR(ABS(icept) * 1000000.0 + 0.5) * SIGN(icept)
+                       / 1000000.0 + 0.0 AS intercept
+            FROM u
         """,
         "rolling_orders": """
             WITH q AS (SELECT o_orderkey, o_custkey, o_orderdate,

@@ -1,0 +1,124 @@
+"""Distributed PageRank over an edge Dataset.
+
+The iterative-graph sibling of the label-propagation closure in
+``stages/dedup.py:dup_clusters``: rank state lives in a SHARDED Dataset
+keyed by node — never a broadcast O(#nodes) vector, never a driver dict.
+Each power iteration is message passing expressed in the engine's own
+operators:
+
+  1. ONE shuffle ``hash_join`` of edges against the rank table on ``src``
+     (both sides sharded by the key),
+  2. per-batch pre-aggregated contributions (dictionary-encode + bincount
+     — at most #distinct-dst rows leave a batch),
+  3. ONE ``groupby(dst)`` sum,
+  4. a left join back onto the node table to apply damping and
+     re-distribute the dangling mass.
+
+The only driver-side state is two scalars per iteration (node count N and
+the dangling-rank mass).  deg rides along with rank so the join count
+stays at two per iteration.  Multi-edges contribute with multiplicity
+(dedup upstream for simple-graph semantics); ranks sum to 1 exactly up to
+float fold order, so results are reproducible to ulps, not bit-exact —
+the op is rows-only at the oracle gate, with a numpy power-iteration
+equality test (1e-9) in ``tests/test_graph.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from .joins import hash_join
+
+__all__ = ["pagerank"]
+
+
+def pagerank(edges: "ray.data.Dataset", *, src_col: str = "src",
+             dst_col: str = "dst", damping: float = 0.85,
+             iters: int = 10) -> "ray.data.Dataset":
+    """Ranks of the directed graph ``edges`` after ``iters`` power
+    iterations from the uniform vector.  Returns a Dataset of
+    ``(node, rank)`` summing to ~1; dangling nodes (no out-edges) spread
+    their rank uniformly, the standard PageRank completion.
+    """
+    from ray.data.aggregate import Sum
+
+    edges = edges.select_columns([src_col, dst_col])
+
+    def as_node(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t.column(col)})
+        return fn
+
+    nodes = (edges.map_batches(as_node(src_col), batch_format="pyarrow")
+             .union(edges.map_batches(as_node(dst_col),
+                                      batch_format="pyarrow"))
+             .groupby("node").count()).materialize()
+    # empty graph: bail before hash_join (an empty Dataset's schema is None
+    # in Ray 2.49, which the join cannot consume)
+    if nodes.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.float64())}))
+    deg = edges.groupby(src_col).count()
+    base = hash_join(nodes.drop_columns(["count()"]), deg, on="node",
+                     right_key=src_col, how="left")
+
+    def with_deg(t: pa.Table) -> pa.Table:
+        d = t.column("count()").to_numpy(zero_copy_only=False)
+        d = np.nan_to_num(d.astype(np.float64), nan=0.0).astype(np.int64)
+        return pa.table({"node": t.column("node"), "deg": pa.array(d)})
+
+    base = base.map_batches(with_deg, batch_format="pyarrow").materialize()
+    n_nodes = base.count()
+    r0 = 1.0 / n_nodes
+
+    def seed(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "rank", pa.array(np.full(t.num_rows, r0, np.float64)))
+
+    rank = base.map_batches(seed, batch_format="pyarrow").materialize()
+
+    def contrib(t: pa.Table) -> pa.Table:
+        # joined (src, dst, deg, rank) rows: pre-aggregate per batch so at
+        # most #distinct-dst rows hit the groupby shuffle
+        dst = t.column(dst_col)
+        if isinstance(dst, pa.ChunkedArray):
+            dst = dst.combine_chunks()
+        enc = dst.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        r = t.column("rank").to_numpy(zero_copy_only=False)
+        d = t.column("deg").to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.bincount(codes, weights=r / d,
+                        minlength=len(enc.dictionary))
+        return pa.table({"node": enc.dictionary, "__c": pa.array(w)})
+
+    def dangling_partial(t: pa.Table) -> dict:
+        d = t.column("deg").to_numpy(zero_copy_only=False)
+        r = t.column("rank").to_numpy(zero_copy_only=False)
+        return {"dm": np.array([float(r[d == 0].sum())])}
+
+    for _ in range(iters):
+        dm = (rank.map_batches(dangling_partial, batch_format="pyarrow")
+              .sum("dm") or 0.0)
+        msgs = (hash_join(edges, rank, on=src_col, right_key="node")
+                .map_batches(contrib, batch_format="pyarrow")
+                .groupby("node").aggregate(Sum("__c", alias_name="c")))
+        joined = hash_join(base, msgs, on="node", how="left")
+        add = (1.0 - damping) / n_nodes + damping * (dm / n_nodes)
+
+        def apply(t: pa.Table, _add=add) -> pa.Table:
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            c = np.nan_to_num(c.astype(np.float64), nan=0.0)
+            return pa.table({
+                "node": t.column("node"),
+                "deg": t.column("deg"),
+                "rank": pa.array(_add + damping * c),
+            })
+
+        rank = joined.map_batches(apply,
+                                  batch_format="pyarrow").materialize()
+
+    return rank.drop_columns(["deg"])

@@ -819,3 +819,60 @@ def group_concat(ds: "ray.data.Dataset", key: str, value_col: str, *,
 
     return (ds.select_columns([key, value_col])
             .groupby(key).map_groups(cat, batch_format="pandas"))
+
+
+def grouped_ols(ds: "ray.data.Dataset", key: str, x_col: str, y_col: str, *,
+                quantize: float = 1.0) -> pd.DataFrame:
+    """Per-group simple linear regression (SQL ``regr_slope`` /
+    ``regr_intercept``), streaming — same plan as ``grouped_corr``: exact
+    int64 moment partials (n, Σx, Σy, Σx², Σxy) per batch, KB groupby
+    fold, fixed float64 expression tree mirrored in the oracle SQL.
+
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²);  intercept = ȳ − slope·x̄.
+    Zero-x-variance groups return NaN.  Outputs are rational → half-away
+    micro-rounding on both sides (see ``grouped_corr.covar_pop``).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        xq = np.floor(x / quantize + 0.5).astype(np.int64)
+        yq = np.floor(y / quantize + 0.5).astype(np.int64)
+        kcol = t.column(key)
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        enc = kcol.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        k = len(enc.dictionary)
+        agg = lambda v: np.bincount(codes, weights=v, minlength=k)
+        return pa.table({
+            key: enc.dictionary,
+            "__n": pa.array(np.bincount(codes, minlength=k).astype(np.int64)),
+            "__sx": pa.array(agg(xq.astype(np.float64)).astype(np.int64)),
+            "__sy": pa.array(agg(yq.astype(np.float64)).astype(np.int64)),
+            "__sxx": pa.array(agg((xq * xq).astype(np.float64)).astype(np.int64)),
+            "__sxy": pa.array(agg((xq * yq).astype(np.float64)).astype(np.int64)),
+        })
+
+    m = (ds.select_columns([key, x_col, y_col])
+         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+         .groupby(key)
+         .aggregate(Sum("__n", alias_name="n"),
+                    Sum("__sx", alias_name="sx"),
+                    Sum("__sy", alias_name="sy"),
+                    Sum("__sxx", alias_name="sxx"),
+                    Sum("__sxy", alias_name="sxy"))
+         .to_pandas())
+    n = m["n"].astype("float64")
+    sx, sy = m["sx"].astype("float64"), m["sy"].astype("float64")
+    sxx, sxy = m["sxx"].astype("float64"), m["sxy"].astype("float64")
+    with np.errstate(invalid="ignore", divide="ignore"):
+        # expression tree mirrored in the oracle SQL — keep op order fixed
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = sy / n - slope * (sx / n)
+    micro = lambda v: np.floor(np.abs(v) * 1e6 + 0.5) * np.sign(v) / 1e6 + 0.0
+    out = pd.DataFrame({key: m[key], "n": m["n"].astype("int64"),
+                        "slope": micro(slope),
+                        "intercept": micro(intercept)})
+    return out.sort_values(key).reset_index(drop=True)

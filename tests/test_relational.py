@@ -563,3 +563,26 @@ def test_group_concat_sorted_join(ray_session):
                         "g", "name", sep="|", out_col="names")
            .to_pandas().sort_values("g").reset_index(drop=True))
     assert out["names"].tolist() == ["alpha|echo|zulu", "alpha|mike"]
+
+
+def test_grouped_ols_matches_numpy(ray_session):
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_ols,
+    )
+
+    rng = np.random.RandomState(23)
+    n = 3000
+    df = pd.DataFrame({"k": rng.choice(["a", "b"], size=n),
+                       "x": rng.randint(1, 60, size=n).astype("float64")})
+    df["y"] = 2.5 * df["x"] + rng.randint(0, 40, size=n)
+    df["y"] = df["y"].round()
+    out = grouped_ols(ray.data.from_pandas(df, override_num_blocks=7),
+                      "k", "x", "y", quantize=1.0)
+    for _, row in out.iterrows():
+        g = df[df["k"] == row["k"]]
+        slope, intercept = np.polyfit(g["x"], g["y"], 1)
+        assert abs(row["slope"] - slope) < 1e-4
+        assert abs(row["intercept"] - intercept) < 1e-3
+        assert row["n"] == len(g)
