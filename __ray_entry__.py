@@ -1262,6 +1262,48 @@ def _q_quantity_moments(sf_dir: str):
     return grouped_moments(li, "l_returnflag", "l_quantity", quantize=1.0)
 
 
+def _q_heavy_hitter_tokens(sf_dir: str):
+    """Top-20 most frequent token ids via the Misra-Gries/SpaceSaving
+    heavy-hitters sketch: per-batch partial summaries (capacity-bounded,
+    KB-scale) merged associatively on the driver.  Capacity exceeds the
+    corpus vocabulary at gate scale, so the sketch is EXACT (zero
+    decrements) and the oracle recomputes the tokenizer's word-hash ids
+    (HUGEINT hash replica, & 0x7FFFFFFF) and counts directly."""
+    import pickle
+
+    import numpy as np
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.build import (
+        flat_tokens,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import (
+        HeavyHittersSpec,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state.base import (
+        merge_many,
+    )
+
+    spec = HeavyHittersSpec(capacity=8192)
+
+    def partial(t):
+        vals, _ = flat_tokens(t)
+        s = spec.new()
+        s.update_tokens(np.asarray(vals, dtype=np.int64))
+        return {"state": np.array([pickle.dumps(s.state_dict())],
+                                  dtype=object)}
+
+    blobs = []
+    for b in (_tokens_ds(sf_dir).select_columns(["tokens"])
+              .map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pandas")):
+        blobs.extend(b["state"].tolist())
+    sk = merge_many(spec, blobs)
+    keys, counts = sk.topk(20)
+    return pd.DataFrame({"token": keys.astype("int64"),
+                         "est": counts.astype("int64")})
+
+
 def _q_returnflag_ols(sf_dir: str):
     """Per-returnflag simple linear regression (regr_slope/intercept of
     price on quantity): exact int64 moment partials, fixed float tree
@@ -2136,6 +2178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_corr": _q_returnflag_corr,
         "quantity_moments": _q_quantity_moments,
         "returnflag_ols": _q_returnflag_ols,
+        "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "rolling_orders": _q_rolling_orders,
         "region_nations_concat": _q_region_nations_concat,
         "price_deciles": _q_price_deciles,
@@ -3026,6 +3069,23 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(ABS(ku) * 1000000.0 + 0.5) * SIGN(ku)
                        / 1000000.0 + 0.0 AS kurt_excess
             FROM v
+        """,
+        "heavy_hitter_tokens": f"""
+            WITH occ AS (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS tok
+                FROM documents),
+            tokc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                     FROM occ GROUP BY tok),
+            words AS (SELECT tok FROM tokc),
+            {_word_hash_ctes(97)},
+            ids AS (SELECT CAST((h % 2147483648) AS BIGINT) AS token, c
+                    FROM whh JOIN tokc USING (tok)),
+            agg AS (SELECT token, CAST(SUM(c) AS BIGINT) AS est
+                    FROM ids GROUP BY token)
+            SELECT token, est FROM agg
+            ORDER BY est DESC, token LIMIT 20
         """,
         "returnflag_ols": """
             WITH q AS (SELECT l_returnflag,

@@ -27,6 +27,7 @@ from .exact import (  # noqa: F401
     LosslessEstimator,
 )
 from .fll import FllSketch, FllSpec  # noqa: F401
+from .heavyhitters import HeavyHittersSketch, HeavyHittersSpec  # noqa: F401
 from .hll import HllSketch, HllSpec  # noqa: F401
 from .legions import (  # noqa: F401
     CascadingLegionsEstimator,
