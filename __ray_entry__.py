@@ -1456,6 +1456,40 @@ def _q_reach_by_lang_udaf(sf_dir: str):
     return df
 
 
+def _q_heavy_hitters_by_source(sf_dir: str):
+    """Top-3 token ids PER SOURCE: the heavy-hitters sketch driven through
+    the native ``groupby(key).aggregate`` UDAF face — shuffle payload is
+    one capacity-bounded summary per (block, key), token ids never
+    co-locate.  Exact below capacity, so the oracle is a per-source
+    ROW_NUMBER over replica word-hash counts."""
+    import pickle
+
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.build import (
+        sketch_aggregation,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import (
+        HeavyHittersSpec,
+    )
+
+    spec = HeavyHittersSpec(capacity=8192)
+    agg = sketch_aggregation(spec, output="state", name="__hh")
+    states = (_tokens_ds(sf_dir).groupby("source")
+              .aggregate(agg).to_pandas())
+    rows = []
+    for _, r in states.iterrows():
+        sk = spec.new()
+        sk.load_state(pickle.loads(r["__hh"]))
+        keys, counts = sk.topk(3)
+        for rank, (k, c) in enumerate(zip(keys.tolist(), counts.tolist()),
+                                      start=1):
+            rows.append((r["source"], rank, int(k), int(c)))
+    return (pd.DataFrame(rows, columns=["source", "rnk", "token", "est"])
+            .astype({"rnk": "int64", "token": "int64", "est": "int64"})
+            .sort_values(["source", "rnk"]).reset_index(drop=True))
+
+
 def _q_windowed_reach(sf_dir: str):
     """Distinct users per (tumbling 1h window, event_type): the sketch UDAF
     over a DERIVED window key — streaming-window x sketch composition with
@@ -2179,6 +2213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_moments": _q_quantity_moments,
         "returnflag_ols": _q_returnflag_ols,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
+        "heavy_hitters_by_source": _q_heavy_hitters_by_source,
         "rolling_orders": _q_rolling_orders,
         "region_nations_concat": _q_region_nations_concat,
         "price_deciles": _q_price_deciles,
@@ -3086,6 +3121,28 @@ def oracle_sql() -> dict[str, str]:
                     FROM ids GROUP BY token)
             SELECT token, est FROM agg
             ORDER BY est DESC, token LIMIT 20
+        """,
+        "heavy_hitters_by_source": f"""
+            WITH occ AS (
+                SELECT source, unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS tok
+                FROM documents),
+            tokc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+                     FROM occ GROUP BY source, tok),
+            words AS (SELECT DISTINCT tok FROM tokc),
+            {_word_hash_ctes(97)},
+            ids AS (SELECT t.source,
+                           CAST((w.h % 2147483648) AS BIGINT) AS token, t.c
+                    FROM whh w JOIN tokc t USING (tok)),
+            agg AS (SELECT source, token, CAST(SUM(c) AS BIGINT) AS est
+                    FROM ids GROUP BY source, token),
+            rk AS (SELECT source, token, est,
+                          CAST(ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY est DESC, token) AS BIGINT) AS rnk
+                   FROM agg)
+            SELECT source, rnk, token, est FROM rk
+            WHERE rnk <= 3 ORDER BY source, rnk
         """,
         "returnflag_ols": """
             WITH q AS (SELECT l_returnflag,
