@@ -1262,6 +1262,99 @@ def _q_quantity_moments(sf_dir: str):
     return grouped_moments(li, "l_returnflag", "l_quantity", quantize=1.0)
 
 
+def _q_asia_nation_revenue(sf_dir: str):
+    """TPC-H Q5 shape — revenue per ASIA nation where the customer and the
+    supplier share the nation, orders within one year.  Six tables, three
+    join strategies picked by side size: region/nation fold to a driver
+    lookup, supplier rides ``broadcast_join`` (dimension-scale by TPC-H
+    contract), orders⨝customer and lineitem⨝orders are big-big
+    ``hash_join``s.  Revenue is summed in integer micro-units
+    (cents × (100 − discount-bp)) so distributed fold order cannot
+    perturb the oracle hash."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cardinality_estimation_evaluation_framework_ray.stages.joins import (
+        hash_join,
+    )
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        broadcast_join,
+    )
+
+    region = _read(sf_dir, "region").to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    asia_keys = region.loc[region["r_name"] == "ASIA", "r_regionkey"]
+    asia = nation[nation["n_regionkey"].isin(asia_keys)]
+    name_of = dict(zip(asia["n_nationkey"].astype(int),
+                       asia["n_name"]))
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+
+    def order_filter(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo)),
+                       pc.less(d, pa.scalar(hi)))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        order_filter, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_nationkey"])
+    oc = hash_join(orders, cust, on="o_custkey", right_key="c_custkey")
+
+    def to_rev(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            t.column("l_extendedprice"), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        bp = pc.cast(pc.floor(pc.add(pc.multiply(
+            t.column("l_discount"), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100,
+                                                       pa.int64()), bp))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "l_suppkey": t.column("l_suppkey"),
+                         "rev": rev})
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(to_rev, batch_format="pyarrow")
+    lo_join = hash_join(li, oc.select_columns(["o_orderkey",
+                                               "c_nationkey"]),
+                        on="l_orderkey", right_key="o_orderkey")
+    supp = _read(sf_dir, "supplier").select_columns(
+        ["s_suppkey", "s_nationkey"]).to_pandas()
+    # broadcast_join merges on column name; align the supplier key first
+    supp = supp.rename(columns={"s_suppkey": "l_suppkey"})
+    full = broadcast_join(lo_join, supp, on="l_suppkey", how="inner")
+
+    asia_set = np.array(sorted(name_of), dtype=np.int64)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        keep = ((df["c_nationkey"].to_numpy() ==
+                 df["s_nationkey"].to_numpy())
+                & np.isin(df["s_nationkey"].to_numpy(), asia_set))
+        g = df.loc[keep].groupby("s_nationkey")["rev"].sum()
+        return pd.DataFrame({"nk": g.index.astype("int64"),
+                             "rev": g.to_numpy().astype("int64")})
+
+    parts = full.map_batches(fold, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"n_name": pd.Series(dtype=object),
+                             "revenue_u": pd.Series(dtype="int64")})
+    agg = parts.groupby("nk")["rev"].sum()
+    out = pd.DataFrame({"n_name": [name_of[int(k)] for k in agg.index],
+                        "revenue_u": agg.to_numpy().astype("int64")})
+    return (out.sort_values(["revenue_u", "n_name"],
+                            ascending=[False, True])
+            .reset_index(drop=True))
+
+
 def _q_heavy_hitter_tokens(sf_dir: str):
     """Top-20 most frequent token ids via the Misra-Gries/SpaceSaving
     heavy-hitters sketch: per-batch partial summaries (capacity-bounded,
@@ -2214,6 +2307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_ols": _q_returnflag_ols,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "heavy_hitters_by_source": _q_heavy_hitters_by_source,
+        "asia_nation_revenue": _q_asia_nation_revenue,
         "rolling_orders": _q_rolling_orders,
         "region_nations_concat": _q_region_nations_concat,
         "price_deciles": _q_price_deciles,
@@ -3104,6 +3198,27 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(ABS(ku) * 1000000.0 + 0.5) * SIGN(ku)
                        / 1000000.0 + 0.0 AS kurt_excess
             FROM v
+        """,
+        "asia_nation_revenue": """
+            WITH li AS (SELECT l_orderkey, l_suppkey,
+                               CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+                                    AS BIGINT)
+                               * (100 - CAST(FLOOR(l_discount * 100.0
+                                                   + 0.5) AS BIGINT))
+                                   AS rev
+                        FROM lineitem)
+            SELECT n_name, CAST(SUM(rev) AS BIGINT) AS revenue_u
+            FROM li
+            JOIN orders   ON l_orderkey  = o_orderkey
+            JOIN customer ON o_custkey   = c_custkey
+            JOIN supplier ON l_suppkey   = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue_u DESC, n_name
         """,
         "heavy_hitter_tokens": f"""
             WITH occ AS (
