@@ -541,14 +541,10 @@ def _q_neardup_pagerank(sf_dir: str):
                                 n_planes=0)
 
     def both_dirs(t: pa.Table) -> pa.Table:
-        a = t.column("vec_a")
-        b = t.column("vec_b")
-        return pa.table({
-            "src": pa.concat_arrays([pa.array(a.to_pylist(), pa.int64()),
-                                     pa.array(b.to_pylist(), pa.int64())]),
-            "dst": pa.concat_arrays([pa.array(b.to_pylist(), pa.int64()),
-                                     pa.array(a.to_pylist(), pa.int64())]),
-        })
+        a = t.column("vec_a").combine_chunks().cast(pa.int64())
+        b = t.column("vec_b").combine_chunks().cast(pa.int64())
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
 
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
     out = pagerank(edges, iters=8).to_pandas()
@@ -1357,41 +1353,26 @@ def _q_asia_nation_revenue(sf_dir: str):
 
 def _q_heavy_hitter_tokens(sf_dir: str):
     """Top-20 most frequent token ids via the Misra-Gries/SpaceSaving
-    heavy-hitters sketch: per-batch partial summaries (capacity-bounded,
-    KB-scale) merged associatively on the driver.  Capacity exceeds the
-    corpus vocabulary at gate scale, so the sketch is EXACT (zero
-    decrements) and the oracle recomputes the tokenizer's word-hash ids
-    (HUGEINT hash replica, & 0x7FFFFFFF) and counts directly."""
-    import pickle
-
-    import numpy as np
+    heavy-hitters sketch riding the STANDARD build plan (per-key partial
+    states, merge tree, cross-key union — the same machinery the bench
+    headline drives).  Capacity exceeds the corpus vocabulary at gate
+    scale, so the sketch is EXACT (zero decrements) and the oracle
+    recomputes the tokenizer's word-hash ids (HUGEINT hash replica,
+    & 0x7FFFFFFF) and counts directly."""
     import pandas as pd
 
     from cardinality_estimation_evaluation_framework_ray.stages.build import (
-        flat_tokens,
+        build_sketch_states,
+        collect_states,
+        union_across_keys,
     )
     from cardinality_estimation_evaluation_framework_ray.state import (
         HeavyHittersSpec,
     )
-    from cardinality_estimation_evaluation_framework_ray.state.base import (
-        merge_many,
-    )
 
-    spec = HeavyHittersSpec(capacity=8192)
-
-    def partial(t):
-        vals, _ = flat_tokens(t)
-        s = spec.new()
-        s.update_tokens(np.asarray(vals, dtype=np.int64))
-        return {"state": np.array([pickle.dumps(s.state_dict())],
-                                  dtype=object)}
-
-    blobs = []
-    for b in (_tokens_ds(sf_dir).select_columns(["tokens"])
-              .map_batches(partial, batch_format="pyarrow")
-              .iter_batches(batch_format="pandas")):
-        blobs.extend(b["state"].tolist())
-    sk = merge_many(spec, blobs)
+    specs = {"hh": HeavyHittersSpec(capacity=8192)}
+    states = build_sketch_states(_tokens_ds(sf_dir), specs)
+    sk = union_across_keys(collect_states(states, specs), specs)["hh"]
     keys, counts = sk.topk(20)
     return pd.DataFrame({"token": keys.astype("int64"),
                          "est": counts.astype("int64")})

@@ -391,6 +391,60 @@ def group_zscore(ds: "ray.data.Dataset", key: str, value_col: str, *,
         normalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+#: batch-size cap for the exact-int64 moment partials below: a per-batch
+#: float64 bincount sum is <= batch_size * max|term|, and 65536 * 1.37e11
+#: < 2^53, so terms bounded by ~1.37e11 (|x̂| <= 1e5 for squares/products,
+#: |x̂| <= 500 for 4th powers) stay integer-exact within every batch; the
+#: cross-batch fold is int64 (bound: group total < 2^63, document per use).
+_EXACT_BATCH = 65536
+
+
+def _micro_round(v):
+    """Half-away-from-zero rounding to 1e-6 (SQL ROUND tie semantics —
+    np.round's half-even ties disagree on exactly-rational values) with
+    -0.0 normalized; mirrored literally in the oracle SQL expressions."""
+    return np.floor(np.abs(v) * 1e6 + 0.5) * np.sign(v) / 1e6 + 0.0
+
+
+def _grouped_int_moments(ds: "ray.data.Dataset", key: str, cols: list[str],
+                         quantize: float, terms: dict) -> pd.DataFrame:
+    """Shared exact-moment plan of grouped_corr / grouped_ols /
+    grouped_moments: quantize ``cols`` to int64 (floor(v/quantize + 0.5)),
+    dictionary-encode the key, emit per-batch (n, Σterm...) int64 partials
+    — at most #distinct-keys rows leave a batch — and fold them in one
+    KB-scale groupby.  ``terms`` maps output name -> fn(*quantized_cols)
+    returning the per-row int64 term; per-batch accumulation is float64
+    ``bincount`` kept integer-exact by the ``_EXACT_BATCH`` cap."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        qs = []
+        for c in cols:
+            x = t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            qs.append(np.floor(x / quantize + 0.5).astype(np.int64))
+        kcol = t.column(key)
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        enc = kcol.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        k = len(enc.dictionary)
+        out = {key: enc.dictionary,
+               "__n": pa.array(np.bincount(codes, minlength=k)
+                               .astype(np.int64))}
+        for name, fn in terms.items():
+            w = fn(*qs).astype(np.float64)
+            out["__" + name] = pa.array(
+                np.bincount(codes, weights=w, minlength=k).astype(np.int64))
+        return pa.table(out)
+
+    aggs = [Sum("__n", alias_name="n")] + [
+        Sum("__" + name, alias_name=name) for name in terms]
+    return (ds.select_columns([key] + cols)
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=_EXACT_BATCH)
+            .groupby(key).aggregate(*aggs).to_pandas())
+
+
 def grouped_corr(ds: "ray.data.Dataset", key: str, x_col: str, y_col: str, *,
                  quantize: float = 1.0) -> pd.DataFrame:
     """Per-group Pearson correlation + population covariance, streaming.
@@ -409,45 +463,11 @@ def grouped_corr(ds: "ray.data.Dataset", key: str, x_col: str, y_col: str, *,
     ``quantize`` so |v/quantize| ≲ 10^5 at ~10^8 rows (document per use).
     Zero-variance groups return NaN (same as SQL ``corr``).
     """
-    from ray.data.aggregate import Sum
-
-    def partial(t: pa.Table) -> pa.Table:
-        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        xq = np.floor(x / quantize + 0.5).astype(np.int64)
-        yq = np.floor(y / quantize + 0.5).astype(np.int64)
-        kcol = t.column(key)
-        if isinstance(kcol, pa.ChunkedArray):
-            kcol = kcol.combine_chunks()
-        enc = kcol.dictionary_encode()
-        codes = np.asarray(enc.indices, dtype=np.int64)
-        k = len(enc.dictionary)
-        cnt = np.bincount(codes, minlength=k)
-        agg = lambda v: np.bincount(codes, weights=v, minlength=k)
-        # float64 bincount weights are exact for |v| < 2^53; the int64
-        # per-group sums below stay exact because each addend and each
-        # running sum is within float64's integer-exact range by the
-        # documented quantize bound.
-        return pa.table({
-            key: enc.dictionary,
-            "__n": pa.array(cnt.astype(np.int64)),
-            "__sx": pa.array(agg(xq).astype(np.int64)),
-            "__sy": pa.array(agg(yq).astype(np.int64)),
-            "__sxx": pa.array(agg((xq * xq).astype(np.float64)).astype(np.int64)),
-            "__syy": pa.array(agg((yq * yq).astype(np.float64)).astype(np.int64)),
-            "__sxy": pa.array(agg((xq * yq).astype(np.float64)).astype(np.int64)),
-        })
-
-    m = (ds.select_columns([key, x_col, y_col])
-         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-         .groupby(key)
-         .aggregate(Sum("__n", alias_name="n"),
-                    Sum("__sx", alias_name="sx"),
-                    Sum("__sy", alias_name="sy"),
-                    Sum("__sxx", alias_name="sxx"),
-                    Sum("__syy", alias_name="syy"),
-                    Sum("__sxy", alias_name="sxy"))
-         .to_pandas())
+    m = _grouped_int_moments(
+        ds, key, [x_col, y_col], quantize,
+        {"sx": lambda x, y: x, "sy": lambda x, y: y,
+         "sxx": lambda x, y: x * x, "syy": lambda x, y: y * y,
+         "sxy": lambda x, y: x * y})
     n = m["n"].astype("float64")
     sx, sy = m["sx"].astype("float64"), m["sy"].astype("float64")
     sxx, syy = m["sxx"].astype("float64"), m["syy"].astype("float64")
@@ -456,15 +476,11 @@ def grouped_corr(ds: "ray.data.Dataset", key: str, x_col: str, y_col: str, *,
     den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
     with np.errstate(invalid="ignore", divide="ignore"):
         corr = cov_num / den
-    # covar_pop is exactly rational (integer sums / n^2) so np.round's
-    # half-even ties can disagree with SQL ROUND at .5e-6 boundaries;
-    # round half-away-from-zero explicitly (mirrored in the oracle SQL).
-    # corr carries an irrational sqrt, so np.round is safe there.
-    cv = cov_num / (n * n)
-    covar = np.floor(np.abs(cv) * 1e6 + 0.5) * np.sign(cv) / 1e6 + 0.0
+    # covar_pop is exactly rational (integer sums / n^2) -> half-away
+    # micro-rounding; corr carries an irrational sqrt, np.round is safe.
     out = pd.DataFrame({key: m[key], "n": m["n"].astype("int64"),
                         "corr": np.round(corr, 6),
-                        "covar_pop": covar})
+                        "covar_pop": _micro_round(cov_num / (n * n))})
     return out.sort_values(key).reset_index(drop=True)
 
 
@@ -739,44 +755,16 @@ def grouped_moments(ds: "ray.data.Dataset", key: str, value_col: str, *,
     skew_pop = m₃ / (m₂·√m₂);  kurt_excess = m₄ / m₂² − 3.
 
     int64 bound: Σ(x̂⁴) < 2^63 — pick ``quantize`` so |v/quantize|⁴ ×
-    group_rows ≲ 9e18 (|x̂| ≤ 500 is safe to ~10^8 rows/group).
-    Zero-variance groups divide by m₂ = 0 → engine NaN; SQL division by
-    zero yields NULL, so keep such groups out of oracle-compared inputs.
+    group_rows ≲ 9e18 (|x̂| ≤ 500 is safe to ~10^8 rows/group; the
+    ``_EXACT_BATCH`` cap keeps the per-batch float64 partials exact at
+    that bound).  Zero-variance groups divide by m₂ = 0 → engine NaN; SQL
+    division by zero yields NULL, so keep such groups out of
+    oracle-compared inputs.
     """
-    from ray.data.aggregate import Sum
-
-    def partial(t: pa.Table) -> pa.Table:
-        x = t.column(value_col).to_numpy(zero_copy_only=False).astype(
-            np.float64)
-        xq = np.floor(x / quantize + 0.5).astype(np.int64)
-        kcol = t.column(key)
-        if isinstance(kcol, pa.ChunkedArray):
-            kcol = kcol.combine_chunks()
-        enc = kcol.dictionary_encode()
-        codes = np.asarray(enc.indices, dtype=np.int64)
-        k = len(enc.dictionary)
-        agg = lambda v: np.bincount(codes, weights=v, minlength=k)
-        # float64 bincount weights stay integer-exact within the documented
-        # quantize bound (|x̂|⁴ · rows < 2^53 per batch; int64 across folds)
-        x2 = (xq * xq).astype(np.float64)
-        return pa.table({
-            key: enc.dictionary,
-            "__n": pa.array(np.bincount(codes, minlength=k).astype(np.int64)),
-            "__s1": pa.array(agg(xq.astype(np.float64)).astype(np.int64)),
-            "__s2": pa.array(agg(x2).astype(np.int64)),
-            "__s3": pa.array(agg(x2 * xq).astype(np.int64)),
-            "__s4": pa.array(agg(x2 * x2).astype(np.int64)),
-        })
-
-    m = (ds.select_columns([key, value_col])
-         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-         .groupby(key)
-         .aggregate(Sum("__n", alias_name="n"),
-                    Sum("__s1", alias_name="s1"),
-                    Sum("__s2", alias_name="s2"),
-                    Sum("__s3", alias_name="s3"),
-                    Sum("__s4", alias_name="s4"))
-         .to_pandas())
+    m = _grouped_int_moments(
+        ds, key, [value_col], quantize,
+        {"s1": lambda x: x, "s2": lambda x: x * x,
+         "s3": lambda x: x * x * x, "s4": lambda x: (x * x) * (x * x)})
     n = m["n"].astype("float64")
     s1, s2 = m["s1"].astype("float64"), m["s2"].astype("float64")
     s3, s4 = m["s3"].astype("float64"), m["s4"].astype("float64")
@@ -790,12 +778,11 @@ def grouped_moments(ds: "ray.data.Dataset", key: str, value_col: str, *,
     with np.errstate(invalid="ignore", divide="ignore"):
         skew = m3 / (m2 * np.sqrt(m2))
         kurt = m4 / (m2 * m2) - 3.0
-    # kurtosis (and degenerate skews) are exactly rational — round
-    # half-away-from-zero like covar_pop above, mirrored in the oracle
-    micro = lambda v: np.floor(np.abs(v) * 1e6 + 0.5) * np.sign(v) / 1e6 + 0.0
+    # kurtosis (and degenerate skews) are exactly rational — half-away
+    # micro-rounding, mirrored in the oracle
     out = pd.DataFrame({key: m[key], "n": m["n"].astype("int64"),
-                        "skew_pop": micro(skew),
-                        "kurt_excess": micro(kurt)})
+                        "skew_pop": _micro_round(skew),
+                        "kurt_excess": _micro_round(kurt)})
     return out.sort_values(key).reset_index(drop=True)
 
 
@@ -832,38 +819,10 @@ def grouped_ols(ds: "ray.data.Dataset", key: str, x_col: str, y_col: str, *,
     Zero-x-variance groups return NaN.  Outputs are rational → half-away
     micro-rounding on both sides (see ``grouped_corr.covar_pop``).
     """
-    from ray.data.aggregate import Sum
-
-    def partial(t: pa.Table) -> pa.Table:
-        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        xq = np.floor(x / quantize + 0.5).astype(np.int64)
-        yq = np.floor(y / quantize + 0.5).astype(np.int64)
-        kcol = t.column(key)
-        if isinstance(kcol, pa.ChunkedArray):
-            kcol = kcol.combine_chunks()
-        enc = kcol.dictionary_encode()
-        codes = np.asarray(enc.indices, dtype=np.int64)
-        k = len(enc.dictionary)
-        agg = lambda v: np.bincount(codes, weights=v, minlength=k)
-        return pa.table({
-            key: enc.dictionary,
-            "__n": pa.array(np.bincount(codes, minlength=k).astype(np.int64)),
-            "__sx": pa.array(agg(xq.astype(np.float64)).astype(np.int64)),
-            "__sy": pa.array(agg(yq.astype(np.float64)).astype(np.int64)),
-            "__sxx": pa.array(agg((xq * xq).astype(np.float64)).astype(np.int64)),
-            "__sxy": pa.array(agg((xq * yq).astype(np.float64)).astype(np.int64)),
-        })
-
-    m = (ds.select_columns([key, x_col, y_col])
-         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-         .groupby(key)
-         .aggregate(Sum("__n", alias_name="n"),
-                    Sum("__sx", alias_name="sx"),
-                    Sum("__sy", alias_name="sy"),
-                    Sum("__sxx", alias_name="sxx"),
-                    Sum("__sxy", alias_name="sxy"))
-         .to_pandas())
+    m = _grouped_int_moments(
+        ds, key, [x_col, y_col], quantize,
+        {"sx": lambda x, y: x, "sy": lambda x, y: y,
+         "sxx": lambda x, y: x * x, "sxy": lambda x, y: x * y})
     n = m["n"].astype("float64")
     sx, sy = m["sx"].astype("float64"), m["sy"].astype("float64")
     sxx, sxy = m["sxx"].astype("float64"), m["sxy"].astype("float64")
@@ -871,8 +830,7 @@ def grouped_ols(ds: "ray.data.Dataset", key: str, x_col: str, y_col: str, *,
         # expression tree mirrored in the oracle SQL — keep op order fixed
         slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
         intercept = sy / n - slope * (sx / n)
-    micro = lambda v: np.floor(np.abs(v) * 1e6 + 0.5) * np.sign(v) / 1e6 + 0.0
     out = pd.DataFrame({key: m[key], "n": m["n"].astype("int64"),
-                        "slope": micro(slope),
-                        "intercept": micro(intercept)})
+                        "slope": _micro_round(slope),
+                        "intercept": _micro_round(intercept)})
     return out.sort_values(key).reset_index(drop=True)

@@ -106,8 +106,16 @@ class HeavyHittersSketch(Sketch):
         return self.keys[order], self.counts[order]
 
     def estimate(self) -> list[float]:
-        """Stream length (every update adds to n; estimator contract)."""
-        return [float(self.n)]
+        """REFUSED, loudly: the base contract reads ``estimate()[0]`` as a
+        reach/cardinality value (``state/base.py``), and a heavy-hitters
+        summary cannot know the distinct count once decrements fire —
+        returning stream length or tracked-key count here would hand
+        generic consumers (``sketch_aggregation(output='estimate')``,
+        reach reports) a silently wrong number.  Use ``topk`` /
+        ``point_query``, or compose with an HLL for reach."""
+        raise NotImplementedError(
+            "heavy-hitters summary has no reach estimate; use topk() / "
+            "point_query(), or pair with an HLL/Theta sketch for reach")
 
     def state_dict(self):
         return {"k": self.keys, "c": self.counts,
