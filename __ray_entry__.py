@@ -1258,6 +1258,20 @@ def _q_quantity_moments(sf_dir: str):
     return grouped_moments(li, "l_returnflag", "l_quantity", quantize=1.0)
 
 
+def _q_event_funnel(sf_dir: str):
+    """view -> click -> purchase funnel over events: per-user step
+    progression (t_i = MIN ts of step-i events at/after t_{i-1}) via the
+    chained aggregate + key-sharded join plan — no per-key task
+    assumption, counts hash-match a chained-CTE oracle."""
+    from cardinality_estimation_evaluation_framework_ray.stages.sessions import (
+        funnel_counts,
+    )
+
+    return funnel_counts(_read(sf_dir, "events"), key_col="user_id",
+                         ts_col="ts", event_col="event_type",
+                         steps=["view", "click", "purchase"])
+
+
 def _q_asia_nation_revenue(sf_dir: str):
     """TPC-H Q5 shape — revenue per ASIA nation where the customer and the
     supplier share the nation, orders within one year.  Six tables, three
@@ -2289,6 +2303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "heavy_hitters_by_source": _q_heavy_hitters_by_source,
         "asia_nation_revenue": _q_asia_nation_revenue,
+        "event_funnel": _q_event_funnel,
         "rolling_orders": _q_rolling_orders,
         "region_nations_concat": _q_region_nations_concat,
         "price_deciles": _q_price_deciles,
@@ -3179,6 +3194,26 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(ABS(ku) * 1000000.0 + 0.5) * SIGN(ku)
                        / 1000000.0 + 0.0 AS kurt_excess
             FROM v
+        """,
+        "event_funnel": """
+            WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, MIN(e.ts) AS t
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts >= s1.t
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, MIN(e.ts) AS t
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+                   GROUP BY e.user_id)
+            SELECT * FROM (
+                SELECT CAST(1 AS BIGINT) AS step, 'view' AS event,
+                       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_keys
+                UNION ALL
+                SELECT 2, 'click', (SELECT count(*) FROM s2)
+                UNION ALL
+                SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+            ORDER BY step
         """,
         "asia_nation_revenue": """
             WITH li AS (SELECT l_orderkey, l_suppkey,

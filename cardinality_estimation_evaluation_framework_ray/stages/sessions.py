@@ -137,3 +137,67 @@ def session_stats(ds: "ray.data.Dataset", *, user_col: str = "user_id",
 
     return (sessions.groupby(user_col)
             .map_groups(summarize, batch_format="pandas").to_pandas())
+
+
+def funnel_counts(ds: "ray.data.Dataset", *, key_col: str, ts_col: str,
+                  event_col: str, steps: list[str]) -> pd.DataFrame:
+    """Ordered funnel analysis: how many keys reach each step of
+    ``steps``, where step i counts a key iff it has a step-i event at or
+    after its earliest qualifying step-(i-1) time (t_i = MIN ts of step-i
+    events with ts >= t_{i-1}).
+
+    Distributed shape — chained aggregate + join, NO per-key-group task
+    assumption: each step filters the corpus to that step's events (a
+    small fraction), joins them against the previous step's FRONTIER
+    table (one (key, t) row per surviving key, sharded by key via
+    ``hash_join``), and reduces with one ``groupby(key).min``.  k steps =
+    k KB-payload aggregates + (k-1) key-sharded joins; the corpus streams
+    once per step with nothing driver-side but the final k counts.
+
+    Timestamps compare in int64 nanoseconds — identical ordering to SQL
+    timestamp comparison, so the step counts hash-match a chained-CTE
+    oracle.  Returns (step 1..k, event, n_keys).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min
+
+    from .joins import hash_join
+
+    def prep(step: str):
+        def fn(t: pa.Table) -> pa.Table:
+            keep = pc.equal(t.column(event_col), step)
+            t = t.filter(keep)
+            ts = t.column(ts_col).cast(pa.timestamp("ns")).cast(pa.int64())
+            return pa.table({key_col: t.column(key_col), "__ts": ts})
+        return fn
+
+    ds = ds.select_columns([key_col, ts_col, event_col])
+    frontier = None
+    counts: list[int] = []
+    for step in steps:
+        ev = ds.map_batches(prep(step), batch_format="pyarrow",
+                            zero_copy_batch=True)
+        if frontier is not None:
+            ev = hash_join(ev, frontier, on=key_col)
+
+            def after(t: pa.Table) -> pa.Table:
+                return t.filter(pc.greater_equal(t.column("__ts"),
+                                                 t.column("__t")))
+
+            ev = ev.map_batches(after, batch_format="pyarrow")
+        cur = (ev.groupby(key_col)
+               .aggregate(Min("__ts", alias_name="__t")).materialize())
+        counts.append(cur.count())
+        frontier = cur
+        if counts[-1] == 0:
+            # empty frontier: every later step is 0 (and an empty Dataset
+            # has no schema for hash_join to consume)
+            counts.extend([0] * (len(steps) - len(counts)))
+            break
+    return pd.DataFrame({
+        "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+        "event": steps,
+        "n_keys": np.asarray(counts, dtype=np.int64),
+    })

@@ -77,3 +77,53 @@ def test_sessionize_two_level_matches_single_level():
 def test_sessionize_two_level_span_guard():
     with pytest.raises(ValueError):
         sessionize(_events(), gap_minutes=30.0, bucket_span_minutes=10.0)
+
+
+def test_funnel_counts_matches_bruteforce(ray_session):
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.sessions import (
+        funnel_counts,
+    )
+
+    rng = np.random.RandomState(31)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 80, n),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 10_000, n), unit="s"),
+        "event_type": rng.choice(["a", "b", "c", "x"], n),
+    })
+    out = funnel_counts(ray.data.from_pandas(df, override_num_blocks=7),
+                        key_col="user_id", ts_col="ts",
+                        event_col="event_type", steps=["a", "b", "c"])
+
+    # brute force per user
+    expected = [0, 0, 0]
+    for _, g in df.groupby("user_id"):
+        t = None
+        for i, step in enumerate(["a", "b", "c"]):
+            sel = g[g["event_type"] == step]
+            if t is not None:
+                sel = sel[sel["ts"] >= t]
+            if sel.empty:
+                break
+            t = sel["ts"].min()
+            expected[i] += 1
+    assert out["n_keys"].tolist() == expected
+    assert out["step"].tolist() == [1, 2, 3]
+
+
+def test_funnel_counts_dead_step_short_circuits(ray_session):
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.sessions import (
+        funnel_counts,
+    )
+
+    df = pd.DataFrame({"user_id": [1, 1], "event_type": ["a", "a"],
+                       "ts": pd.to_datetime(["2024-01-01", "2024-01-02"])})
+    out = funnel_counts(ray.data.from_pandas(df), key_col="user_id",
+                        ts_col="ts", event_col="event_type",
+                        steps=["a", "zzz", "a"])
+    assert out["n_keys"].tolist() == [1, 0, 0]
