@@ -1258,6 +1258,19 @@ def _q_quantity_moments(sf_dir: str):
     return grouped_moments(li, "l_returnflag", "l_quantity", quantize=1.0)
 
 
+def _q_distinct_users_exact(sf_dir: str):
+    """EXACT COUNT(DISTINCT user) per event type via the two-level
+    relational plan (distinct-pair groupby + per-batch key bincount) —
+    the exact sibling of the sparse-HLL UDAF reach queries, valid at any
+    cardinality without a per-key value set."""
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_count_distinct,
+    )
+
+    return grouped_count_distinct(_read(sf_dir, "events"), "event_type",
+                                  "user_id", out_col="n_users")
+
+
 def _q_event_funnel(sf_dir: str):
     """view -> click -> purchase funnel over events: per-user step
     progression (t_i = MIN ts of step-i events at/after t_{i-1}) via the
@@ -2304,6 +2317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_by_source": _q_heavy_hitters_by_source,
         "asia_nation_revenue": _q_asia_nation_revenue,
         "event_funnel": _q_event_funnel,
+        "distinct_users_exact": _q_distinct_users_exact,
         "rolling_orders": _q_rolling_orders,
         "region_nations_concat": _q_region_nations_concat,
         "price_deciles": _q_price_deciles,
@@ -3194,6 +3208,11 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(ABS(ku) * 1000000.0 + 0.5) * SIGN(ku)
                        / 1000000.0 + 0.0 AS kurt_excess
             FROM v
+        """,
+        "distinct_users_exact": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "event_funnel": """
             WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events

@@ -834,3 +834,37 @@ def grouped_ols(ds: "ray.data.Dataset", key: str, x_col: str, y_col: str, *,
                         "slope": _micro_round(slope),
                         "intercept": _micro_round(intercept)})
     return out.sort_values(key).reset_index(drop=True)
+
+
+def grouped_count_distinct(ds: "ray.data.Dataset", key: str, val_col: str,
+                           *, out_col: str = "n_distinct") -> pd.DataFrame:
+    """EXACT ``COUNT(DISTINCT val)`` per key at any cardinality — the
+    two-level relational plan (vs the sketch path in
+    ``stages/build.py:sketch_aggregation``, which is approximate past
+    sparse saturation): ``groupby(key, val)`` collapses duplicates with
+    map-side combining (the only shuffle, over DISTINCT pairs), then a
+    per-batch key bincount + one KB-scale ``groupby(key)`` sum counts the
+    surviving pairs.  No per-key value set ever materializes in one task,
+    so a key with 10^9 distinct values costs its pair rows, not a set.
+    """
+    from ray.data.aggregate import Sum
+
+    pairs = ds.select_columns([key, val_col]).groupby([key, val_col]).count()
+
+    def per_key(t: pa.Table) -> pa.Table:
+        kcol = t.column(key)
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        enc = kcol.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        return pa.table({
+            key: enc.dictionary,
+            "__c": pa.array(np.bincount(
+                codes, minlength=len(enc.dictionary)).astype(np.int64)),
+        })
+
+    out = (pairs.map_batches(per_key, batch_format="pyarrow")
+           .groupby(key).aggregate(Sum("__c", alias_name=out_col))
+           .to_pandas())
+    out[out_col] = out[out_col].astype("int64")
+    return out.sort_values(key).reset_index(drop=True)

@@ -586,3 +586,20 @@ def test_grouped_ols_matches_numpy(ray_session):
         assert abs(row["slope"] - slope) < 1e-4
         assert abs(row["intercept"] - intercept) < 1e-3
         assert row["n"] == len(g)
+
+
+def test_grouped_count_distinct_exact(ray_session):
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_count_distinct,
+    )
+
+    rng = np.random.RandomState(41)
+    df = pd.DataFrame({"k": rng.choice(["a", "b", "c"], 4000),
+                       "v": rng.randint(0, 300, 4000)})
+    out = grouped_count_distinct(
+        ray.data.from_pandas(df, override_num_blocks=9), "k", "v")
+    ref = df.groupby("k")["v"].nunique()
+    for _, row in out.iterrows():
+        assert row["n_distinct"] == ref[row["k"]]
