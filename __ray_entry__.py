@@ -1258,6 +1258,18 @@ def _q_quantity_moments(sf_dir: str):
     return grouped_moments(li, "l_returnflag", "l_quantity", quantize=1.0)
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid sums (exact int64 micro-quantized
+    components, long format) — the kmeans building block as an aggregate;
+    hash-matches a zipped-unnest SQL oracle with no float-order caveat."""
+    from cardinality_estimation_evaluation_framework_ray.stages.cluster import (
+        grouped_centroids,
+    )
+
+    out = grouped_centroids(_read(sf_dir, "embeddings"), key="label")
+    return out.astype({"label": "int64", "dim": "int64"})
+
+
 def _q_distinct_users_exact(sf_dir: str):
     """EXACT COUNT(DISTINCT user) per event type via the two-level
     relational plan (distinct-pair groupby + per-batch key bincount) —
@@ -2318,6 +2330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asia_nation_revenue": _q_asia_nation_revenue,
         "event_funnel": _q_event_funnel,
         "distinct_users_exact": _q_distinct_users_exact,
+        "label_centroids": _q_label_centroids,
         "rolling_orders": _q_rolling_orders,
         "region_nations_concat": _q_region_nations_concat,
         "price_deciles": _q_price_deciles,
@@ -3208,6 +3221,20 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(ABS(ku) * 1000000.0 + 0.5) * SIGN(ku)
                        / 1000000.0 + 0.0 AS kurt_excess
             FROM v
+        """,
+        "label_centroids": """
+            WITH e0 AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       generate_subscripts(embedding, 1) AS i,
+                       unnest(embedding) AS x
+                FROM embeddings),
+            e AS (SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+                         CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                              AS BIGINT) AS q
+                  FROM e0)
+            SELECT label, dim, CAST(SUM(q) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM e GROUP BY label, dim ORDER BY label, dim
         """,
         "distinct_users_exact": """
             SELECT event_type,

@@ -222,3 +222,58 @@ def pca_transform(ds: "ray.data.Dataset", mu: np.ndarray,
 
     return ds.select_columns([id_col, emb_col]).map_batches(
         project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_centroids(ds: "ray.data.Dataset", *, key: str,
+                      emb_col: str = "embedding",
+                      quant: float = 1e6) -> "pd.DataFrame":
+    """Per-group embedding centroid as EXACT integer component sums: each
+    batch quantizes its (n × d) block to int64 (floor(x·quant + 0.5)) and
+    scatter-adds one (groups × d) partial — at most #in-batch-groups × d
+    long-format rows leave a batch — then ONE KB-scale groupby folds them.
+    Returns (key, dim, s, n): exact integers, so the result hash-matches a
+    zipped-unnest SQL oracle with no float-fold-order caveat; the mean is
+    ``s / (n · quant)`` downstream.
+
+    This is the kmeans building block exposed as an aggregate (a kmeans
+    iteration is exactly this with the assignment as ``key``), and the
+    class-prototype op of an embedding-curation pipeline (per-label
+    prototypes, drift checks between shards).
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from .ann import _emb_matrix
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t, emb_col).astype(np.float64)
+        q = np.floor(m * quant + 0.5).astype(np.int64)
+        kcol = t.column(key)
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        enc = kcol.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        k, d = len(enc.dictionary), q.shape[1]
+        acc = np.zeros((k, d), dtype=np.int64)
+        np.add.at(acc, codes, q)
+        cnt = np.bincount(codes, minlength=k).astype(np.int64)
+        keys = enc.dictionary.to_numpy(zero_copy_only=False)
+        return pa.table({
+            key: pa.array(np.repeat(keys, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+            "__s": pa.array(acc.reshape(-1)),
+            "__n": pa.array(np.repeat(cnt, d)),
+        })
+
+    out = (ds.select_columns([key, emb_col])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby([key, "dim"])
+           .aggregate(Sum("__s", alias_name="s"),
+                      Sum("__n", alias_name="n"))
+           .to_pandas())
+    out["s"] = out["s"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values([key, "dim"]).reset_index(drop=True))

@@ -106,3 +106,32 @@ def test_pca_matches_numpy_eigh(ray_session):
     assert np.allclose(proj, ref_proj, atol=1e-5)
     # variance actually concentrates on the first component
     assert ev[0] > ev[1] > ev[2] > 0
+
+
+def test_grouped_centroids_exact_sums(ray_session):
+    import pandas as pd
+
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.cluster import (
+        grouped_centroids,
+    )
+
+    rng = np.random.RandomState(43)
+    n, d = 400, 8
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    lab = rng.randint(0, 3, n)
+    df = pd.DataFrame({"label": lab,
+                       "embedding": [r.tolist() for r in emb]})
+    out = grouped_centroids(ray.data.from_pandas(df, override_num_blocks=5),
+                            key="label")
+    q = np.floor(emb.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    for g in range(3):
+        ref = q[lab == g].sum(axis=0)
+        got = out[out["label"] == g].sort_values("dim")
+        assert got["s"].tolist() == ref.tolist()
+        assert (got["n"] == (lab == g).sum()).all()
+        # recovered means are within quantization error of the true ones
+        mean = got["s"].to_numpy() / (got["n"].to_numpy() * 1e6)
+        np.testing.assert_allclose(mean, emb[lab == g].mean(axis=0),
+                                   atol=1e-5)
