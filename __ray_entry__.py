@@ -1258,6 +1258,30 @@ def _q_quantity_moments(sf_dir: str):
     return grouped_moments(li, "l_returnflag", "l_quantity", quantize=1.0)
 
 
+def _q_user_retention(sf_dir: str):
+    """Daily cohort retention matrix over events: one corpus shuffle into
+    distinct (user, day) pairs, KB-per-user first-activity frontier,
+    key-sharded join, metadata-scale final groupby."""
+    from cardinality_estimation_evaluation_framework_ray.stages.sessions import (
+        cohort_retention,
+    )
+
+    return cohort_retention(_read(sf_dir, "events"), key_col="user_id",
+                            ts_col="ts", unit="day")
+
+
+def _q_boolean_search(sf_dir: str):
+    """Conjunctive boolean retrieval (docs containing ALL of three query
+    words): batch-local vectorized word-hash membership, no shuffle."""
+    from cardinality_estimation_evaluation_framework_ray.stages.search import (
+        boolean_and_search,
+    )
+
+    out = boolean_and_search(_read(sf_dir, "documents"),
+                             ["join", "hash", "filter"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_label_centroids(sf_dir: str):
     """Per-label embedding centroid sums (exact int64 micro-quantized
     components, long format) — the kmeans building block as an aggregate;
@@ -2331,6 +2355,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": _q_event_funnel,
         "distinct_users_exact": _q_distinct_users_exact,
         "label_centroids": _q_label_centroids,
+        "boolean_search": _q_boolean_search,
+        "user_retention": _q_user_retention,
         "rolling_orders": _q_rolling_orders,
         "region_nations_concat": _q_region_nations_concat,
         "price_deciles": _q_price_deciles,
@@ -3221,6 +3247,29 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(ABS(ku) * 1000000.0 + 0.5) * SIGN(ku)
                        / 1000000.0 + 0.0 AS kurt_excess
             FROM v
+        """,
+        "user_retention": """
+            WITH a AS (SELECT DISTINCT user_id,
+                              date_trunc('day', ts) AS bucket
+                       FROM events),
+            f AS (SELECT user_id, MIN(bucket) AS cohort
+                  FROM a GROUP BY user_id)
+            SELECT f.cohort, a.bucket,
+                   CAST(count(*) AS BIGINT) AS n_keys
+            FROM a JOIN f USING (user_id)
+            GROUP BY f.cohort, a.bucket ORDER BY cohort, bucket
+        """,
+        "boolean_search": """
+            WITH w AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(
+                                  lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '') AS toks
+                       FROM documents)
+            SELECT doc_id FROM w
+            WHERE list_contains(toks, 'join')
+              AND list_contains(toks, 'hash')
+              AND list_contains(toks, 'filter')
+            ORDER BY doc_id
         """,
         "label_centroids": """
             WITH e0 AS (

@@ -223,3 +223,35 @@ def tfidf_top_terms(ds: "ray.data.Dataset", *, k: int = 3,
     return (joined.map_batches(score, batch_format="pyarrow",
                                zero_copy_batch=True)
             .groupby(id_col).map_groups(topk, batch_format="pandas"))
+
+
+def boolean_and_search(ds: "ray.data.Dataset", terms: list[str], *,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       seed: int = 99) -> "ray.data.Dataset":
+    """Conjunctive (AND) boolean retrieval: docs containing EVERY query
+    term as a standalone word.  Embarrassingly parallel — each doc's text
+    lives in one row, so membership of all q terms is a batch-local
+    vectorized check (word-hash equality per term, segment-any fold); NO
+    shuffle, no inverted index needed for the streaming-scan form.  (The
+    index-backed form for repeated queries is ``doc_term_frequencies``
+    semi-joined on the term set — same contract, amortized cost.)
+
+    Output: (id_col) of matching docs.  Word-hash contract (seed 99, the
+    SimHash/fingerprint replica) keeps the result SQL-oracle-able.
+    """
+    term_h = hash_strings(list(terms), seed)
+
+    def probe(t: pa.Table) -> pa.Table:
+        word_h, lengths = _doc_word_hashes(t, text_col, seed)
+        n_docs = len(lengths)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+        hit_all = np.ones(n_docs, dtype=bool)
+        for h in term_h:
+            present = np.zeros(n_docs, dtype=bool)
+            np.logical_or.at(present, doc_idx, word_h == h)
+            hit_all &= present
+        return pa.table({id_col: t.column(id_col).filter(
+            pa.array(hit_all))})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True)

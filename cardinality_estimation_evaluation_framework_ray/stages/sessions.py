@@ -201,3 +201,56 @@ def funnel_counts(ds: "ray.data.Dataset", *, key_col: str, ts_col: str,
         "event": steps,
         "n_keys": np.asarray(counts, dtype=np.int64),
     })
+
+
+def cohort_retention(ds: "ray.data.Dataset", *, key_col: str, ts_col: str,
+                     unit: str = "day") -> pd.DataFrame:
+    """Cohort retention matrix: cohort = each key's FIRST activity bucket
+    (calendar ``unit``); one output row per (cohort, bucket) with the
+    distinct-key count of that cohort active in that bucket.
+
+    Distributed shape: the corpus shuffles ONCE into distinct
+    (key, bucket) activity pairs (map-side combined groupby); the
+    first-activity frontier is a KB-per-key ``groupby(key).min``; a
+    key-sharded ``hash_join`` attaches each key's cohort to its activity
+    pairs; the final groupby is over ≤ #buckets² metadata rows.  No
+    per-key task assumption, nothing driver-side but the matrix.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min, Sum
+
+    from .joins import hash_join
+
+    def to_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor_temporal(t.column(ts_col), unit=unit),
+                    pa.timestamp("us")).cast(pa.int64())
+        return pa.table({key_col: t.column(key_col), "__b": b})
+
+    pairs = (ds.select_columns([key_col, ts_col])
+             .map_batches(to_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby([key_col, "__b"]).count()
+             .drop_columns(["count()"]).materialize())
+    first = pairs.groupby(key_col).aggregate(Min("__b",
+                                                 alias_name="__cohort"))
+    j = hash_join(pairs, first, on=key_col)
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "__cohort": t.column("__cohort"), "__b": t.column("__b"),
+            "__one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+
+    out = (j.map_batches(ones, batch_format="pyarrow")
+           .groupby(["__cohort", "__b"])
+           .aggregate(Sum("__one", alias_name="n_keys")).to_pandas())
+    res = pd.DataFrame({
+        "cohort": pd.to_datetime(out["__cohort"], unit="us"),
+        "bucket": pd.to_datetime(out["__b"], unit="us"),
+        "n_keys": out["n_keys"].astype("int64"),
+    })
+    res["cohort"] = res["cohort"].astype("datetime64[us]")
+    res["bucket"] = res["bucket"].astype("datetime64[us]")
+    return (res.sort_values(["cohort", "bucket"]).reset_index(drop=True))

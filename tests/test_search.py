@@ -113,3 +113,22 @@ def test_doc_term_frequencies_and_tfidf_topk(ray_session):
     assert by_doc[2]["tfidf"].iloc[0] == 0.0
     # ties rank by word ascending: doc 1 cherry (ln 3) > banana (ln 1.5) > common (0)
     assert by_doc[1]["word"].tolist() == ["cherry", "banana"]
+
+
+def test_boolean_and_search_bruteforce(ray_session):
+    import pandas as pd
+
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.search import (
+        boolean_and_search,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d"],
+        "text": ["The cat sat; the DOG ran.", "cat only here",
+                 "dog and cat and bird", "nothing relevant"],
+    })
+    out = (boolean_and_search(ray.data.from_pandas(df), ["cat", "dog"])
+           .to_pandas())
+    assert sorted(out["doc_id"].tolist()) == ["a", "c"]

@@ -127,3 +127,30 @@ def test_funnel_counts_dead_step_short_circuits(ray_session):
                         ts_col="ts", event_col="event_type",
                         steps=["a", "zzz", "a"])
     assert out["n_keys"].tolist() == [1, 0, 0]
+
+
+def test_cohort_retention_matches_bruteforce(ray_session):
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.sessions import (
+        cohort_retention,
+    )
+
+    rng = np.random.RandomState(37)
+    n = 2000
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 60, n),
+        "ts": pd.to_datetime("2024-03-01")
+        + pd.to_timedelta(rng.randint(0, 20 * 86400, n), unit="s"),
+    })
+    out = cohort_retention(ray.data.from_pandas(df, override_num_blocks=7),
+                           key_col="user_id", ts_col="ts", unit="day")
+    a = df.assign(bucket=df["ts"].dt.floor("D")).drop_duplicates(
+        ["user_id", "bucket"])
+    f = a.groupby("user_id")["bucket"].min().rename("cohort")
+    ref = (a.join(f, on="user_id").groupby(["cohort", "bucket"])
+           .size().rename("n_keys").reset_index()
+           .sort_values(["cohort", "bucket"]).reset_index(drop=True))
+    assert out["n_keys"].tolist() == ref["n_keys"].tolist()
+    assert out["cohort"].tolist() == ref["cohort"].tolist()
+    assert out["bucket"].tolist() == ref["bucket"].tolist()
