@@ -547,7 +547,7 @@ def _q_neardup_pagerank(sf_dir: str):
                          "dst": pa.concat_arrays([b, a])})
 
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
-    out = pagerank(edges, iters=8).to_pandas()
+    out = pagerank(edges, iters=5).to_pandas()
     if out.empty:
         return pd.DataFrame({"node": pd.Series(dtype="int64"),
                              "rank": pd.Series(dtype="float64")})

@@ -165,20 +165,31 @@ def funnel_counts(ds: "ray.data.Dataset", *, key_col: str, ts_col: str,
 
     from .joins import hash_join
 
-    def prep(step: str):
-        def fn(t: pa.Table) -> pa.Table:
-            keep = pc.equal(t.column(event_col), step)
-            t = t.filter(keep)
-            ts = t.column(ts_col).cast(pa.timestamp("ns")).cast(pa.int64())
-            return pa.table({key_col: t.column(key_col), "__ts": ts})
-        return fn
+    step_set = list(dict.fromkeys(steps))
 
-    ds = ds.select_columns([key_col, ts_col, event_col])
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column(event_col),
+                        value_set=pa.array(step_set, pa.string()))
+        t = t.filter(keep)
+        ts = t.column(ts_col).cast(pa.timestamp("ns")).cast(pa.int64())
+        return pa.table({key_col: t.column(key_col),
+                         event_col: t.column(event_col), "__ts": ts})
+
+    # ONE corpus scan: the narrow (key, event, ts) subset of step events is
+    # pinned once; each step then filters this (much smaller) table instead
+    # of re-reading the corpus k times (diamond rule, SCALE.md)
+    base = (ds.select_columns([key_col, ts_col, event_col])
+            .map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize())
     frontier = None
     counts: list[int] = []
     for step in steps:
-        ev = ds.map_batches(prep(step), batch_format="pyarrow",
-                            zero_copy_batch=True)
+
+        def only(t: pa.Table, _s=step) -> pa.Table:
+            return (t.filter(pc.equal(t.column(event_col), _s))
+                    .select([key_col, "__ts"]))
+
+        ev = base.map_batches(only, batch_format="pyarrow")
         if frontier is not None:
             ev = hash_join(ev, frontier, on=key_col)
 
