@@ -1258,6 +1258,26 @@ def _q_quantity_moments(sf_dir: str):
     return grouped_moments(li, "l_returnflag", "l_quantity", quantize=1.0)
 
 
+def _q_neardup_triangles(sf_dir: str):
+    """Exact triangle count of the near-dup similarity graph via the
+    oriented wedge-join plan (two key-sharded joins + a packed-key semi
+    join); oracle recomputes the cosine pair set and triangle-joins in
+    SQL."""
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.ann import (
+        embedding_near_dups,
+    )
+    from cardinality_estimation_evaluation_framework_ray.stages.graph import (
+        triangle_count,
+    )
+
+    pairs = embedding_near_dups(_read(sf_dir, "embeddings"), threshold=0.4,
+                                n_planes=0)
+    n = triangle_count(pairs, a_col="vec_a", b_col="vec_b")
+    return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
+
+
 def _q_user_retention(sf_dir: str):
     """Daily cohort retention matrix over events: one corpus shuffle into
     distinct (user, day) pairs, KB-per-user first-activity frontier,
@@ -2357,6 +2377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "boolean_search": _q_boolean_search,
         "user_retention": _q_user_retention,
+        "neardup_triangles": _q_neardup_triangles,
         "rolling_orders": _q_rolling_orders,
         "region_nations_concat": _q_region_nations_concat,
         "price_deciles": _q_price_deciles,
@@ -3247,6 +3268,16 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(ABS(ku) * 1000000.0 + 0.5) * SIGN(ku)
                        / 1000000.0 + 0.0 AS kurt_excess
             FROM v
+        """,
+        "neardup_triangles": """
+            WITH e AS (
+                SELECT a.vec_id AS a, b.vec_id AS b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding, b.embedding)
+                      >= 0.4)
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e x JOIN e y ON y.a = x.b
+                     JOIN e z ON z.a = x.a AND z.b = y.b
         """,
         "user_retention": """
             WITH a AS (SELECT DISTINCT user_id,

@@ -53,3 +53,42 @@ def test_pagerank_partition_invariance_and_empty():
         pd.DataFrame({"src": pd.Series(dtype="int64"),
                       "dst": pd.Series(dtype="int64")})))
     assert empty.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_count_matches_bruteforce():
+    import itertools
+
+    rng = np.random.RandomState(47)
+    n_nodes = 30
+    edges = set()
+    while len(edges) < 90:
+        u, v = rng.randint(0, n_nodes, 2)
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    # input deliberately noisy: both directions + duplicates + self-loops
+    noisy = ([(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+             + [(a, b) for a, b in list(edges)[:10]] + [(3, 3), (7, 7)])
+    df = pd.DataFrame(noisy, columns=["src", "dst"]).astype("int64")
+
+    from cardinality_estimation_evaluation_framework_ray.stages.graph import (
+        triangle_count,
+    )
+
+    got = triangle_count(ray.data.from_pandas(df, override_num_blocks=5))
+    expected = sum(1 for a, b, c in itertools.combinations(range(n_nodes), 3)
+                   if (a, b) in edges and (b, c) in edges and (a, c) in edges)
+    assert got == expected
+    assert expected > 0  # the generated graph actually has triangles
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_count_id_bound_guard():
+    df = pd.DataFrame({"src": [2 ** 31], "dst": [1]}).astype("int64")
+
+    from cardinality_estimation_evaluation_framework_ray.stages.graph import (
+        triangle_count,
+    )
+
+    with pytest.raises(Exception, match="2\\^31"):
+        triangle_count(ray.data.from_pandas(df))
