@@ -1258,6 +1258,22 @@ def _q_quantity_moments(sf_dir: str):
     return grouped_moments(li, "l_returnflag", "l_quantity", quantize=1.0)
 
 
+def _q_latest_order_per_customer(sf_dir: str):
+    """Change-log compaction primitive: newest order row per customer
+    (ORDER BY o_orderdate DESC, o_orderkey DESC), two-level per-batch
+    argmax + candidate groupby — no customer's full history in one task."""
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        latest_per_key,
+    )
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"])
+    out = latest_per_key(orders, key="o_custkey", order_col="o_orderdate",
+                         tiebreak=["o_orderkey"]).to_pandas()
+    return (out.astype({"o_custkey": "int64", "o_orderkey": "int64"})
+            .sort_values("o_custkey").reset_index(drop=True))
+
+
 def _q_neardup_triangles(sf_dir: str):
     """Exact triangle count of the near-dup similarity graph via the
     oriented wedge-join plan (two key-sharded joins + a packed-key semi
@@ -2378,6 +2394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_search": _q_boolean_search,
         "user_retention": _q_user_retention,
         "neardup_triangles": _q_neardup_triangles,
+        "latest_order_per_customer": _q_latest_order_per_customer,
         "rolling_orders": _q_rolling_orders,
         "region_nations_concat": _q_region_nations_concat,
         "price_deciles": _q_price_deciles,
@@ -3268,6 +3285,16 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(ABS(ku) * 1000000.0 + 0.5) * SIGN(ku)
                        / 1000000.0 + 0.0 AS kurt_excess
             FROM v
+        """,
+        "latest_order_per_customer": """
+            SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority
+            FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                         o_orderpriority,
+                         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC, o_orderkey DESC)
+                             AS rn
+                  FROM orders)
+            WHERE rn = 1 ORDER BY o_custkey
         """,
         "neardup_triangles": """
             WITH e AS (

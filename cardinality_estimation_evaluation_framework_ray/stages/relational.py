@@ -868,3 +868,26 @@ def grouped_count_distinct(ds: "ray.data.Dataset", key: str, val_col: str,
            .to_pandas())
     out[out_col] = out[out_col].astype("int64")
     return out.sort_values(key).reset_index(drop=True)
+
+
+def latest_per_key(ds: "ray.data.Dataset", *, key: str, order_col: str,
+                   tiebreak: list[str] | None = None) -> "ray.data.Dataset":
+    """Keep the NEWEST full row per key — SQL ``ROW_NUMBER() OVER
+    (PARTITION BY key ORDER BY order DESC, tiebreak DESC) = 1``, the
+    upsert/compaction primitive (dedup a change-log to current state).
+
+    Two-level argmax: each batch first reduces to its per-key winner (at
+    most #in-batch-keys rows leave a batch — the map-side combine), then
+    one groupby over the surviving candidates re-runs the same reduction.
+    A key's task-side group is ≤ #blocks candidate rows, never its full
+    history.  ``(order_col, *tiebreak)`` must totally order each key's
+    rows for a deterministic, oracle-hashable winner.
+    """
+    sort_cols = [order_col] + list(tiebreak or [])
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(sort_cols, ascending=False, kind="stable")
+                .drop_duplicates(subset=[key], keep="first"))
+
+    candidates = ds.map_batches(best, batch_format="pandas")
+    return candidates.groupby(key).map_groups(best, batch_format="pandas")

@@ -603,3 +603,23 @@ def test_grouped_count_distinct_exact(ray_session):
     ref = df.groupby("k")["v"].nunique()
     for _, row in out.iterrows():
         assert row["n_distinct"] == ref[row["k"]]
+
+
+def test_latest_per_key_matches_window(ray_session):
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        latest_per_key,
+    )
+
+    rng = np.random.RandomState(53)
+    df = pd.DataFrame({"k": rng.randint(0, 50, 2000),
+                       "v": rng.randint(0, 40, 2000),
+                       "uid": np.arange(2000, dtype=np.int64)})
+    out = (latest_per_key(ray.data.from_pandas(df, override_num_blocks=9),
+                          key="k", order_col="v", tiebreak=["uid"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    ref = (df.sort_values(["v", "uid"], ascending=False)
+           .drop_duplicates("k").sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out[["k", "v", "uid"]],
+                                  ref[["k", "v", "uid"]])
