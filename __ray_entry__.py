@@ -490,9 +490,14 @@ def _q_embedding_near_dups(sf_dir: str):
     import pandas as pd
 
     # n_planes=0 => single bucket => exact all-pairs (oracle mode); LSH
-    # bucketing (n_planes>0) is the 100TB path, rows-only checked in tests
+    # bucketing (n_planes>0) is the 100TB path, rows-only checked in tests.
+    # max_bucket_size is raised here (and in the downstream pair-graph
+    # queries) so the star/chain hot-bucket guard can NEVER silently
+    # approximate while an exact SQL oracle is comparing — the guard's
+    # default (2000) is exactly the sf0.1 embedding count, zero headroom.
     df = embedding_near_dups(_read(sf_dir, "embeddings"), threshold=0.4,
-                             n_planes=0).to_pandas()
+                             n_planes=0,
+                             max_bucket_size=1_000_000).to_pandas()
     if df.empty:
         df = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
                            "vec_b": pd.Series(dtype="int64"),
@@ -514,7 +519,7 @@ def _q_embedding_dup_clusters(sf_dir: str):
     )
 
     pairs = embedding_near_dups(_read(sf_dir, "embeddings"), threshold=0.4,
-                                n_planes=0)
+                                n_planes=0, max_bucket_size=1_000_000)
     df = dedup_clusters(pairs, a_col="vec_a", b_col="vec_b")
     if df.empty:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
@@ -538,7 +543,7 @@ def _q_neardup_pagerank(sf_dir: str):
     )
 
     pairs = embedding_near_dups(_read(sf_dir, "embeddings"), threshold=0.4,
-                                n_planes=0)
+                                n_planes=0, max_bucket_size=1_000_000)
 
     def both_dirs(t: pa.Table) -> pa.Table:
         a = t.column("vec_a").combine_chunks().cast(pa.int64())
@@ -1289,7 +1294,7 @@ def _q_neardup_triangles(sf_dir: str):
     )
 
     pairs = embedding_near_dups(_read(sf_dir, "embeddings"), threshold=0.4,
-                                n_planes=0)
+                                n_planes=0, max_bucket_size=1_000_000)
     n = triangle_count(pairs, a_col="vec_a", b_col="vec_b")
     return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
 

@@ -846,10 +846,19 @@ def grouped_count_distinct(ds: "ray.data.Dataset", key: str, val_col: str,
     per-batch key bincount + one KB-scale ``groupby(key)`` sum counts the
     surviving pairs.  No per-key value set ever materializes in one task,
     so a key with 10^9 distinct values costs its pair rows, not a set.
+    NULL values are excluded, matching SQL ``COUNT(DISTINCT ...)``.
     """
+    import pyarrow.compute as pc
+
     from ray.data.aggregate import Sum
 
-    pairs = ds.select_columns([key, val_col]).groupby([key, val_col]).count()
+    def drop_null_vals(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column(val_col)))
+
+    pairs = (ds.select_columns([key, val_col])
+             .map_batches(drop_null_vals, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby([key, val_col]).count())
 
     def per_key(t: pa.Table) -> pa.Table:
         kcol = t.column(key)

@@ -238,18 +238,22 @@ def boolean_and_search(ds: "ray.data.Dataset", terms: list[str], *,
 
     Output: (id_col) of matching docs.  Word-hash contract (seed 99, the
     SimHash/fingerprint replica) keeps the result SQL-oracle-able.
+    ``terms`` are lowercased and must be tokenizer-normal ([a-z0-9]+) —
+    same guard as ``bm25_scores``, since a non-normal term can never
+    equal any tokenized doc word and would silently match nothing.
     """
-    term_h = hash_strings(list(terms), seed)
+    terms = [t.lower() for t in terms]
+    for t in terms:
+        if not t or not all(c.islower() or c.isdigit() for c in t):
+            raise ValueError(f"term {t!r} is not tokenizer-normal [a-z0-9]+")
+    # unique: a duplicated term would leave its second sorted slot at
+    # tf 0 and veto every doc
+    q_sorted = np.unique(hash_strings(terms, seed))
 
     def probe(t: pa.Table) -> pa.Table:
         word_h, lengths = _doc_word_hashes(t, text_col, seed)
-        n_docs = len(lengths)
-        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
-        hit_all = np.ones(n_docs, dtype=bool)
-        for h in term_h:
-            present = np.zeros(n_docs, dtype=bool)
-            np.logical_or.at(present, doc_idx, word_h == h)
-            hit_all &= present
+        tf = _term_tf(word_h, lengths, q_sorted)
+        hit_all = (tf > 0).all(axis=1)
         return pa.table({id_col: t.column(id_col).filter(
             pa.array(hit_all))})
 

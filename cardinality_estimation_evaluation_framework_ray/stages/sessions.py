@@ -147,12 +147,12 @@ def funnel_counts(ds: "ray.data.Dataset", *, key_col: str, ts_col: str,
     events with ts >= t_{i-1}).
 
     Distributed shape — chained aggregate + join, NO per-key-group task
-    assumption: each step filters the corpus to that step's events (a
-    small fraction), joins them against the previous step's FRONTIER
-    table (one (key, t) row per surviving key, sharded by key via
-    ``hash_join``), and reduces with one ``groupby(key).min``.  k steps =
-    k KB-payload aggregates + (k-1) key-sharded joins; the corpus streams
-    once per step with nothing driver-side but the final k counts.
+    assumption: the corpus streams ONCE into a pinned narrow
+    (key, event, ts) subset of step events; each step filters that subset,
+    joins it against the previous step's FRONTIER table (one (key, t) row
+    per surviving key, sharded by key via ``hash_join``), and reduces with
+    one ``groupby(key).min``.  k steps = k KB-payload aggregates + (k-1)
+    key-sharded joins; nothing driver-side but the final k counts.
 
     Timestamps compare in int64 nanoseconds — identical ordering to SQL
     timestamp comparison, so the step counts hash-match a chained-CTE
@@ -230,7 +230,7 @@ def cohort_retention(ds: "ray.data.Dataset", *, key_col: str, ts_col: str,
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Min
 
     from .joins import hash_join
 
@@ -247,20 +247,11 @@ def cohort_retention(ds: "ray.data.Dataset", *, key_col: str, ts_col: str,
     first = pairs.groupby(key_col).aggregate(Min("__b",
                                                  alias_name="__cohort"))
     j = hash_join(pairs, first, on=key_col)
-
-    def ones(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "__cohort": t.column("__cohort"), "__b": t.column("__b"),
-            "__one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
-        })
-
-    out = (j.map_batches(ones, batch_format="pyarrow")
-           .groupby(["__cohort", "__b"])
-           .aggregate(Sum("__one", alias_name="n_keys")).to_pandas())
+    out = j.groupby(["__cohort", "__b"]).count().to_pandas()
     res = pd.DataFrame({
         "cohort": pd.to_datetime(out["__cohort"], unit="us"),
         "bucket": pd.to_datetime(out["__b"], unit="us"),
-        "n_keys": out["n_keys"].astype("int64"),
+        "n_keys": out["count()"].astype("int64"),
     })
     res["cohort"] = res["cohort"].astype("datetime64[us]")
     res["bucket"] = res["bucket"].astype("datetime64[us]")

@@ -623,3 +623,17 @@ def test_latest_per_key_matches_window(ray_session):
            .drop_duplicates("k").sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(out[["k", "v", "uid"]],
                                   ref[["k", "v", "uid"]])
+
+
+def test_grouped_count_distinct_excludes_null(ray_session):
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_count_distinct,
+    )
+
+    df = pd.DataFrame({"k": ["a", "a", "a", "b"],
+                       "v": [1.0, 2.0, np.nan, np.nan]})
+    out = grouped_count_distinct(ray.data.from_pandas(df), "k", "v")
+    got = dict(zip(out["k"], out["n_distinct"]))
+    assert got.get("a") == 2 and got.get("b", 0) == 0
