@@ -1263,6 +1263,17 @@ def _q_quantity_moments(sf_dir: str):
     return grouped_moments(li, "l_returnflag", "l_quantity", quantize=1.0)
 
 
+def _q_value_histogram_by_type(sf_dir: str):
+    """Per-event-type fixed-bin histogram of events.value (25 bins over
+    [0, 500), edge clamp): 2-D bincount partials, KB groupby."""
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_value_histogram,
+    )
+
+    return grouped_value_histogram(_read(sf_dir, "events"), "event_type",
+                                   "value", lo=0.0, hi=500.0, bins=25)
+
+
 def _q_latest_order_per_customer(sf_dir: str):
     """Change-log compaction primitive: newest order row per customer
     (ORDER BY o_orderdate DESC, o_orderkey DESC), two-level per-batch
@@ -2400,6 +2411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": _q_user_retention,
         "neardup_triangles": _q_neardup_triangles,
         "latest_order_per_customer": _q_latest_order_per_customer,
+        "value_histogram_by_type": _q_value_histogram_by_type,
         "rolling_orders": _q_rolling_orders,
         "region_nations_concat": _q_region_nations_concat,
         "price_deciles": _q_price_deciles,
@@ -3290,6 +3302,14 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(ABS(ku) * 1000000.0 + 0.5) * SIGN(ku)
                        / 1000000.0 + 0.0 AS kurt_excess
             FROM v
+        """,
+        "value_histogram_by_type": """
+            SELECT event_type,
+                   CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 20.0), 0), 24)
+                        AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY event_type, bin
+            ORDER BY event_type, bin
         """,
         "latest_order_per_customer": """
             SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority

@@ -900,3 +900,42 @@ def latest_per_key(ds: "ray.data.Dataset", *, key: str, order_col: str,
 
     candidates = ds.map_batches(best, batch_format="pandas")
     return candidates.groupby(key).map_groups(best, batch_format="pandas")
+
+
+def grouped_value_histogram(ds: "ray.data.Dataset", key: str, col: str, *,
+                            lo: float, hi: float, bins: int) -> pd.DataFrame:
+    """Per-key fixed-bin histogram — ``value_histogram`` with a group
+    dimension: each batch emits at most (#in-batch-keys × bins) nonzero
+    partial rows (2-D bincount over key-code × bin), one KB-scale groupby
+    folds them.  The per-source length/score distribution diagnostic of a
+    curation pipeline.  Returns (key, bin, n_rows) for non-empty cells.
+    """
+    from ray.data.aggregate import Sum
+
+    width = (hi - lo) / bins
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(np.floor((v - lo) / width), 0, bins - 1).astype(np.int64)
+        kcol = t.column(key)
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        enc = kcol.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        k = len(enc.dictionary)
+        counts = np.bincount(codes * bins + b, minlength=k * bins)
+        nz = np.flatnonzero(counts)
+        keys = enc.dictionary.take(pa.array(nz // bins))
+        return pa.table({key: keys,
+                         "bin": pa.array((nz % bins).astype(np.int64)),
+                         "n_rows": pa.array(counts[nz].astype(np.int64))})
+
+    out = (ds.select_columns([key, col])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby([key, "bin"]).aggregate(Sum("n_rows",
+                                                alias_name="n_rows"))
+           .to_pandas())
+    out["bin"] = out["bin"].astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values([key, "bin"]).reset_index(drop=True)

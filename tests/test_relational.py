@@ -637,3 +637,25 @@ def test_grouped_count_distinct_excludes_null(ray_session):
     out = grouped_count_distinct(ray.data.from_pandas(df), "k", "v")
     got = dict(zip(out["k"], out["n_distinct"]))
     assert got.get("a") == 2 and got.get("b", 0) == 0
+
+
+def test_grouped_value_histogram_matches_numpy(ray_session):
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_value_histogram,
+    )
+
+    rng = np.random.RandomState(59)
+    df = pd.DataFrame({"k": rng.choice(["x", "y"], 3000),
+                       "v": rng.uniform(-50, 550, 3000)})
+    out = grouped_value_histogram(
+        ray.data.from_pandas(df, override_num_blocks=7), "k", "v",
+        lo=0.0, hi=500.0, bins=10)
+    for g in ("x", "y"):
+        v = df[df["k"] == g]["v"].to_numpy()
+        b = np.clip(np.floor(v / 50.0), 0, 9).astype(int)
+        ref = np.bincount(b, minlength=10)
+        got = out[out["k"] == g].set_index("bin")["n_rows"]
+        for i in range(10):
+            assert got.get(i, 0) == ref[i]
