@@ -1263,6 +1263,19 @@ def _q_quantity_moments(sf_dir: str):
     return grouped_moments(li, "l_returnflag", "l_quantity", quantize=1.0)
 
 
+def _q_lineitem_profile(sf_dir: str):
+    """One-pass data-quality profile of lineitem's numeric columns:
+    per-batch tiny partials, KB groupby; min/max are raw data values so
+    doubles hash-match SQL with no rounding contract needed."""
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        profile_numeric_columns,
+    )
+
+    return profile_numeric_columns(
+        _read(sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
 def _q_value_histogram_by_type(sf_dir: str):
     """Per-event-type fixed-bin histogram of events.value (25 bins over
     [0, 500), edge clamp): 2-D bincount partials, KB groupby."""
@@ -2412,6 +2425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_triangles": _q_neardup_triangles,
         "latest_order_per_customer": _q_latest_order_per_customer,
         "value_histogram_by_type": _q_value_histogram_by_type,
+        "lineitem_profile": _q_lineitem_profile,
         "rolling_orders": _q_rolling_orders,
         "region_nations_concat": _q_region_nations_concat,
         "price_deciles": _q_price_deciles,
@@ -3302,6 +3316,35 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(ABS(ku) * 1000000.0 + 0.5) * SIGN(ku)
                        / 1000000.0 + 0.0 AS kurt_excess
             FROM v
+        """,
+        "lineitem_profile": """
+            SELECT * FROM (
+                SELECT 'l_discount' AS "column",
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(count(*) - count(l_discount) AS BIGINT)
+                           AS n_null,
+                       CAST(MIN(l_discount) AS DOUBLE) AS min_val,
+                       CAST(MAX(l_discount) AS DOUBLE) AS max_val
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+                       CAST(count(*) - count(l_extendedprice) AS BIGINT),
+                       CAST(MIN(l_extendedprice) AS DOUBLE),
+                       CAST(MAX(l_extendedprice) AS DOUBLE)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_quantity', CAST(count(*) AS BIGINT),
+                       CAST(count(*) - count(l_quantity) AS BIGINT),
+                       CAST(MIN(l_quantity) AS DOUBLE),
+                       CAST(MAX(l_quantity) AS DOUBLE)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_tax', CAST(count(*) AS BIGINT),
+                       CAST(count(*) - count(l_tax) AS BIGINT),
+                       CAST(MIN(l_tax) AS DOUBLE),
+                       CAST(MAX(l_tax) AS DOUBLE)
+                FROM lineitem)
+            ORDER BY "column"
         """,
         "value_histogram_by_type": """
             SELECT event_type,

@@ -939,3 +939,46 @@ def grouped_value_histogram(ds: "ray.data.Dataset", key: str, col: str, *,
     out["bin"] = out["bin"].astype("int64")
     out["n_rows"] = out["n_rows"].astype("int64")
     return out.sort_values([key, "bin"]).reset_index(drop=True)
+
+
+def profile_numeric_columns(ds: "ray.data.Dataset", cols: list[str]
+                            ) -> pd.DataFrame:
+    """Data-quality profile of numeric columns in ONE streaming pass: per
+    column (n_rows, n_null, min_val, max_val).  Each batch emits one tiny
+    partial row per column (no shuffle of the data, only the per-batch
+    stats), one KB-scale groupby folds them.  min/max are actual data
+    values (no arithmetic), so the result hash-matches SQL exactly even
+    for doubles.  All-null columns yield null min/max (SQL semantics).
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, n, nn, mn, mx = [], [], [], [], []
+        for c in cols:
+            col = t.column(c)
+            names.append(c)
+            n.append(t.num_rows)
+            nn.append(col.null_count)
+            mm = pc.min_max(col)
+            mn.append(mm["min"].as_py())
+            mx.append(mm["max"].as_py())
+        return pa.table({"column": pa.array(names),
+                         "__n": pa.array(n, pa.int64()),
+                         "__nn": pa.array(nn, pa.int64()),
+                         "__mn": pa.array(mn, pa.float64()),
+                         "__mx": pa.array(mx, pa.float64())})
+
+    out = (ds.select_columns(cols)
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("column")
+           .aggregate(Sum("__n", alias_name="n_rows"),
+                      Sum("__nn", alias_name="n_null"),
+                      Min("__mn", alias_name="min_val"),
+                      Max("__mx", alias_name="max_val"))
+           .to_pandas())
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_null"] = out["n_null"].astype("int64")
+    return out.sort_values("column").reset_index(drop=True)

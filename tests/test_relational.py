@@ -659,3 +659,21 @@ def test_grouped_value_histogram_matches_numpy(ray_session):
         got = out[out["k"] == g].set_index("bin")["n_rows"]
         for i in range(10):
             assert got.get(i, 0) == ref[i]
+
+
+def test_profile_numeric_columns(ray_session):
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        profile_numeric_columns,
+    )
+
+    df = pd.DataFrame({"a": [1.0, np.nan, 3.5, -2.0],
+                       "b": [np.nan, np.nan, np.nan, np.nan]})
+    out = profile_numeric_columns(
+        ray.data.from_pandas(df, override_num_blocks=2), ["a", "b"])
+    a = out[out["column"] == "a"].iloc[0]
+    assert a["n_rows"] == 4 and a["n_null"] == 1
+    assert a["min_val"] == -2.0 and a["max_val"] == 3.5
+    b = out[out["column"] == "b"].iloc[0]
+    assert b["n_null"] == 4 and np.isnan(b["min_val"])
