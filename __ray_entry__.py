@@ -1263,6 +1263,19 @@ def _q_quantity_moments(sf_dir: str):
     return grouped_moments(li, "l_returnflag", "l_quantity", quantize=1.0)
 
 
+def _q_lang_source_contingency(sf_dir: str):
+    """Chi-square independence diagnostics for documents' lang × source:
+    per-cell observed/expected/contribution from one combiner-compressed
+    pair groupby; per-cell outputs so no float fold order exists to
+    perturb the hash."""
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        contingency_expected,
+    )
+
+    return contingency_expected(_read(sf_dir, "documents"), "lang",
+                                "source")
+
+
 def _q_lineitem_profile(sf_dir: str):
     """One-pass data-quality profile of lineitem's numeric columns:
     per-batch tiny partials, KB groupby; min/max are raw data values so
@@ -2426,6 +2439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_order_per_customer": _q_latest_order_per_customer,
         "value_histogram_by_type": _q_value_histogram_by_type,
         "lineitem_profile": _q_lineitem_profile,
+        "lang_source_contingency": _q_lang_source_contingency,
         "rolling_orders": _q_rolling_orders,
         "region_nations_concat": _q_region_nations_concat,
         "price_deciles": _q_price_deciles,
@@ -3316,6 +3330,30 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(ABS(ku) * 1000000.0 + 0.5) * SIGN(ku)
                        / 1000000.0 + 0.0 AS kurt_excess
             FROM v
+        """,
+        "lang_source_contingency": """
+            WITH c AS (SELECT lang, source,
+                              CAST(count(*) AS BIGINT) AS n_obs
+                       FROM documents GROUP BY lang, source),
+            m AS (SELECT lang, source, n_obs,
+                         CAST(SUM(n_obs) OVER (PARTITION BY lang)
+                              AS DOUBLE) AS rt,
+                         CAST(SUM(n_obs) OVER (PARTITION BY source)
+                              AS DOUBLE) AS ct,
+                         CAST(SUM(n_obs) OVER () AS DOUBLE) AS n
+                  FROM c),
+            x AS (SELECT lang, source, n_obs,
+                         rt * ct / n AS e,
+                         (CAST(n_obs AS DOUBLE) - rt * ct / n)
+                         * (CAST(n_obs AS DOUBLE) - rt * ct / n)
+                         / (rt * ct / n) AS contrib
+                  FROM m)
+            SELECT lang, source, n_obs,
+                   FLOOR(ABS(e) * 1000000.0 + 0.5) * SIGN(e)
+                       / 1000000.0 + 0.0 AS e_micro,
+                   FLOOR(ABS(contrib) * 1000000.0 + 0.5) * SIGN(contrib)
+                       / 1000000.0 + 0.0 AS chi2_micro
+            FROM x ORDER BY lang, source
         """,
         "lineitem_profile": """
             SELECT * FROM (

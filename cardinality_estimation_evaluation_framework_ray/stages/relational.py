@@ -982,3 +982,35 @@ def profile_numeric_columns(ds: "ray.data.Dataset", cols: list[str]
     out["n_rows"] = out["n_rows"].astype("int64")
     out["n_null"] = out["n_null"].astype("int64")
     return out.sort_values("column").reset_index(drop=True)
+
+
+def contingency_expected(ds: "ray.data.Dataset", a_col: str, b_col: str
+                         ) -> pd.DataFrame:
+    """Contingency table with independence diagnostics: per (a, b) cell the
+    observed count, the expected count under independence
+    (row_total × col_total / n) and the chi-square contribution
+    ((o − e)² / e) — the building blocks of a chi² independence test,
+    returned PER CELL so no cross-cell float summation order can perturb
+    the oracle hash (sum the contributions downstream for the statistic).
+
+    Distributed shape: ONE combiner-compressed groupby over distinct
+    (a, b) pairs; marginals and the per-cell expression are driver-side
+    over the ≤ |A|·|B| cell table.  Rational outputs → half-away
+    micro-rounding mirrored in the SQL oracle.
+    """
+    cells = (ds.select_columns([a_col, b_col])
+             .groupby([a_col, b_col]).count().to_pandas()
+             .rename(columns={"count()": "n_obs"}))
+    cells["n_obs"] = cells["n_obs"].astype("int64")
+    n = float(cells["n_obs"].sum())
+    rt = cells.groupby(a_col)["n_obs"].transform("sum").astype("float64")
+    ct = cells.groupby(b_col)["n_obs"].transform("sum").astype("float64")
+    o = cells["n_obs"].astype("float64")
+    # expression tree mirrored in the oracle SQL — keep op order fixed
+    e = rt * ct / n
+    contrib = (o - e) * (o - e) / e
+    out = pd.DataFrame({a_col: cells[a_col], b_col: cells[b_col],
+                        "n_obs": cells["n_obs"],
+                        "e_micro": _micro_round(e),
+                        "chi2_micro": _micro_round(contrib)})
+    return out.sort_values([a_col, b_col]).reset_index(drop=True)

@@ -677,3 +677,27 @@ def test_profile_numeric_columns(ray_session):
     assert a["min_val"] == -2.0 and a["max_val"] == 3.5
     b = out[out["column"] == "b"].iloc[0]
     assert b["n_null"] == 4 and np.isnan(b["min_val"])
+
+
+def test_contingency_expected_matches_scipy(ray_session):
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        contingency_expected,
+    )
+
+    rng = np.random.RandomState(61)
+    df = pd.DataFrame({"a": rng.choice(["p", "q", "r"], 2000),
+                       "b": rng.choice(["x", "y"], 2000)})
+    out = contingency_expected(ray.data.from_pandas(df,
+                                                    override_num_blocks=5),
+                               "a", "b")
+    piv = df.groupby(["a", "b"]).size().unstack(fill_value=0)
+    exp = np.outer(piv.sum(axis=1), piv.sum(axis=0)) / piv.to_numpy().sum()
+    chi2_ref = ((piv.to_numpy() - exp) ** 2 / exp).sum()
+    assert abs(out["chi2_micro"].sum() - chi2_ref) < 1e-3
+    for _, row in out.iterrows():
+        i = list(piv.index).index(row["a"])
+        j = list(piv.columns).index(row["b"])
+        assert row["n_obs"] == piv.to_numpy()[i, j]
+        assert abs(row["e_micro"] - exp[i, j]) < 1e-5
