@@ -3332,9 +3332,15 @@ def oracle_sql() -> dict[str, str]:
             FROM v
         """,
         "lang_source_contingency": """
-            WITH c AS (SELECT lang, source,
-                              CAST(count(*) AS BIGINT) AS n_obs
-                       FROM documents GROUP BY lang, source),
+            WITH c0 AS (SELECT lang, source,
+                               CAST(count(*) AS BIGINT) AS n_obs
+                        FROM documents GROUP BY lang, source),
+            g AS (SELECT l.lang, s.source
+                  FROM (SELECT DISTINCT lang FROM documents) l
+                  CROSS JOIN (SELECT DISTINCT source FROM documents) s),
+            c AS (SELECT g.lang, g.source,
+                         CAST(COALESCE(c0.n_obs, 0) AS BIGINT) AS n_obs
+                  FROM g LEFT JOIN c0 USING (lang, source)),
             m AS (SELECT lang, source, n_obs,
                          CAST(SUM(n_obs) OVER (PARTITION BY lang)
                               AS DOUBLE) AS rt,

@@ -336,6 +336,17 @@ def write_sorted_partitioned(ds: "ray.data.Dataset", col: str, out_dir: str,
             .map_groups(write_bucket, batch_format="pandas").to_pandas())
 
 
+
+def _key_codes(t: "pa.Table", key: str):
+    """Shared key-encoding of the grouped primitives: combine chunks,
+    dictionary-encode, return (distinct-key Arrow array, int64 codes)."""
+    kcol = t.column(key)
+    if isinstance(kcol, pa.ChunkedArray):
+        kcol = kcol.combine_chunks()
+    enc = kcol.dictionary_encode()
+    return enc.dictionary, np.asarray(enc.indices, dtype=np.int64)
+
+
 def group_zscore(ds: "ray.data.Dataset", key: str, value_col: str, *,
                  id_col: str, out_col: str = "z") -> "ray.data.Dataset":
     """Per-group standardization (the feature-normalization pass): z =
@@ -369,12 +380,8 @@ def group_zscore(ds: "ray.data.Dataset", key: str, value_col: str, *,
 
     def normalize(t: pa.Table) -> pa.Table:
         m = ray.get(ref)
-        kcol = t.column(key)
-        if isinstance(kcol, pa.ChunkedArray):
-            kcol = kcol.combine_chunks()
-        enc = kcol.dictionary_encode()
-        codes = np.asarray(enc.indices, dtype=np.int64)
-        vocab = enc.dictionary.to_pylist()  # distinct keys only, tiny
+        dictionary, codes = _key_codes(t, key)
+        vocab = dictionary.to_pylist()  # distinct keys only, tiny
         v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
         s = np.array([m[k][0] for k in vocab])[codes]
         ss = np.array([m[k][1] for k in vocab])[codes]
@@ -422,13 +429,9 @@ def _grouped_int_moments(ds: "ray.data.Dataset", key: str, cols: list[str],
         for c in cols:
             x = t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
             qs.append(np.floor(x / quantize + 0.5).astype(np.int64))
-        kcol = t.column(key)
-        if isinstance(kcol, pa.ChunkedArray):
-            kcol = kcol.combine_chunks()
-        enc = kcol.dictionary_encode()
-        codes = np.asarray(enc.indices, dtype=np.int64)
-        k = len(enc.dictionary)
-        out = {key: enc.dictionary,
+        dictionary, codes = _key_codes(t, key)
+        k = len(dictionary)
+        out = {key: dictionary,
                "__n": pa.array(np.bincount(codes, minlength=k)
                                .astype(np.int64))}
         for name, fn in terms.items():
@@ -861,15 +864,11 @@ def grouped_count_distinct(ds: "ray.data.Dataset", key: str, val_col: str,
              .groupby([key, val_col]).count())
 
     def per_key(t: pa.Table) -> pa.Table:
-        kcol = t.column(key)
-        if isinstance(kcol, pa.ChunkedArray):
-            kcol = kcol.combine_chunks()
-        enc = kcol.dictionary_encode()
-        codes = np.asarray(enc.indices, dtype=np.int64)
+        dictionary, codes = _key_codes(t, key)
         return pa.table({
-            key: enc.dictionary,
+            key: dictionary,
             "__c": pa.array(np.bincount(
-                codes, minlength=len(enc.dictionary)).astype(np.int64)),
+                codes, minlength=len(dictionary)).astype(np.int64)),
         })
 
     out = (pairs.map_batches(per_key, batch_format="pyarrow")
@@ -908,24 +907,27 @@ def grouped_value_histogram(ds: "ray.data.Dataset", key: str, col: str, *,
     dimension: each batch emits at most (#in-batch-keys × bins) nonzero
     partial rows (2-D bincount over key-code × bin), one KB-scale groupby
     folds them.  The per-source length/score distribution diagnostic of a
-    curation pipeline.  Returns (key, bin, n_rows) for non-empty cells.
+    curation pipeline.  Returns (key, bin, n_rows) for non-empty cells;
+    rows with a null key or value are excluded.
     """
+    import pyarrow.compute as pc
+
     from ray.data.aggregate import Sum
 
     width = (hi - lo) / bins
 
     def partial(t: pa.Table) -> pa.Table:
+        # nulls excluded (documented contract): a NaN value would poison
+        # the int bin and a null key the codes
+        t = t.filter(pc.and_(pc.is_valid(t.column(key)),
+                             pc.is_valid(t.column(col))))
         v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
         b = np.clip(np.floor((v - lo) / width), 0, bins - 1).astype(np.int64)
-        kcol = t.column(key)
-        if isinstance(kcol, pa.ChunkedArray):
-            kcol = kcol.combine_chunks()
-        enc = kcol.dictionary_encode()
-        codes = np.asarray(enc.indices, dtype=np.int64)
-        k = len(enc.dictionary)
+        dictionary, codes = _key_codes(t, key)
+        k = len(dictionary)
         counts = np.bincount(codes * bins + b, minlength=k * bins)
         nz = np.flatnonzero(counts)
-        keys = enc.dictionary.take(pa.array(nz // bins))
+        keys = dictionary.take(pa.array(nz // bins))
         return pa.table({key: keys,
                          "bin": pa.array((nz % bins).astype(np.int64)),
                          "n_rows": pa.array(counts[nz].astype(np.int64))})
@@ -995,13 +997,30 @@ def contingency_expected(ds: "ray.data.Dataset", a_col: str, b_col: str
 
     Distributed shape: ONE combiner-compressed groupby over distinct
     (a, b) pairs; marginals and the per-cell expression are driver-side
-    over the ≤ |A|·|B| cell table.  Rational outputs → half-away
-    micro-rounding mirrored in the SQL oracle.
+    over the ≤ |A|·|B| cell table.  The grid is COMPLETED with
+    zero-observed cells (their contribution is e, and omitting them would
+    understate the chi² sum on sparse tables).  Rows with a null key are
+    excluded.  Rational outputs → half-away micro-rounding mirrored in
+    the SQL oracle.
     """
+    import pyarrow.compute as pc
+
+    def drop_null_keys(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.is_valid(t.column(a_col)),
+                                pc.is_valid(t.column(b_col))))
+
     cells = (ds.select_columns([a_col, b_col])
+             .map_batches(drop_null_keys, batch_format="pyarrow",
+                          zero_copy_batch=True)
              .groupby([a_col, b_col]).count().to_pandas()
              .rename(columns={"count()": "n_obs"}))
     cells["n_obs"] = cells["n_obs"].astype("int64")
+    # complete the grid: every (a, b) combination, unobserved cells at 0
+    grid = pd.MultiIndex.from_product(
+        [sorted(cells[a_col].unique()), sorted(cells[b_col].unique())],
+        names=[a_col, b_col]).to_frame(index=False)
+    cells = grid.merge(cells, on=[a_col, b_col], how="left")
+    cells["n_obs"] = cells["n_obs"].fillna(0).astype("int64")
     n = float(cells["n_obs"].sum())
     rt = cells.groupby(a_col)["n_obs"].transform("sum").astype("float64")
     ct = cells.groupby(b_col)["n_obs"].transform("sum").astype("float64")

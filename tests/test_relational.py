@@ -689,9 +689,12 @@ def test_contingency_expected_matches_scipy(ray_session):
     rng = np.random.RandomState(61)
     df = pd.DataFrame({"a": rng.choice(["p", "q", "r"], 2000),
                        "b": rng.choice(["x", "y"], 2000)})
+    # plant a structurally-missing cell: (r, y) never co-occurs
+    df = df[~((df["a"] == "r") & (df["b"] == "y"))].reset_index(drop=True)
     out = contingency_expected(ray.data.from_pandas(df,
                                                     override_num_blocks=5),
                                "a", "b")
+    assert len(out) == 6  # completed grid includes the zero-observed cell
     piv = df.groupby(["a", "b"]).size().unstack(fill_value=0)
     exp = np.outer(piv.sum(axis=1), piv.sum(axis=0)) / piv.to_numpy().sum()
     chi2_ref = ((piv.to_numpy() - exp) ** 2 / exp).sum()
