@@ -48,22 +48,28 @@ def grouped_quantile_disc(ds: "ray.data.Dataset", key: str, value_col: str,
     """Exact per-group discrete quantile WITHOUT a global sort.
 
     groupby (key, value) counts — the only shuffle, over distinct pairs —
-    then a driver-side cumulative scan per key (percentile_disc semantics:
-    smallest value whose cumulative fraction >= q).  Right shape for values
-    with bounded distinct counts (lengths, scores); a full sort would move
-    every row.
+    then a DISTRIBUTED per-key cumulative scan (``groupby(key).map_groups``
+    over the count table; a task's group is one key's distinct values,
+    never its raw rows) with percentile_disc semantics: smallest value
+    whose cumulative fraction >= q.  Right shape for values with bounded
+    distinct counts (lengths, scores); a full sort would move every row.
     """
-    counts = ds.groupby([key, value_col]).count().to_pandas()
-    out = []
-    for k, g in counts.groupby(key):
+    out_col = f"p{int(q * 100)}_{value_col}"
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(value_col)
         cum = g["count()"].cumsum()
         total = cum.iloc[-1]
         idx = int(np.searchsorted(cum.values, q * total, side="left"))
         if cum.values[idx] < q * total:  # strict >= semantics
             idx += 1
-        out.append({key: k, f"p{int(q * 100)}_{value_col}": g[value_col].iloc[idx]})
-    return pd.DataFrame(out).sort_values(key).reset_index(drop=True)
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             out_col: [g[value_col].iloc[idx]]})
+
+    out = (ds.groupby([key, value_col]).count()
+           .groupby(key).map_groups(scan, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(key).reset_index(drop=True)
 
 
 def melt(ds: "ray.data.Dataset", id_vars: list[str], value_vars: list[str],
