@@ -1263,6 +1263,34 @@ def _q_quantity_moments(sf_dir: str):
     return grouped_moments(li, "l_returnflag", "l_quantity", quantize=1.0)
 
 
+def _q_unnest_embeddings(sf_dir: str):
+    """UNNEST/explode primitive over a list column: first 50 embedding
+    vectors to (vec_id, pos, q_micro) rows — pure Arrow offsets
+    arithmetic, no Python per row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        unnest_list,
+    )
+
+    emb = _read(sf_dir, "embeddings").map_batches(
+        lambda t: t.filter(pc.less(t.column("vec_id"), 50)),
+        batch_format="pyarrow")
+    out = unnest_list(emb, list_col="embedding", id_col="vec_id")
+
+    def micro(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t.column("value"), pa.float64()),
+            pa.scalar(1000000.0)), pa.scalar(0.5))), pa.int64())
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "pos": t.column("pos"), "q": q})
+
+    df = out.map_batches(micro, batch_format="pyarrow").to_pandas()
+    return (df.astype({"vec_id": "int64", "pos": "int64", "q": "int64"})
+            .sort_values(["vec_id", "pos"]).reset_index(drop=True))
+
+
 def _q_lang_source_contingency(sf_dir: str):
     """Chi-square independence diagnostics for documents' lang × source:
     per-cell observed/expected/contribution from one combiner-compressed
@@ -2440,6 +2468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram_by_type": _q_value_histogram_by_type,
         "lineitem_profile": _q_lineitem_profile,
         "lang_source_contingency": _q_lang_source_contingency,
+        "unnest_embeddings": _q_unnest_embeddings,
         "rolling_orders": _q_rolling_orders,
         "region_nations_concat": _q_region_nations_concat,
         "price_deciles": _q_price_deciles,
@@ -3330,6 +3359,17 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(ABS(ku) * 1000000.0 + 0.5) * SIGN(ku)
                        / 1000000.0 + 0.0 AS kurt_excess
             FROM v
+        """,
+        "unnest_embeddings": """
+            WITH e0 AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) AS i,
+                       unnest(embedding) AS x
+                FROM embeddings WHERE vec_id < 50)
+            SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+                   CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                        AS BIGINT) AS q
+            FROM e0 ORDER BY vec_id, pos
         """,
         "lang_source_contingency": """
             WITH c0 AS (SELECT lang, source,

@@ -1039,3 +1039,38 @@ def contingency_expected(ds: "ray.data.Dataset", a_col: str, b_col: str
                         "e_micro": _micro_round(e),
                         "chi2_micro": _micro_round(contrib)})
     return out.sort_values([a_col, b_col]).reset_index(drop=True)
+
+
+def unnest_list(ds: "ray.data.Dataset", *, list_col: str, id_col: str,
+                out_col: str = "value", pos_col: str = "pos"
+                ) -> "ray.data.Dataset":
+    """SQL UNNEST / explode: one output row per list element with its
+    0-based position — embarrassingly parallel (pure Arrow offsets
+    arithmetic per batch, the id column repeated by list lengths; no
+    Python per row, no shuffle).  Null lists yield no rows (SQL unnest
+    semantics); output order within a batch follows input order.
+    """
+
+    import pyarrow.compute as pc
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t.column(list_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # null list slots must contribute zero rows AND zero offsets drift
+        valid = pc.is_valid(col)
+        t = t.filter(valid)
+        col = col.filter(valid)
+        offsets = np.asarray(col.offsets, dtype=np.int64)
+        lengths = np.diff(offsets - offsets[0])
+        values = col.flatten()
+        ids = t.column(id_col).take(pa.array(
+            np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)))
+        pos = (np.arange(int(lengths.sum()), dtype=np.int64)
+               - np.repeat(np.concatenate([[0], np.cumsum(lengths)[:-1]]),
+                           lengths))
+        return pa.table({id_col: ids, pos_col: pa.array(pos),
+                         out_col: values})
+
+    return ds.select_columns([id_col, list_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)

@@ -704,3 +704,25 @@ def test_contingency_expected_matches_scipy(ray_session):
         j = list(piv.columns).index(row["b"])
         assert row["n_obs"] == piv.to_numpy()[i, j]
         assert abs(row["e_micro"] - exp[i, j]) < 1e-5
+
+
+def test_unnest_list_matches_explode(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        unnest_list,
+    )
+
+    tbl = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "xs": pa.array([[10, 11], [], None, [12]],
+                       pa.list_(pa.int64())),
+    })
+    out = (unnest_list(ray.data.from_arrow(tbl), list_col="xs",
+                       id_col="id")
+           .to_pandas().sort_values(["id", "pos"]).reset_index(drop=True))
+    assert out["id"].tolist() == [1, 1, 4]
+    assert out["pos"].tolist() == [0, 1, 0]
+    assert out["value"].tolist() == [10, 11, 12]
