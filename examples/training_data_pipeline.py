@@ -150,6 +150,26 @@ def main() -> None:
     pk = packed.to_pandas()
     n_examples = int(pk["last_pack"].max()) + 1 if len(pk) else 0
 
+    # 7) post-curation analytics: the curated corpus' most frequent token
+    # ids via the heavy-hitters summary (capacity-bounded shuffle payload)
+    from cardinality_estimation_evaluation_framework_ray.stages.build import (
+        build_sketch_states,
+        collect_states,
+        union_across_keys,
+    )
+    from cardinality_estimation_evaluation_framework_ray.stages.text import (
+        tokenize_documents,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import (
+        HeavyHittersSpec,
+    )
+
+    hh_specs = {"hh": HeavyHittersSpec(capacity=4096)}
+    hh_states = build_sketch_states(tokenize_documents(curated), hh_specs)
+    hh = union_across_keys(collect_states(hh_states, hh_specs),
+                           hh_specs)["hh"]
+    top_toks, top_counts = hh.topk(5)
+
     print(f"docs in                 : {n0}")
     if len(overlap):
         hot = overlap.sort_values("shared_grams", ascending=False).iloc[0]
@@ -164,6 +184,9 @@ def main() -> None:
     print(f"after domain mixing     : {len(mix_ids)}")
     print(f"chunks                  : {chunks.count()}")
     print(f"packed {args.seq_len}-char examples : {n_examples}")
+    print("top curated token ids   : "
+          + ", ".join(f"{t}x{c}" for t, c in zip(top_toks.tolist(),
+                                                 top_counts.tolist())))
     ray.shutdown()
 
 
