@@ -1263,6 +1263,37 @@ def _q_quantity_moments(sf_dir: str):
     return grouped_moments(li, "l_returnflag", "l_quantity", quantize=1.0)
 
 
+def _q_top_orders_per_priority(sf_dir: str):
+    """Per-priority leaderboard: 3 most expensive orders (cents, orderkey
+    tiebreak) via the two-level per-group top-k — a key's full history
+    never sits in one task."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        top_k_rows_per_group,
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(
+            t.column("o_totalprice"), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        return pa.table({"o_orderpriority": t.column("o_orderpriority"),
+                         "o_orderkey": t.column("o_orderkey"),
+                         "cents": c})
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderpriority", "o_orderkey", "o_totalprice"]).map_batches(
+        cents, batch_format="pyarrow")
+    out = top_k_rows_per_group(orders, key="o_orderpriority",
+                               order_col="cents", k=3,
+                               tiebreak=["o_orderkey"]).to_pandas()
+    return (out.astype({"o_orderkey": "int64", "cents": "int64"})
+            .sort_values(["o_orderpriority", "cents", "o_orderkey"],
+                         ascending=[True, False, False])
+            .reset_index(drop=True))
+
+
 def _q_unnest_embeddings(sf_dir: str):
     """UNNEST/explode primitive over a list column: first 50 embedding
     vectors to (vec_id, pos, q_micro) rows — pure Arrow offsets
@@ -2469,6 +2500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_profile": _q_lineitem_profile,
         "lang_source_contingency": _q_lang_source_contingency,
         "unnest_embeddings": _q_unnest_embeddings,
+        "top_orders_per_priority": _q_top_orders_per_priority,
         "rolling_orders": _q_rolling_orders,
         "region_nations_concat": _q_region_nations_concat,
         "price_deciles": _q_price_deciles,
@@ -3359,6 +3391,19 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(ABS(ku) * 1000000.0 + 0.5) * SIGN(ku)
                        / 1000000.0 + 0.0 AS kurt_excess
             FROM v
+        """,
+        "top_orders_per_priority": """
+            WITH q AS (SELECT o_orderpriority, o_orderkey,
+                              CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT) AS cents
+                       FROM orders),
+            r AS (SELECT o_orderpriority, o_orderkey, cents,
+                         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                             ORDER BY cents DESC, o_orderkey DESC) AS rn
+                  FROM q)
+            SELECT o_orderpriority, o_orderkey, cents FROM r
+            WHERE rn <= 3
+            ORDER BY o_orderpriority, cents DESC, o_orderkey DESC
         """,
         "unnest_embeddings": """
             WITH e0 AS (

@@ -1074,3 +1074,30 @@ def unnest_list(ds: "ray.data.Dataset", *, list_col: str, id_col: str,
 
     return ds.select_columns([id_col, list_col]).map_batches(
         explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_k_rows_per_group(ds: "ray.data.Dataset", *, key: str,
+                         order_col: str, k: int,
+                         tiebreak: list[str] | None = None,
+                         ascending: bool = False) -> "ray.data.Dataset":
+    """Per-group leaderboard: the k FULL rows with the largest (default)
+    or smallest ``order_col`` per key — SQL ``ROW_NUMBER() OVER (PARTITION
+    BY key ORDER BY ...) <= k``, generalizing ``latest_per_key`` (k = 1).
+
+    Two-level plan: each batch keeps at most k candidate rows per in-batch
+    key (map-side combine), then one groupby re-runs the same selection
+    over ≤ #blocks·k candidates per key — never a key's full history in
+    one task.  ``(order_col, *tiebreak)`` must totally order each key's
+    rows for a deterministic, oracle-hashable result.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    sort_cols = [order_col] + list(tiebreak or [])
+    asc = [ascending] * len(sort_cols)
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(sort_cols, ascending=asc, kind="stable")
+                .groupby(key, sort=False).head(k))
+
+    candidates = ds.map_batches(best, batch_format="pandas")
+    return candidates.groupby(key).map_groups(best, batch_format="pandas")

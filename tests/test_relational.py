@@ -726,3 +726,28 @@ def test_unnest_list_matches_explode(ray_session):
     assert out["id"].tolist() == [1, 1, 4]
     assert out["pos"].tolist() == [0, 1, 0]
     assert out["value"].tolist() == [10, 11, 12]
+
+
+def test_top_k_rows_per_group_matches_window(ray_session):
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        top_k_rows_per_group,
+    )
+
+    rng = np.random.RandomState(67)
+    df = pd.DataFrame({"k": rng.randint(0, 30, 1500),
+                       "v": rng.randint(0, 25, 1500),
+                       "uid": np.arange(1500, dtype=np.int64)})
+    out = (top_k_rows_per_group(
+        ray.data.from_pandas(df, override_num_blocks=8),
+        key="k", order_col="v", k=3, tiebreak=["uid"])
+        .to_pandas().sort_values(["k", "v", "uid"],
+                                 ascending=[True, False, False])
+        .reset_index(drop=True))
+    ref = (df.sort_values(["v", "uid"], ascending=False, kind="stable")
+           .groupby("k", sort=False).head(3)
+           .sort_values(["k", "v", "uid"], ascending=[True, False, False])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(out[["k", "v", "uid"]],
+                                  ref[["k", "v", "uid"]])
