@@ -1883,6 +1883,48 @@ def _q_theta_common_words(sf_dir: str):
                                       "n_only_a": "int64"})
 
 
+def _q_theta_jaccard_sources(sf_dir: str):
+    """Pairwise source-vocabulary Jaccard from theta-sketch SET ALGEBRA:
+    one corpus scan builds a per-source state (groupby UDAF), every pair
+    is a driver-side intersect + union over KB states; exact below
+    saturation, so the micro-rounded ratio hash-matches a distinct-token
+    SQL oracle (word-hash replica ids)."""
+    import pickle
+
+    import numpy as np
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.build import (
+        sketch_aggregation,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import (
+        ThetaSpec,
+        theta_intersect,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state.base import (
+        Sketch,
+    )
+
+    spec = ThetaSpec(k=65536, seed=11)
+    agg = sketch_aggregation(spec, name="st", output="state")
+    states = _tokens_ds(sf_dir).groupby("source").aggregate(agg).to_pandas()
+    blobs = {r["source"]: r["st"] for _, r in states.iterrows()}
+    srcs = sorted(blobs)
+    rows = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            sa = Sketch.from_bytes(spec, blobs[a])
+            sb = Sketch.from_bytes(spec, blobs[b])
+            inter = float(theta_intersect(sa, sb).estimate()[0])
+            sa.merge_in(sb)  # union in place
+            union = float(sa.estimate()[0])
+            jac = np.floor(inter / union * 1e6 + 0.5) if union else 0.0
+            rows.append({"source_a": a, "source_b": b,
+                         "jaccard_micro": int(jac)})
+    return (pd.DataFrame(rows).astype({"jaccard_micro": "int64"})
+            .sort_values(["source_a", "source_b"]).reset_index(drop=True))
+
+
 def _q_events_zscore_by_type(sf_dir: str):
     """Per-event-type standardization of value-cents (broadcast-stats
     normalization; exact integer moments make z bit-reproducible)."""
@@ -2510,6 +2552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_reach_6h": _q_sliding_reach_6h,
         "theta_reach_by_lang": _q_theta_reach_by_lang,
         "theta_common_words": _q_theta_common_words,
+        "theta_jaccard_sources": _q_theta_jaccard_sources,
         "events_zscore_by_type": _q_events_zscore_by_type,
         "value_histogram": _q_value_histogram,
         "normalized_text": _q_normalized_text,
@@ -3391,6 +3434,41 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(ABS(ku) * 1000000.0 + 0.5) * SIGN(ku)
                        / 1000000.0 + 0.0 AS kurt_excess
             FROM v
+        """,
+        "theta_jaccard_sources": f"""
+            WITH occ AS (
+                SELECT source, unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS tok
+                FROM documents),
+            dw AS (SELECT DISTINCT source, tok FROM occ),
+            words AS (SELECT DISTINCT tok FROM dw),
+            {_word_hash_ctes(97)},
+            ids AS (SELECT DISTINCT d.source,
+                           CAST((w.h % 2147483648) AS BIGINT) AS token
+                    FROM whh w JOIN dw d USING (tok)),
+            c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                  FROM ids GROUP BY source),
+            p AS (SELECT a.source AS source_a, b.source AS source_b,
+                         CAST(count(*) AS BIGINT) AS n_common
+                  FROM ids a JOIN ids b
+                       ON a.token = b.token AND a.source < b.source
+                  GROUP BY source_a, source_b),
+            g AS (SELECT x.source AS source_a, y.source AS source_b
+                  FROM c x JOIN c y ON x.source < y.source),
+            j AS (SELECT g.source_a, g.source_b,
+                         CAST(COALESCE(p.n_common, 0) AS BIGINT)
+                             AS n_common,
+                         ca.n AS na, cb.n AS nb
+                  FROM g LEFT JOIN p USING (source_a, source_b)
+                  JOIN c ca ON ca.source = g.source_a
+                  JOIN c cb ON cb.source = g.source_b)
+            SELECT source_a, source_b,
+                   CAST(FLOOR(CAST(n_common AS DOUBLE)
+                              / CAST(na + nb - n_common AS DOUBLE)
+                              * 1000000.0 + 0.5) AS BIGINT)
+                       AS jaccard_micro
+            FROM j ORDER BY source_a, source_b
         """,
         "top_orders_per_priority": """
             WITH q AS (SELECT o_orderpriority, o_orderkey,
