@@ -1883,6 +1883,51 @@ def _q_theta_common_words(sf_dir: str):
                                       "n_only_a": "int64"})
 
 
+def _corr_matrix_oracle_sql() -> str:
+    """Oracle for ``lineitem_corr_matrix``: the 14 int64 sums and the six
+    pairwise ``grouped_corr`` expression trees, generated to mirror the
+    engine's pair orientation and float op order exactly."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    quant = ["1.0", "1.0", "0.01", "0.01"]
+    qsel = ", ".join(
+        f"CAST(FLOOR({c} / {q} + 0.5) AS BIGINT) AS x{i}"
+        for i, (c, q) in enumerate(zip(cols, quant)))
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    sums += [f"SUM(x{i}) AS s{i}" for i in range(4)]
+    sums += [f"SUM(x{i}*x{j}) AS s{i}_{j}"
+             for i in range(4) for j in range(i, 4)]
+    d = lambda x: f"CAST({x} AS DOUBLE)"
+
+    def corr(i, j):
+        num = (f"({d('n')} * {d(f's{i}_{j}')} "
+               f"- {d(f's{i}')} * {d(f's{j}')})")
+        var = lambda k: (f"({d('n')} * {d(f's{k}_{k}')} "
+                         f"- {d(f's{k}')} * {d(f's{k}')})")
+        return f"ROUND({num} / SQRT({var(i)} * {var(j)}), 6)"
+
+    pairs = "\n UNION ALL ".join(
+        f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b, "
+        f"{corr(i, j)} AS corr FROM m"
+        for i in range(4) for j in range(i + 1, 4))
+    return (f"WITH q AS (SELECT {qsel} FROM lineitem), "
+            f"m AS (SELECT {', '.join(sums)} FROM q) "
+            f"SELECT * FROM ({pairs}) ORDER BY col_a, col_b")
+
+
+def _q_lineitem_corr_matrix(sf_dir: str):
+    """All pairwise correlations of four lineitem measures in one pass
+    (14 int64 sums per batch); per-column quantization (dollars for the
+    big measures, basis points for the small ratios)."""
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        corr_matrix,
+    )
+
+    return corr_matrix(
+        _read(sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        quantize=[1.0, 1.0, 0.01, 0.01])
+
+
 def _q_theta_jaccard_sources(sf_dir: str):
     """Pairwise source-vocabulary Jaccard from theta-sketch SET ALGEBRA:
     one corpus scan builds a per-source state (groupby UDAF), every pair
@@ -2553,6 +2598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theta_reach_by_lang": _q_theta_reach_by_lang,
         "theta_common_words": _q_theta_common_words,
         "theta_jaccard_sources": _q_theta_jaccard_sources,
+        "lineitem_corr_matrix": _q_lineitem_corr_matrix,
         "events_zscore_by_type": _q_events_zscore_by_type,
         "value_histogram": _q_value_histogram,
         "normalized_text": _q_normalized_text,
@@ -3435,6 +3481,7 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000.0 + 0.0 AS kurt_excess
             FROM v
         """,
+        "lineitem_corr_matrix": _corr_matrix_oracle_sql(),
         "theta_jaccard_sources": f"""
             WITH occ AS (
                 SELECT source, unnest(list_filter(

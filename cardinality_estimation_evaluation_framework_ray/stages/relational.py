@@ -1101,3 +1101,53 @@ def top_k_rows_per_group(ds: "ray.data.Dataset", *, key: str,
 
     candidates = ds.map_batches(best, batch_format="pandas")
     return candidates.groupby(key).map_groups(best, batch_format="pandas")
+
+
+def corr_matrix(ds: "ray.data.Dataset", cols: list[str], *,
+                quantize: list[float] | None = None) -> pd.DataFrame:
+    """All pairwise Pearson correlations between ``cols`` in ONE streaming
+    pass: a single partial computes every Σx_i and Σx_i·x_j per batch
+    (len(cols) + C(n+1,2) int64 sums through the shared
+    ``_grouped_int_moments`` plan under a constant group), and the driver
+    evaluates the ``grouped_corr`` expression tree per pair — mirrored in
+    the oracle SQL.  ``quantize`` is per-column (floor(v/q + 0.5) ints;
+    defaults to 1.0 each); pick each q so |v/q| ≲ 1e5 (see
+    ``_EXACT_BATCH``).  Returns (col_a, col_b, corr) for i < j pairs.
+    """
+    import itertools
+
+    if quantize is None:
+        quantize = [1.0] * len(cols)
+
+    def scaled(t: pa.Table) -> pa.Table:
+        out = {"__g": pa.array(np.zeros(t.num_rows, dtype=np.int64))}
+        for c, q in zip(cols, quantize):
+            v = t.column(c).to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            out[c] = pa.array(v / q)
+        return pa.table(out)
+
+    terms = {}
+    for i in range(len(cols)):
+        terms[f"s{i}"] = (lambda idx: lambda *q: q[idx])(i)
+    for i, j in itertools.combinations_with_replacement(
+            range(len(cols)), 2):
+        terms[f"s{i}_{j}"] = (lambda a, b: lambda *q: q[a] * q[b])(i, j)
+
+    pre = ds.select_columns(cols).map_batches(
+        scaled, batch_format="pyarrow", zero_copy_batch=True)
+    m = _grouped_int_moments(pre, "__g", cols, 1.0, terms).iloc[0]
+    n = float(m["n"])
+    rows = []
+    for i, j in itertools.combinations(range(len(cols)), 2):
+        si, sj = float(m[f"s{i}"]), float(m[f"s{j}"])
+        sij = float(m[f"s{i}_{j}"])
+        sii, sjj = float(m[f"s{i}_{i}"]), float(m[f"s{j}_{j}"])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            # expression tree mirrored in the oracle SQL
+            corr = ((n * sij - si * sj)
+                    / np.sqrt((n * sii - si * si) * (n * sjj - sj * sj)))
+        rows.append({"col_a": cols[i], "col_b": cols[j],
+                     "corr": float(np.round(corr, 6))})
+    return (pd.DataFrame(rows).sort_values(["col_a", "col_b"])
+            .reset_index(drop=True))

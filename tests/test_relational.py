@@ -751,3 +751,25 @@ def test_top_k_rows_per_group_matches_window(ray_session):
            .reset_index(drop=True))
     pd.testing.assert_frame_equal(out[["k", "v", "uid"]],
                                   ref[["k", "v", "uid"]])
+
+
+def test_corr_matrix_matches_numpy(ray_session):
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        corr_matrix,
+    )
+
+    rng = np.random.RandomState(71)
+    n = 3000
+    a = rng.randint(0, 100, n).astype("float64")
+    df = pd.DataFrame({"a": a,
+                       "b": 2.0 * a + rng.randint(0, 50, n),
+                       "c": rng.randint(0, 100, n).astype("float64")})
+    out = corr_matrix(ray.data.from_pandas(df, override_num_blocks=7),
+                      ["a", "b", "c"])
+    ref = np.corrcoef(df[["a", "b", "c"]].to_numpy().T)
+    got = {(r["col_a"], r["col_b"]): r["corr"] for _, r in out.iterrows()}
+    assert abs(got[("a", "b")] - ref[0, 1]) < 1e-5
+    assert abs(got[("a", "c")] - ref[0, 2]) < 1e-5
+    assert abs(got[("b", "c")] - ref[1, 2]) < 1e-5
