@@ -1860,7 +1860,6 @@ def _q_theta_common_words(sf_dir: str):
     from cardinality_estimation_evaluation_framework_ray.state.base import (
         Sketch,
     )
-    import pickle
 
     spec = ThetaSpec(k=65536, seed=11)
     toks = tokenize_documents(_read(sf_dir, "documents"), source_col="lang")
@@ -1934,8 +1933,6 @@ def _q_theta_jaccard_sources(sf_dir: str):
     is a driver-side intersect + union over KB states; exact below
     saturation, so the micro-rounded ratio hash-matches a distinct-token
     SQL oracle (word-hash replica ids)."""
-    import pickle
-
     import numpy as np
     import pandas as pd
 
@@ -1954,12 +1951,15 @@ def _q_theta_jaccard_sources(sf_dir: str):
     agg = sketch_aggregation(spec, name="st", output="state")
     states = _tokens_ds(sf_dir).groupby("source").aggregate(agg).to_pandas()
     blobs = {r["source"]: r["st"] for _, r in states.iterrows()}
+    # deserialize each state ONCE; only sa needs a per-pair fresh copy
+    # because merge_in mutates it
+    sk = {s: Sketch.from_bytes(spec, blobs[s]) for s in blobs}
     srcs = sorted(blobs)
     rows = []
     for i, a in enumerate(srcs):
         for b in srcs[i + 1:]:
             sa = Sketch.from_bytes(spec, blobs[a])
-            sb = Sketch.from_bytes(spec, blobs[b])
+            sb = sk[b]
             inter = float(theta_intersect(sa, sb).estimate()[0])
             sa.merge_in(sb)  # union in place
             union = float(sa.estimate()[0])

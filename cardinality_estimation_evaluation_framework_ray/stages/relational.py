@@ -1062,13 +1062,13 @@ def unnest_list(ds: "ray.data.Dataset", *, list_col: str, id_col: str,
         t = t.filter(valid)
         col = col.filter(valid)
         offsets = np.asarray(col.offsets, dtype=np.int64)
-        lengths = np.diff(offsets - offsets[0])
+        starts = offsets[:-1] - offsets[0]  # length n, degrades to empty
+        lengths = np.diff(offsets)
         values = col.flatten()
         ids = t.column(id_col).take(pa.array(
             np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)))
         pos = (np.arange(int(lengths.sum()), dtype=np.int64)
-               - np.repeat(np.concatenate([[0], np.cumsum(lengths)[:-1]]),
-                           lengths))
+               - np.repeat(starts, lengths))
         return pa.table({id_col: ids, pos_col: pa.array(pos),
                          out_col: values})
 
@@ -1096,8 +1096,10 @@ def top_k_rows_per_group(ds: "ray.data.Dataset", *, key: str,
     asc = [ascending] * len(sort_cols)
 
     def best(df: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: a null key is its own partition (SQL PARTITION BY
+        # semantics, and what latest_per_key's drop_duplicates does at k=1)
         return (df.sort_values(sort_cols, ascending=asc, kind="stable")
-                .groupby(key, sort=False).head(k))
+                .groupby(key, sort=False, dropna=False).head(k))
 
     candidates = ds.map_batches(best, batch_format="pandas")
     return candidates.groupby(key).map_groups(best, batch_format="pandas")

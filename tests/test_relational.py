@@ -773,3 +773,36 @@ def test_corr_matrix_matches_numpy(ray_session):
     assert abs(got[("a", "b")] - ref[0, 1]) < 1e-5
     assert abs(got[("a", "c")] - ref[0, 2]) < 1e-5
     assert abs(got[("b", "c")] - ref[1, 2]) < 1e-5
+
+
+def test_unnest_list_all_null_batch(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        unnest_list,
+    )
+
+    tbl = pa.table({"id": pa.array([1, 2], pa.int64()),
+                    "xs": pa.array([None, None], pa.list_(pa.int64()))})
+    out = unnest_list(ray.data.from_arrow(tbl), list_col="xs", id_col="id")
+    assert out.count() == 0
+
+
+def test_top_k_rows_per_group_null_key_partition(ray_session):
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        top_k_rows_per_group,
+    )
+
+    df = pd.DataFrame({"k": ["a", None, "a", None],
+                       "v": [1, 2, 3, 4],
+                       "uid": np.arange(4, dtype=np.int64)})
+    out = (top_k_rows_per_group(ray.data.from_pandas(df), key="k",
+                                order_col="v", k=1, tiebreak=["uid"])
+           .to_pandas())
+    # null key is its own partition (SQL PARTITION BY semantics)
+    assert len(out) == 2
+    assert sorted(out["v"].tolist()) == [3, 4]
