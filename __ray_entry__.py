@@ -1913,6 +1913,59 @@ def _corr_matrix_oracle_sql() -> str:
             f"SELECT * FROM ({pairs}) ORDER BY col_a, col_b")
 
 
+def _q_custkey_overlap_theta(sf_dir: str):
+    """Join-key overlap diagnostics via theta sketches over TWO tables:
+    distinct custkeys of customer vs orders, their intersection (the
+    join-size / FK-integrity estimate) and each side's exclusive count —
+    one state per table, driver-side set algebra; exact below
+    saturation."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from cardinality_estimation_evaluation_framework_ray.stages.build import (
+        sketch_aggregation,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import (
+        ThetaSpec,
+        theta_difference,
+        theta_intersect,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state.base import (
+        Sketch,
+    )
+
+    spec = ThetaSpec(k=65536, seed=13)
+    agg = sketch_aggregation(spec, tokens_col="key", name="st",
+                             output="state")
+
+    def one(table: str, col: str):
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "g": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "key": t.column(col).cast(pa.int64()),
+            })
+
+        ds = _read(sf_dir, table).select_columns([col]).map_batches(
+            prep, batch_format="pyarrow")
+        df = ds.groupby("g").aggregate(agg).to_pandas()
+        return Sketch.from_bytes(spec, df["st"].iloc[0])
+
+    cust = one("customer", "c_custkey")
+    orders = one("orders", "o_custkey")
+    est = lambda sk: int(float(sk.estimate()[0]) + 0.5)
+    rows = [
+        ("customer_keys", est(cust)),
+        ("order_keys", est(orders)),
+        ("shared_keys", est(theta_intersect(cust, orders))),
+        ("customer_only", est(theta_difference(cust, orders))),
+        ("orders_only", est(theta_difference(orders, cust))),
+    ]
+    return (pd.DataFrame(rows, columns=["metric", "n"])
+            .astype({"n": "int64"})
+            .sort_values("metric").reset_index(drop=True))
+
+
 def _q_lineitem_corr_matrix(sf_dir: str):
     """All pairwise correlations of four lineitem measures in one pass
     (14 int64 sums per batch); per-column quantization (dollars for the
@@ -2599,6 +2652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theta_common_words": _q_theta_common_words,
         "theta_jaccard_sources": _q_theta_jaccard_sources,
         "lineitem_corr_matrix": _q_lineitem_corr_matrix,
+        "custkey_overlap_theta": _q_custkey_overlap_theta,
         "events_zscore_by_type": _q_events_zscore_by_type,
         "value_histogram": _q_value_histogram,
         "normalized_text": _q_normalized_text,
@@ -3482,6 +3536,29 @@ def oracle_sql() -> dict[str, str]:
             FROM v
         """,
         "lineitem_corr_matrix": _corr_matrix_oracle_sql(),
+        "custkey_overlap_theta": """
+            WITH c AS (SELECT DISTINCT c_custkey AS k FROM customer),
+            o AS (SELECT DISTINCT o_custkey AS k FROM orders)
+            SELECT * FROM (
+                SELECT 'customer_keys' AS metric,
+                       CAST((SELECT count(*) FROM c) AS BIGINT) AS n
+                UNION ALL
+                SELECT 'order_keys',
+                       CAST((SELECT count(*) FROM o) AS BIGINT)
+                UNION ALL
+                SELECT 'shared_keys',
+                       CAST((SELECT count(*) FROM c
+                             WHERE k IN (SELECT k FROM o)) AS BIGINT)
+                UNION ALL
+                SELECT 'customer_only',
+                       CAST((SELECT count(*) FROM c
+                             WHERE k NOT IN (SELECT k FROM o)) AS BIGINT)
+                UNION ALL
+                SELECT 'orders_only',
+                       CAST((SELECT count(*) FROM o
+                             WHERE k NOT IN (SELECT k FROM c)) AS BIGINT))
+            ORDER BY metric
+        """,
         "theta_jaccard_sources": f"""
             WITH occ AS (
                 SELECT source, unnest(list_filter(
