@@ -1913,6 +1913,17 @@ def _corr_matrix_oracle_sql() -> str:
             f"SELECT * FROM ({pairs}) ORDER BY col_a, col_b")
 
 
+def _q_events_hourly_resample(sf_dir: str):
+    """Gap-filled hourly event counts per type: observed (key, bucket)
+    groupby + a metadata spine with explicit zero buckets."""
+    from cardinality_estimation_evaluation_framework_ray.stages.windows import (
+        resample_counts,
+    )
+
+    return resample_counts(_read(sf_dir, "events"), key_col="event_type",
+                           ts_col="ts", unit="hour")
+
+
 def _q_custkey_overlap_theta(sf_dir: str):
     """Join-key overlap diagnostics via theta sketches over TWO tables:
     distinct custkeys of customer vs orders, their intersection (the
@@ -2653,6 +2664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theta_jaccard_sources": _q_theta_jaccard_sources,
         "lineitem_corr_matrix": _q_lineitem_corr_matrix,
         "custkey_overlap_theta": _q_custkey_overlap_theta,
+        "events_hourly_resample": _q_events_hourly_resample,
         "events_zscore_by_type": _q_events_zscore_by_type,
         "value_histogram": _q_value_histogram,
         "normalized_text": _q_normalized_text,
@@ -3536,6 +3548,22 @@ def oracle_sql() -> dict[str, str]:
             FROM v
         """,
         "lineitem_corr_matrix": _corr_matrix_oracle_sql(),
+        "events_hourly_resample": """
+            WITH b AS (SELECT event_type,
+                              date_trunc('hour', ts) AS bucket,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY event_type, bucket),
+            r AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM b),
+            s AS (SELECT unnest(generate_series(lo, hi,
+                                INTERVAL 1 HOUR)) AS bucket FROM r),
+            k AS (SELECT DISTINCT event_type FROM events)
+            SELECT k.event_type, s.bucket,
+                   CAST(COALESCE(b.n, 0) AS BIGINT) AS n
+            FROM k CROSS JOIN s
+            LEFT JOIN b ON b.event_type = k.event_type
+                       AND b.bucket = s.bucket
+            ORDER BY k.event_type, s.bucket
+        """,
         "custkey_overlap_theta": """
             WITH c AS (SELECT DISTINCT c_custkey AS k FROM customer),
             o AS (SELECT DISTINCT o_custkey AS k FROM orders)

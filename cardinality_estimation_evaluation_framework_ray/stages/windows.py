@@ -28,7 +28,8 @@ import pyarrow as pa
 
 import ray.data
 
-__all__ = ["windowed_agg", "rolling_agg"]
+__all__ = ["windowed_agg", "rolling_agg", "resample_counts",
+           "sliding_window_distinct"]
 
 _BUCKET = "__win_bucket__"
 _OWNER = "__win_owner__"
@@ -232,3 +233,45 @@ def sliding_window_distinct(ds: "ray.data.Dataset", spec, *, ts_col: str,
         merged = merge_many(spec, blobs[lo[i]:i + 1])
         est[i] = int(np.asarray(merged.estimate())[0] + 0.5)
     return pd.DataFrame({"bucket_start": starts, out_col: est})
+
+
+def resample_counts(ds: "ray.data.Dataset", *, key_col: str, ts_col: str,
+                    unit: str = "hour") -> pd.DataFrame:
+    """Gap-filled time-series resample: event counts per (key, calendar
+    bucket) with EXPLICIT ZERO rows for empty buckets over the corpus'
+    global [min, max] bucket range — the shape plotting/anomaly tooling
+    needs (a missing bucket and a zero bucket are different facts).
+
+    Distributed shape: one combiner-compressed groupby over observed
+    (key, bucket) pairs + a 2-number min/max aggregate; the zero-filled
+    spine (distinct keys × bucket range) is driver-side metadata.
+    Dimension contract: the KEY set must be bounded (event types,
+    sources) — the spine is |keys| × |buckets| rows by construction.
+    """
+    import pyarrow.compute as pc
+
+    def to_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor_temporal(t.column(ts_col), unit=unit),
+                    pa.timestamp("us"))
+        return pa.table({key_col: t.column(key_col), "bucket": b})
+
+    obs = (ds.select_columns([key_col, ts_col])
+           .map_batches(to_bucket, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby([key_col, "bucket"]).count().to_pandas()
+           .rename(columns={"count()": "n"}))
+    if obs.empty:
+        return pd.DataFrame({key_col: pd.Series(dtype=object),
+                             "bucket": pd.Series(dtype="datetime64[us]"),
+                             "n": pd.Series(dtype="int64")})
+    step = {"hour": "h", "day": "D", "minute": "min"}[unit]
+    spine_buckets = pd.date_range(obs["bucket"].min(), obs["bucket"].max(),
+                                  freq=step)
+    keys = sorted(obs[key_col].unique())
+    spine = pd.MultiIndex.from_product(
+        [keys, spine_buckets], names=[key_col, "bucket"]).to_frame(
+        index=False)
+    out = spine.merge(obs, on=[key_col, "bucket"], how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    out["bucket"] = out["bucket"].astype("datetime64[us]")
+    return (out.sort_values([key_col, "bucket"]).reset_index(drop=True))

@@ -221,3 +221,26 @@ def test_rolling_agg_group_guard(ray_session):
         rolling_agg(ds, key_col="k", order_cols=["ts", "id"], id_col="id",
                     frame_rows=3, value_col="v",
                     max_group_rows=10).materialize()
+
+
+def test_resample_counts_zero_fills_gaps(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.windows import (
+        resample_counts,
+    )
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "ts": pd.to_datetime(["2024-01-01 00:10", "2024-01-01 03:20",
+                              "2024-01-01 01:05"]),
+    })
+    out = resample_counts(ray.data.from_pandas(df), key_col="k",
+                          ts_col="ts", unit="hour")
+    # spine: 2 keys x 4 hours (00..03) = 8 rows, zeros where absent
+    assert len(out) == 8
+    a = out[out["k"] == "a"]["n"].tolist()
+    b = out[out["k"] == "b"]["n"].tolist()
+    assert a == [1, 0, 0, 1]
+    assert b == [0, 1, 0, 0]
