@@ -1950,20 +1950,23 @@ def _q_custkey_overlap_theta(sf_dir: str):
     agg = sketch_aggregation(spec, tokens_col="key", name="st",
                              output="state")
 
-    def one(table: str, col: str):
-        def prep(t: pa.Table) -> pa.Table:
+    def prep(col: str, tag: int):
+        def fn(t: pa.Table) -> pa.Table:
             return pa.table({
-                "g": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "g": pa.array(np.full(t.num_rows, tag, dtype=np.int64)),
                 "key": t.column(col).cast(pa.int64()),
             })
+        return fn
 
-        ds = _read(sf_dir, table).select_columns([col]).map_batches(
-            prep, batch_format="pyarrow")
-        df = ds.groupby("g").aggregate(agg).to_pandas()
-        return Sketch.from_bytes(spec, df["st"].iloc[0])
-
-    cust = one("customer", "c_custkey")
-    orders = one("orders", "o_custkey")
+    # ONE Ray job builds both per-table states: tag + union + groupby
+    both = (_read(sf_dir, "customer").select_columns(["c_custkey"])
+            .map_batches(prep("c_custkey", 0), batch_format="pyarrow")
+            .union(_read(sf_dir, "orders").select_columns(["o_custkey"])
+                   .map_batches(prep("o_custkey", 1),
+                                batch_format="pyarrow"))
+            .groupby("g").aggregate(agg).to_pandas().set_index("g"))
+    cust = Sketch.from_bytes(spec, both.loc[0, "st"])
+    orders = Sketch.from_bytes(spec, both.loc[1, "st"])
     est = lambda sk: int(float(sk.estimate()[0]) + 0.5)
     rows = [
         ("customer_keys", est(cust)),
@@ -2015,14 +2018,21 @@ def _q_theta_jaccard_sources(sf_dir: str):
     agg = sketch_aggregation(spec, name="st", output="state")
     states = _tokens_ds(sf_dir).groupby("source").aggregate(agg).to_pandas()
     blobs = {r["source"]: r["st"] for _, r in states.iterrows()}
-    # deserialize each state ONCE; only sa needs a per-pair fresh copy
-    # because merge_in mutates it
+    # deserialize each state ONCE; merge_in/theta_intersect rebind the
+    # mutated side's arrays rather than writing in place, so a shallow
+    # fresh sketch sharing sk[a]'s arrays is a safe per-pair "copy"
     sk = {s: Sketch.from_bytes(spec, blobs[s]) for s in blobs}
+
+    def clone(src):
+        c = spec.new()
+        c.hashes, c.theta = src.hashes, src.theta
+        return c
+
     srcs = sorted(blobs)
     rows = []
     for i, a in enumerate(srcs):
         for b in srcs[i + 1:]:
-            sa = Sketch.from_bytes(spec, blobs[a])
+            sa = clone(sk[a])
             sb = sk[b]
             inter = float(theta_intersect(sa, sb).estimate()[0])
             sa.merge_in(sb)  # union in place

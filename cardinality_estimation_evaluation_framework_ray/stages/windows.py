@@ -236,7 +236,8 @@ def sliding_window_distinct(ds: "ray.data.Dataset", spec, *, ts_col: str,
 
 
 def resample_counts(ds: "ray.data.Dataset", *, key_col: str, ts_col: str,
-                    unit: str = "hour") -> pd.DataFrame:
+                    unit: str = "hour",
+                    max_spine_rows: int = 10_000_000) -> pd.DataFrame:
     """Gap-filled time-series resample: event counts per (key, calendar
     bucket) with EXPLICIT ZERO rows for empty buckets over the corpus'
     global [min, max] bucket range — the shape plotting/anomaly tooling
@@ -246,9 +247,13 @@ def resample_counts(ds: "ray.data.Dataset", *, key_col: str, ts_col: str,
     (key, bucket) pairs + a 2-number min/max aggregate; the zero-filled
     spine (distinct keys × bucket range) is driver-side metadata.
     Dimension contract: the KEY set must be bounded (event types,
-    sources) — the spine is |keys| × |buckets| rows by construction.
+    sources) — the spine is |keys| × |buckets| rows by construction,
+    guarded by ``max_spine_rows`` (raise it knowingly for bigger grids).
     """
     import pyarrow.compute as pc
+
+    if unit not in ("hour", "day", "minute"):
+        raise ValueError("unit must be 'hour', 'day' or 'minute'")
 
     def to_bucket(t: pa.Table) -> pa.Table:
         b = pc.cast(pc.floor_temporal(t.column(ts_col), unit=unit),
@@ -267,7 +272,17 @@ def resample_counts(ds: "ray.data.Dataset", *, key_col: str, ts_col: str,
     step = {"hour": "h", "day": "D", "minute": "min"}[unit]
     spine_buckets = pd.date_range(obs["bucket"].min(), obs["bucket"].max(),
                                   freq=step)
-    keys = sorted(obs[key_col].unique())
+    # no sorted(): a null key is its own partition (SQL DISTINCT keeps
+    # NULL) and None doesn't compare with str; the final sort_values
+    # orders the output
+    keys = obs[key_col].unique()
+    n_spine = len(keys) * len(spine_buckets)
+    if n_spine > max_spine_rows:
+        raise ValueError(
+            f"resample spine would be {n_spine} rows "
+            f"({len(keys)} keys x {len(spine_buckets)} buckets) > "
+            f"max_spine_rows={max_spine_rows}; the bounded-key contract "
+            "is violated — aggregate or bucket the key upstream")
     spine = pd.MultiIndex.from_product(
         [keys, spine_buckets], names=[key_col, "bucket"]).to_frame(
         index=False)
