@@ -156,22 +156,39 @@ def _reduce_checkpoints(paths: list[str], specs: dict[str, SketchSpec],
     return merge_partials(partials, specs, key)
 
 
-def stable_partition_label(files: list[str]) -> str:
+def stable_partition_label(files: list[str], *,
+                           root: str | None = None) -> str:
     """Order-independent partition id: digest of the partition's file PATHS
     (not stat) — stable across corpus appends, re-listings and reorderings,
     unlike the positional ids of ``build_sketch_states_resumable``.  Full
     normalized paths, not basenames: two shard directories routinely reuse
     the same file names (2024/part-0.parquet vs 2025/part-0.parquet), and a
     basename digest would collide their checkpoints onto one path —
-    double-merging one partition and silently dropping the other."""
-    joined = ";".join(sorted(os.path.normpath(f) for f in files))
+    double-merging one partition and silently dropping the other.
+
+    Pass ``root`` (the corpus directory) when one is known: paths are then
+    digested RELATIVE to it, so relocating or remounting the corpus — or
+    listing it via a different path prefix — keeps every checkpoint valid.
+    Without a root the absolute path is the identity, and moving the
+    corpus invalidates checkpoints (a full rebuild, not corruption).
+    NOTE: adding a root where none was used before (or vice versa) is a
+    one-time invalidation of checkpoints created under the other scheme.
+    """
+    if root is not None:
+        norm = sorted(os.path.relpath(os.path.normpath(f),
+                                      os.path.normpath(root))
+                      for f in files)
+    else:
+        norm = sorted(os.path.normpath(f) for f in files)
+    joined = ";".join(norm)
     return hashlib.sha1(joined.encode()).hexdigest()[:16]
 
 
 def build_sketch_states_incremental(
         files: list[str], specs: dict[str, SketchSpec], ckpt_dir: str, *,
         key: str = "source", tokens_col: str = "tokens",
-        files_per_partition: int = 1, batch_size: int | None = 8192):
+        files_per_partition: int = 1, batch_size: int | None = 8192,
+        corpus_root: str | None = None):
     """Append-friendly resumable build over a GROWING corpus directory.
 
     Partitions are keyed by ``stable_partition_label`` (a digest of their
@@ -181,6 +198,11 @@ def build_sketch_states_incremental(
     content-changed, per input fingerprint) partitions and re-reduces.
     Positional ids would shift on append and invalidate everything after
     the insertion point.
+
+    Pass ``corpus_root`` (the directory the files were listed under) so
+    labels survive corpus relocation/remount — see
+    ``stable_partition_label``; switching an existing checkpoint dir to a
+    root (or away from one) is a one-time full rebuild.
 
     Returns ``(merged per-key state Dataset, report)`` where ``report`` is
     ``{"reused": [...], "built": [...]}`` partition labels — the lineage a
@@ -193,7 +215,7 @@ def build_sketch_states_incremental(
     cfg_hash = _config_hash(specs)
     paths, reused, built = [], [], []
     for part_files in partition_input_files(files, files_per_partition):
-        label = stable_partition_label(part_files)
+        label = stable_partition_label(part_files, root=corpus_root)
         path = _ckpt_path(ckpt_dir, label)
         if _checkpoint_is_valid(path, _fingerprint(part_files), cfg_hash):
             reused.append(label)

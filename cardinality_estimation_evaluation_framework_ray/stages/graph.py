@@ -32,7 +32,7 @@ import ray.data
 
 from .joins import hash_join
 
-__all__ = ["pagerank", "triangle_count"]
+__all__ = ["pagerank", "pagerank_int", "triangle_count"]
 
 
 def pagerank(edges: "ray.data.Dataset", *, src_col: str = "src",
@@ -116,6 +116,124 @@ def pagerank(edges: "ray.data.Dataset", *, src_col: str = "src",
                 "node": t.column("node"),
                 "deg": t.column("deg"),
                 "rank": pa.array(_add + damping * c),
+            })
+
+        rank = joined.map_batches(apply,
+                                  batch_format="pyarrow").materialize()
+
+    return rank.drop_columns(["deg"])
+
+
+def pagerank_int(edges: "ray.data.Dataset", *, src_col: str = "src",
+                 dst_col: str = "dst", damping_num: int = 85,
+                 damping_den: int = 100, iters: int = 10,
+                 scale: int = 10 ** 12) -> "ray.data.Dataset":
+    """DETERMINISTIC fixed-point PageRank: same join/groupby plan as
+    ``pagerank`` but every quantity is an int64 in units of 1/``scale``
+    and every division is a floor — so the result is BIT-IDENTICAL across
+    runs, partitionings and fold orders (integer sums are associative;
+    float ``pagerank`` is reproducible only to ulps).  That makes the op
+    SQL-oracle-hashable: the reference semantics per iteration are
+
+        contrib(e)  = (r[src] * damping_num) // (damping_den * deg[src])
+        teleport    = (scale * (damping_den - damping_num))
+                          // (damping_den * N)
+        dangling    = (dm * damping_num) // (damping_den * N)
+        r'[v]       = teleport + dangling + sum contrib over in-edges
+
+    exactly replicable in BIGINT CTEs (see ``__ray_entry__.py``'s
+    ``_pagerank_int_oracle_sql``).  Total mass decays by < N + #edges
+    units per iteration (floor losses), i.e. relative error < ~1e-6 at
+    the default scale for million-node graphs — the price of exact
+    reproducibility.  Overflow bound: ``scale * damping_num`` must fit
+    int64 (checked), and per-node in-sums are ≤ ``scale``.
+
+    Returns a Dataset of ``(node int64, rank_fp int64)``; rank_fp/scale
+    approximates the float PageRank.
+    """
+    from ray.data.aggregate import Sum
+
+    if scale * damping_num >= 2 ** 62:
+        raise ValueError("scale * damping_num must fit int64 with headroom")
+    if not (0 < damping_num < damping_den):
+        raise ValueError("need 0 < damping_num < damping_den")
+
+    edges = edges.select_columns([src_col, dst_col])
+
+    def as_node(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t.column(col)})
+        return fn
+
+    nodes = (edges.map_batches(as_node(src_col), batch_format="pyarrow")
+             .union(edges.map_batches(as_node(dst_col),
+                                      batch_format="pyarrow"))
+             .groupby("node").count()).materialize()
+    if nodes.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "rank_fp": pa.array([], pa.int64())}))
+    deg = edges.groupby(src_col).count()
+    base = hash_join(nodes.drop_columns(["count()"]), deg, on="node",
+                     right_key=src_col, how="left")
+
+    def with_deg(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        d = pc.fill_null(t.column("count()"), 0)
+        return pa.table({"node": t.column("node"),
+                         "deg": pc.cast(d, pa.int64())})
+
+    base = base.map_batches(with_deg, batch_format="pyarrow").materialize()
+    n_nodes = base.count()
+    r0 = scale // n_nodes
+
+    def seed(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "rank_fp", pa.array(np.full(t.num_rows, r0, np.int64)))
+
+    rank = base.map_batches(seed, batch_format="pyarrow").materialize()
+
+    def contrib(t: pa.Table) -> pa.Table:
+        # joined (src, dst, deg, rank_fp) rows: int64 scatter-add partials
+        # so at most #distinct-dst rows hit the groupby shuffle and the
+        # fold stays exact by construction
+        dst = t.column(dst_col)
+        if isinstance(dst, pa.ChunkedArray):
+            dst = dst.combine_chunks()
+        enc = dst.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        r = t.column("rank_fp").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        d = t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        per_edge = (r * damping_num) // (damping_den * d)
+        w = np.zeros(len(enc.dictionary), dtype=np.int64)
+        np.add.at(w, codes, per_edge)
+        return pa.table({"node": enc.dictionary, "__c": pa.array(w)})
+
+    def dangling_partial(t: pa.Table) -> dict:
+        d = t.column("deg").to_numpy(zero_copy_only=False)
+        r = t.column("rank_fp").to_numpy(zero_copy_only=False)
+        return {"dm": np.array([int(r[d == 0].sum())], dtype=np.int64)}
+
+    for _ in range(iters):
+        dm = int(rank.map_batches(dangling_partial, batch_format="pyarrow")
+                 .sum("dm") or 0)
+        msgs = (hash_join(edges, rank, on=src_col, right_key="node")
+                .map_batches(contrib, batch_format="pyarrow")
+                .groupby("node").aggregate(Sum("__c", alias_name="c")))
+        joined = hash_join(base, msgs, on="node", how="left")
+        add = (scale * (damping_den - damping_num)
+               // (damping_den * n_nodes)
+               + dm * damping_num // (damping_den * n_nodes))
+
+        def apply(t: pa.Table, _add=add) -> pa.Table:
+            import pyarrow.compute as pc
+            c = pc.fill_null(t.column("c"), 0).cast(pa.int64()).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "node": t.column("node"),
+                "deg": t.column("deg"),
+                "rank_fp": pa.array(_add + c),
             })
 
         rank = joined.map_batches(apply,

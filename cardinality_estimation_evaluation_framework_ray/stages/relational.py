@@ -354,7 +354,8 @@ def _key_codes(t: "pa.Table", key: str):
 
 
 def group_zscore(ds: "ray.data.Dataset", key: str, value_col: str, *,
-                 id_col: str, out_col: str = "z") -> "ray.data.Dataset":
+                 id_col: str, out_col: str = "z",
+                 max_keys: int = 100_000) -> "ray.data.Dataset":
     """Per-group standardization (the feature-normalization pass): z =
     (v - mean_g) / std_g, population std.
 
@@ -365,6 +366,13 @@ def group_zscore(ds: "ray.data.Dataset", key: str, value_col: str, *,
     normalizes its batch locally.  The float expression tree (mean = s/n,
     var = (ss - s*s/n)/n) is fixed, so results are bit-reproducible and
     SQL-hashable.  Groups with zero variance emit z = 0.
+
+    Dimension contract: the KEY set must be bounded (event types,
+    sources) — the stats table is one row per distinct key and is
+    collected to the driver and broadcast.  ``max_keys`` guards the
+    contract LOUDLY (checked on the distributed groupby result BEFORE
+    collecting): for an unbounded key (user ids), shard the key upstream
+    or normalize via a cogroup attach instead.
     """
     from ray.data.aggregate import Count, Sum
 
@@ -373,13 +381,21 @@ def group_zscore(ds: "ray.data.Dataset", key: str, value_col: str, *,
         return pa.table({key: t.column(key), value_col: pa.array(v),
                          "__sq": pa.array(v * v)})
 
-    stats = (ds.select_columns([key, value_col])
-             .map_batches(with_sq, batch_format="pyarrow")
-             .groupby(key)
-             .aggregate(Sum(value_col, alias_name="__s"),
-                        Sum("__sq", alias_name="__ss"),
-                        Count(alias_name="__n"))
-             .to_pandas())
+    stats_ds = (ds.select_columns([key, value_col])
+                .map_batches(with_sq, batch_format="pyarrow")
+                .groupby(key)
+                .aggregate(Sum(value_col, alias_name="__s"),
+                           Sum("__sq", alias_name="__ss"),
+                           Count(alias_name="__n"))
+                .materialize())
+    n_keys = stats_ds.count()
+    if n_keys > max_keys:
+        raise ValueError(
+            f"group_zscore stats table would hold {n_keys} distinct "
+            f"{key!r} keys > max_keys={max_keys}; the bounded-key "
+            "broadcast contract is violated — bucket the key upstream or "
+            "raise the guard knowingly")
+    stats = stats_ds.to_pandas()
     lut = {k: (float(s), float(ss), float(n)) for k, s, ss, n in zip(
         stats[key], stats["__s"], stats["__ss"], stats["__n"])}
     ref = ray.put(lut)
@@ -914,20 +930,31 @@ def grouped_value_histogram(ds: "ray.data.Dataset", key: str, col: str, *,
     partial rows (2-D bincount over key-code × bin), one KB-scale groupby
     folds them.  The per-source length/score distribution diagnostic of a
     curation pipeline.  Returns (key, bin, n_rows) for non-empty cells;
-    rows with a null key or value are excluded.
+    rows with a null key, or a null/NaN/inf value, are excluded.
     """
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Sum
 
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not (hi > lo):
+        raise ValueError(f"need hi > lo for a nonzero bin width, got "
+                         f"lo={lo} hi={hi}")
     width = (hi - lo) / bins
 
     def partial(t: pa.Table) -> pa.Table:
-        # nulls excluded (documented contract): a NaN value would poison
-        # the int bin and a null key the codes
+        # nulls AND non-finite values excluded (documented contract): a
+        # null key poisons the codes, and NaN/inf are pa-valid but
+        # np.floor(NaN).astype(int64) is undefined — it would scatter the
+        # row to an arbitrary bin
         t = t.filter(pc.and_(pc.is_valid(t.column(key)),
                              pc.is_valid(t.column(col))))
         v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        fin = np.isfinite(v)
+        if not fin.all():
+            t = t.filter(pa.array(fin))
+            v = v[fin]
         b = np.clip(np.floor((v - lo) / width), 0, bins - 1).astype(np.int64)
         dictionary, codes = _key_codes(t, key)
         k = len(dictionary)

@@ -236,12 +236,18 @@ def boolean_and_search(ds: "ray.data.Dataset", terms: list[str], *,
     index-backed form for repeated queries is ``doc_term_frequencies``
     semi-joined on the term set — same contract, amortized cost.)
 
-    Output: (id_col) of matching docs.  Word-hash contract (seed 99, the
-    SimHash/fingerprint replica) keeps the result SQL-oracle-able.
-    ``terms`` are lowercased and must be tokenizer-normal ([a-z0-9]+) —
-    same guard as ``bm25_scores``, since a non-normal term can never
-    equal any tokenized doc word and would silently match nothing.
+    Output: (id_col) of matching docs.  The hash probe is a PRE-FILTER;
+    survivors are re-verified against the LITERAL term strings (filter-
+    then-verify, the Bloom-semi-join composition), so a 64-bit word-hash
+    collision between a query term and a different vocabulary word cannot
+    false-match — the SQL-oracle equivalence is exact, not
+    collision-probable.  ``terms`` are lowercased and must be
+    tokenizer-normal ([a-z0-9]+) — same guard as ``bm25_scores``, since a
+    non-normal term can never equal any tokenized doc word and would
+    silently match nothing.
     """
+    import re
+
     terms = [t.lower() for t in terms]
     for t in terms:
         if not t or not all(c.islower() or c.isdigit() for c in t):
@@ -249,11 +255,21 @@ def boolean_and_search(ds: "ray.data.Dataset", terms: list[str], *,
     # unique: a duplicated term would leave its second sorted slot at
     # tf 0 and veto every doc
     q_sorted = np.unique(hash_strings(terms, seed))
+    term_set = frozenset(terms)
+    split = re.compile(r"[^a-z0-9]+")
 
     def probe(t: pa.Table) -> pa.Table:
         word_h, lengths = _doc_word_hashes(t, text_col, seed)
         tf = _term_tf(word_h, lengths, q_sorted)
         hit_all = (tf > 0).all(axis=1)
+        if hit_all.any():
+            # exact verify of the (few) hash-probe survivors: every term
+            # must appear LITERALLY as a standalone token
+            texts = t.column(text_col).to_pylist()
+            for i in np.flatnonzero(hit_all):
+                toks = set(split.split((texts[i] or "").lower()))
+                if not term_set <= toks:
+                    hit_all[i] = False
         return pa.table({id_col: t.column(id_col).filter(
             pa.array(hit_all))})
 

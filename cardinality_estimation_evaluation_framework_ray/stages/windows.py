@@ -200,12 +200,13 @@ def sliding_window_distinct(ds: "ray.data.Dataset", spec, *, ts_col: str,
     but still advance the window, matching the SQL RANGE-interval frame).
 
     Scale: the second stage touches only #buckets state rows (hours of a
-    year ≈ 8.8k); the driver fold is O(#buckets × W) merges of KB states.
+    year ≈ 8.8k); the driver fold is the two-stack sliding aggregation
+    (``_sliding_fold``) — amortized O(1) state merges per bucket, O(#
+    buckets) total, independent of W.
     """
     import pyarrow.compute as pc
 
     from .build import sketch_aggregation
-    from ..state.base import merge_many
 
     def to_bucket(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -227,12 +228,73 @@ def sliding_window_distinct(ds: "ray.data.Dataset", spec, *, ts_col: str,
     span = step * (window_buckets - 1)
     lo = np.searchsorted(starts.to_numpy(), starts.to_numpy() - span,
                          side="left")
-    est = np.empty(len(states), dtype=np.int64)
     blobs = states["__state"].tolist()
-    for i in range(len(states)):
-        merged = merge_many(spec, blobs[lo[i]:i + 1])
-        est[i] = int(np.asarray(merged.estimate())[0] + 0.5)
+    est = np.fromiter(
+        (int(np.asarray(s.estimate())[0] + 0.5)
+         for s in _sliding_fold(spec, blobs, lo)),
+        dtype=np.int64, count=len(blobs))
     return pd.DataFrame({"bucket_start": starts, out_col: est})
+
+
+def _sliding_fold(spec, blobs: list, lo: np.ndarray):
+    """Two-stack sliding-window aggregation over serialized sketch states:
+    yields, for each index i, the merge of ``blobs[lo[i]:i+1]`` — with
+    amortized O(1) ``merge_in`` calls per element instead of the naive
+    O(window) refold (each element is merged once on push and once on the
+    back→front flush; each query is one combine).  Requires ``lo`` to be
+    non-decreasing with ``lo[i] <= i`` (trailing windows over a sorted
+    axis).  Yielded sketches may share internal arrays — treat them as
+    read-only snapshots.
+    """
+    import copy
+    import pickle
+
+    def from_blob(b):
+        s = spec.new()
+        s.load_state(pickle.loads(b))
+        return s
+
+    front: list = []   # suffix merges of the flushed segment; top ([-1])
+    #                    covers the OLDEST live element .. segment end
+    back_blobs: list = []
+    back_agg = None    # running merge of back_blobs
+    oldest = 0         # index of the oldest element still in some window
+    prev_lo = 0
+    for i, b in enumerate(blobs):
+        if lo[i] < prev_lo or lo[i] > i:
+            raise ValueError("_sliding_fold needs non-decreasing lo <= i")
+        prev_lo = lo[i]
+        # push element i
+        back_blobs.append(b)
+        if back_agg is None:
+            back_agg = from_blob(b)
+        else:
+            back_agg.merge_in(from_blob(b))
+        # evict expired elements (amortized: each element is flushed and
+        # popped at most once)
+        while oldest < lo[i]:
+            if not front:
+                # flush: suffix-merge the back segment so pops are O(1)
+                acc = None
+                for bb in reversed(back_blobs):
+                    s = from_blob(bb)
+                    if acc is not None:
+                        s.merge_in(acc)
+                    front.append(s)
+                    acc = s
+                back_blobs = []
+                back_agg = None
+            front.pop()
+            oldest += 1
+        # query = front.top ⊕ back (either side may be absent)
+        if front and back_agg is not None:
+            cur = copy.deepcopy(front[-1])
+            cur.merge_in(back_agg)
+        elif front:
+            cur = front[-1]
+        else:
+            cur = back_agg
+        yield cur
 
 
 def resample_counts(ds: "ray.data.Dataset", *, key_col: str, ts_col: str,

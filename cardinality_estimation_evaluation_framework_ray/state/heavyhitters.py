@@ -63,7 +63,11 @@ class HeavyHittersSketch(Sketch):
         k = np.concatenate([self.keys, keys])
         c = np.concatenate([self.counts, counts])
         uk, inv = np.unique(k, return_inverse=True)
-        uc = np.bincount(inv, weights=c.astype(np.float64)).astype(np.int64)
+        # int64 scatter-add, NOT float64 bincount weights: merged counts
+        # above 2^53 would silently lose integer exactness and break the
+        # exact-below-saturation contract at extreme stream sizes
+        uc = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(uc, inv, c)
         cap = self.spec.capacity
         if len(uk) > cap:
             # batched MG decrement: m = (capacity+1)-th largest count

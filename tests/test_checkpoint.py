@@ -183,3 +183,23 @@ def test_stable_partition_label_distinct_dirs_same_basename():
     two = ["/d/x.parquet", "/d/y.parquet"]
     assert (stable_partition_label(two)
             == stable_partition_label(list(reversed(two))))
+
+
+def test_stable_partition_label_root_relative():
+    from cardinality_estimation_evaluation_framework_ray.stages.checkpoint import (
+        stable_partition_label,
+    )
+
+    files_a = ["/mnt/corpus/2024/part-0.parquet",
+               "/mnt/corpus/2025/part-0.parquet"]
+    files_b = ["/new/mount/2024/part-0.parquet",
+               "/new/mount/2025/part-0.parquet"]
+    # relocated corpus, same layout: identical labels under a root
+    assert (stable_partition_label(files_a, root="/mnt/corpus")
+            == stable_partition_label(files_b, root="/new/mount"))
+    # without a root the absolute path is the identity (old scheme)
+    assert (stable_partition_label(files_a)
+            != stable_partition_label(files_b))
+    # a root still separates same-basename sibling dirs
+    assert (stable_partition_label([files_a[0]], root="/mnt/corpus")
+            != stable_partition_label([files_a[1]], root="/mnt/corpus"))

@@ -92,3 +92,75 @@ def test_triangle_count_id_bound_guard():
 
     with pytest.raises(Exception, match="2\\^31"):
         triangle_count(ray.data.from_pandas(df))
+
+
+def _int_pagerank_ref(edges, n, num, den, iters, scale):
+    """Pure-python reference of the pagerank_int fixed-point semantics."""
+    deg = [0] * n
+    for s, _ in edges:
+        deg[s] += 1
+    r = [scale // n] * n
+    for _ in range(iters):
+        dm = sum(r[v] for v in range(n) if deg[v] == 0)
+        c = [0] * n
+        for s, d in edges:
+            c[d] += (r[s] * num) // (den * deg[s])
+        add = (scale * (den - num)) // (den * n) + (dm * num) // (den * n)
+        r = [add + c[v] for v in range(n)]
+    return r
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_int_matches_integer_reference():
+    from cardinality_estimation_evaluation_framework_ray.stages.graph import (
+        pagerank_int,
+    )
+
+    # node 4 dangling, multi-edge (0, 2) duplicated to check multiplicity
+    edges = [(0, 1), (0, 2), (0, 2), (1, 2), (2, 0), (3, 0), (3, 2), (1, 4)]
+    df = pd.DataFrame(edges, columns=["src", "dst"]).astype("int64")
+    out = (pagerank_int(ray.data.from_pandas(df, override_num_blocks=3),
+                        iters=6).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    ref = _int_pagerank_ref(edges, 5, 85, 100, 6, 10 ** 12)
+    assert out["node"].tolist() == [0, 1, 2, 3, 4]
+    assert out["rank_fp"].tolist() == ref  # EXACT, not approximate
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_int_bit_identical_across_partitionings():
+    from cardinality_estimation_evaluation_framework_ray.stages.graph import (
+        pagerank_int,
+    )
+
+    rng = np.random.RandomState(31)
+    df = pd.DataFrame({"src": rng.randint(0, 50, 400),
+                       "dst": rng.randint(0, 50, 400)}).astype("int64")
+    outs = [pagerank_int(ray.data.from_pandas(df, override_num_blocks=nb),
+                         iters=4).to_pandas()
+            .sort_values("node").reset_index(drop=True)
+            for nb in (1, 13)]
+    # integer arithmetic: EXACT equality, not allclose
+    assert outs[0]["rank_fp"].tolist() == outs[1]["rank_fp"].tolist()
+
+    # tracks the float op within the floor-loss bound
+    fl = (pagerank(ray.data.from_pandas(df, override_num_blocks=7), iters=4)
+          .to_pandas().sort_values("node").reset_index(drop=True))
+    np.testing.assert_allclose(outs[0]["rank_fp"].to_numpy() / 1e12,
+                               fl["rank"].to_numpy(), atol=1e-8)
+
+    empty = pagerank_int(ray.data.from_pandas(
+        pd.DataFrame({"src": pd.Series(dtype="int64"),
+                      "dst": pd.Series(dtype="int64")})))
+    assert empty.count() == 0
+
+
+def test_pagerank_int_rejects_overflowing_scale():
+    from cardinality_estimation_evaluation_framework_ray.stages.graph import (
+        pagerank_int,
+    )
+
+    with pytest.raises(ValueError, match="fit int64"):
+        pagerank_int(None, scale=2 ** 60, damping_num=85)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank_int(None, damping_num=0)

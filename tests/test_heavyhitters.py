@@ -76,3 +76,24 @@ def test_topk_tiebreak_deterministic():
     # counts: 3,5,9 -> 2 each, 1 -> 1; ties break by ascending key
     assert keys.tolist() == [3, 5, 9]
     assert counts.tolist() == [2, 2, 2]
+
+
+def test_fold_exact_above_float53():
+    """Merged counts above 2^53 stay integer-exact (int64 scatter-add,
+    not float64 bincount weights)."""
+    from cardinality_estimation_evaluation_framework_ray.state.heavyhitters import (
+        HeavyHittersSpec,
+    )
+
+    spec = HeavyHittersSpec(capacity=8)
+    a = spec.new()
+    b = spec.new()
+    big = (1 << 53) + 1  # not representable in float64
+    a.keys = np.array([5, 9], dtype=np.int64)
+    a.counts = np.array([big, 3], dtype=np.int64)
+    b.keys = np.array([5], dtype=np.int64)
+    b.counts = np.array([big, ], dtype=np.int64)
+    a.merge_in(b)
+    got = dict(zip(a.keys.tolist(), a.counts.tolist()))
+    assert got[5] == 2 * big  # float64 path would round to 2^54
+    assert got[9] == 3

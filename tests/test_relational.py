@@ -806,3 +806,45 @@ def test_top_k_rows_per_group_null_key_partition(ray_session):
     # null key is its own partition (SQL PARTITION BY semantics)
     assert len(out) == 2
     assert sorted(out["v"].tolist()) == [3, 4]
+
+
+def test_group_zscore_max_keys_guard(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        group_zscore,
+    )
+
+    df = pd.DataFrame({"id": np.arange(100, dtype=np.int64),
+                       "g": [f"k{i}" for i in range(100)],  # 100 distinct
+                       "v": np.arange(100, dtype=np.int64)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    with pytest.raises(ValueError, match="bounded-key"):
+        group_zscore(ds, "g", "v", id_col="id", max_keys=10).to_pandas()
+    # at the boundary it still works
+    out = group_zscore(ds, "g", "v", id_col="id", max_keys=100).to_pandas()
+    assert len(out) == 100
+
+
+def test_grouped_value_histogram_guards_and_nonfinite(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_value_histogram,
+    )
+
+    df = pd.DataFrame({"g": ["a"] * 6,
+                       "v": [1.0, 5.0, np.nan, np.inf, -np.inf, 9.0]})
+    ds = ray.data.from_pandas(df)
+    with pytest.raises(ValueError, match="hi > lo"):
+        grouped_value_histogram(ds, "g", "v", lo=5.0, hi=5.0, bins=4)
+    with pytest.raises(ValueError, match="bins"):
+        grouped_value_histogram(ds, "g", "v", lo=0.0, hi=10.0, bins=0)
+    out = grouped_value_histogram(ds, "g", "v", lo=0.0, hi=10.0, bins=2)
+    # NaN/inf rows excluded: 1.0, 5.0 -> bin 0/1, 9.0 -> bin 1
+    assert out["n_rows"].sum() == 3
+    assert out.set_index("bin")["n_rows"].to_dict() == {0: 1, 1: 2}

@@ -244,3 +244,62 @@ def test_resample_counts_zero_fills_gaps(ray_session):
     b = out[out["k"] == "b"]["n"].tolist()
     assert a == [1, 0, 0, 1]
     assert b == [0, 1, 0, 0]
+
+
+def test_sliding_fold_matches_naive_and_is_linear():
+    """The two-stack fold equals the naive O(n*W) refold on every window,
+    with a LINEAR total merge count (each element merged <= 2 times +
+    one combine per query)."""
+    import numpy as np
+
+    from cardinality_estimation_evaluation_framework_ray.stages.windows import (
+        _sliding_fold,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state.base import (
+        merge_many,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state.exact import (
+        ExactMultiSetSpec,
+        ExactMultiSetSketch,
+    )
+
+    spec = ExactMultiSetSpec()
+    rng = np.random.default_rng(5)
+    n, W = 200, 24
+    blobs = []
+    for i in range(n):
+        s = spec.new()
+        s.update_tokens(rng.integers(0, 500, rng.integers(1, 30)))
+        blobs.append(s.to_bytes())
+    # variable-width trailing windows (gappy lo, non-decreasing)
+    lo = np.maximum(0, np.arange(n) - rng.integers(0, W, n))
+    lo = np.maximum.accumulate(lo)
+
+    calls = {"n": 0}
+    orig = ExactMultiSetSketch.merge_in
+
+    def counting(self, other):
+        calls["n"] += 1
+        return orig(self, other)
+
+    ExactMultiSetSketch.merge_in = counting
+    try:
+        got = [int(np.asarray(s.estimate())[0] + 0.5)
+               for s in _sliding_fold(spec, blobs, lo)]
+    finally:
+        ExactMultiSetSketch.merge_in = orig
+    exp = [int(np.asarray(merge_many(spec, blobs[lo[i]:i + 1])
+                          .estimate())[0] + 0.5) for i in range(n)]
+    assert got == exp
+    # linear bound: push + flush <= 2n, query combine <= n  ->  <= 3n,
+    # far below the naive  sum(i - lo[i] + 1) ~ n*W/2  merge count
+    assert calls["n"] <= 3 * n, calls["n"]
+
+    # contract violations fail loudly
+    import pytest
+
+    bad = lo.copy()
+    bad[10] = 0  # decreasing after accumulate ruined
+    bad[9] = 5
+    with pytest.raises(ValueError, match="non-decreasing"):
+        list(_sliding_fold(spec, blobs, bad))

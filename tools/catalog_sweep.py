@@ -55,19 +55,23 @@ def _run_names(names: list[str], num_sources: int = 3) -> dict[str, str]:
                             sketch_random_state=np.random.RandomState(3),
                             engine="local")
             df, _ = sim.run_all_and_aggregate()
-            # DP'd configs may legitimately estimate NaN on a tiny scenario:
-            # the reference's uniform first-moment method returns NaN when
-            # the denoised register sum leaves [0, m)
-            # (reference bloom_filters.py:383-389) — executing-with-NaN is
-            # faithful, distinct from a mis-wired estimator emitting NaN
-            # without any noise in play
-            noised = (getattr(cfg, "sketch_noiser", None) is not None
-                      or "local_dp_" in name or "global_dp_" in name
-                      or "ln3" in name or "gaussian" in name)
+            # Locally-DP'd configs may legitimately estimate NaN on a tiny
+            # scenario: blip noise flips a constant fraction of the 5e6
+            # registers, and the surreal-denoised soft-union of >= 2 arrays
+            # can push the union bit-sum x outside the estimator's domain
+            # [0, m) — the reference's uniform first-moment method returns
+            # NaN exactly there (bloom_filters.py:383-389, the saturation
+            # rule UnionEstimator enforces by erroring at :264-311).  That
+            # is SATURATION, faithful to the reference; a NaN from a
+            # config with NO local noise in play is a mis-wired estimator
+            # and stays a failure.  The precise mechanism is pinned by
+            # tests/test_catalog_sweep.py::
+            # test_union_estimator_saturation_nan_is_reference_faithful.
+            noised = getattr(cfg, "sketch_noiser", None) is not None
             if len(df) != num_sources:
                 out[name] = f"bad_output: {len(df)} rows"
             elif not np.isfinite(df["estimated_cardinality_1"]).all():
-                out[name] = ("ok_nan_dp" if noised
+                out[name] = ("ok_saturated" if noised
                              else "bad_output: non-finite estimate")
             else:
                 out[name] = "ok"
@@ -111,21 +115,21 @@ def main() -> int:
     results = run_sweep()
     ray.shutdown()
     n_ok = sum(1 for v in results.values() if v == "ok")
-    n_nan = sum(1 for v in results.values() if v == "ok_nan_dp")
-    n_exec = n_ok + n_nan
+    n_sat = sum(1 for v in results.values() if v == "ok_saturated")
+    n_exec = n_ok + n_sat
     payload = {
         "total": len(results),
         "ok": n_ok,
-        "ok_nan_dp": n_nan,
+        "ok_saturated": n_sat,
         "executing": n_exec,
         "failures": {k: v for k, v in sorted(results.items())
-                     if v not in ("ok", "ok_nan_dp")},
+                     if v not in ("ok", "ok_saturated")},
         "status_by_name": dict(sorted(results.items())),
     }
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps({"total": len(results), "ok": n_ok,
-                      "ok_nan_dp": n_nan, "out": out_path}))
+                      "ok_saturated": n_sat, "out": out_path}))
     return 0 if n_exec == len(results) else 1
 
 
