@@ -78,22 +78,15 @@ def q_build_hll(tokens_dir: str) -> dict:
     return {"rows": len(df)}
 
 
-def q_build_multi(tokens_dir: str, mode: str | None = None) -> dict:
-    """One read feeding several sketch families at once."""
-    import ray.data
-
-    from cardinality_estimation_evaluation_framework_ray.pipelines.reach import (
-        reach_report,
-    )
-    from cardinality_estimation_evaluation_framework_ray.state import HllSpec
-
+def _multi_specs():
     from cardinality_estimation_evaluation_framework_ray.state import (
         BloomSpec,
         CountMinSpec,
+        HllSpec,
         KllSpec,
     )
 
-    specs = {
+    return {
         "hll": HllSpec(p=14, seed=42, sparse=False),
         # width sized so a per-(batch,key) partial stays ~256 KB
         "cm": CountMinSpec(depth=4, width=8192, seed=42),
@@ -101,6 +94,35 @@ def q_build_multi(tokens_dir: str, mode: str | None = None) -> dict:
         "exp_adbf": BloomSpec(length=100_000, distribution="exp",
                               decay_rate=10.0, seed=42),
     }
+
+
+def q_build_multi(tokens_dir: str, mode: str | None = None) -> dict:
+    """One read feeding several sketch families at once.
+
+    mode="epoch_ckpt" runs the CHECKPOINTED epoch plan (per-partition
+    atomic checkpoints + retry; resumable) on a fresh checkpoint dir so
+    the timed number includes full checkpoint-write cost, never reuse."""
+    import glob
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.pipelines.reach import (
+        reach_report,
+        reach_report_resumable,
+    )
+
+    specs = _multi_specs()
+    if (mode or BUILD_MODE) == "epoch_ckpt":
+        files = sorted(glob.glob(os.path.join(tokens_dir, "*.parquet")))
+        ckpt = tempfile.mkdtemp(prefix="bench_ckpt_", dir="/tmp")
+        try:
+            df = reach_report_resumable(files, specs, ckpt,
+                                        batch_size=16384)
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+        return {"rows": len(df), "sketches": len(specs)}
     # fixed block count => identical physical job at every parallelism level
     ds = ray.data.read_parquet(tokens_dir, columns=["tokens", "source"],
                                override_num_blocks=32)
@@ -416,10 +438,12 @@ def run_once() -> dict:
     for name, fn in QUERIES.items():
         if only and name != only:
             continue
-        # the headline build is timed under BOTH physical plans so the bench
-        # artifact shows the task plan and the epoch plan side by side; the
-        # headline number is the shared-default plan's (= the scaling legs')
-        modes = ["tasks", "epoch"] if (name == HEADLINE and not only) else [None]
+        # the headline build is timed under ALL THREE physical plans so the
+        # bench artifact shows the task plan, the epoch plan AND the
+        # checkpointed (resumable) epoch plan side by side; the headline
+        # number is the shared-default plan's (= the scaling legs')
+        modes = (["tasks", "epoch", "epoch_ckpt"]
+                 if (name == HEADLINE and not only) else [None])
         for mode in modes:
             walls = []
             for _ in range(reps):

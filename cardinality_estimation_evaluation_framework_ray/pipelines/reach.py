@@ -58,6 +58,10 @@ def reach_report(ds: "ray.data.Dataset", specs: dict[str, SketchSpec],
     """
     per_key = _build_per_key(ds, specs, key, tokens_col, batch_size,
                              tree_width, mode)
+    return _assemble_report(per_key, specs, key, include_union)
+
+
+def _assemble_report(per_key, specs, key, include_union) -> pd.DataFrame:
     rows = []
     for k in sorted(per_key):
         row = {key: k}
@@ -71,6 +75,28 @@ def reach_report(ds: "ray.data.Dataset", specs: dict[str, SketchSpec],
             row[f"est_{name}"] = float(union[name].estimate()[0])
         rows.append(row)
     return pd.DataFrame(rows)
+
+
+def reach_report_resumable(files: list[str], specs: dict[str, SketchSpec],
+                           ckpt_dir: str, *, key: str = "source",
+                           tokens_col: str = "tokens",
+                           batch_size: int | None = 8192,
+                           files_per_partition: int = 1,
+                           include_union: bool = True) -> pd.DataFrame:
+    """``reach_report`` on the CHECKPOINTED epoch plan
+    (``build_sketch_states_epoch_resumable``): per input partition one Ray
+    task accumulates + atomically checkpoints its states; a re-run (or a
+    retried dead worker) skips every valid checkpoint.  Same output as
+    ``reach_report`` (associative merges), plus durability — the bench
+    times this against the unresumable plans so the checkpoint overhead
+    is a measured number, not a guess."""
+    from ..stages.checkpoint import build_sketch_states_epoch_resumable
+
+    states_ds = build_sketch_states_epoch_resumable(
+        files, specs, ckpt_dir, key=key, tokens_col=tokens_col,
+        files_per_partition=files_per_partition, batch_size=batch_size)
+    per_key = collect_states(states_ds, specs, key)
+    return _assemble_report(per_key, specs, key, include_union)
 
 
 def freq_report(ds: "ray.data.Dataset", specs: dict[str, SketchSpec],

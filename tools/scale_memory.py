@@ -1,0 +1,218 @@
+"""Streaming-memory evidence for the 10^12-sequence design point
+(BASELINE.json): run the headline multi-sketch build AND an exact content-
+dedup pipeline over a >= 10^10-token ON-THE-FLY synthetic corpus (datagen
+is counter-based: `tokens_dataset` generates from ray.data.range, nothing
+touches disk) at 1x and 10x scale, and record wall, tokens/s, peak DRIVER
+RSS and peak per-WORKER RSS.  Flat worker/driver peaks across the 10x step
+are the bounded-heap-at-unbounded-input claim, measured instead of
+asserted (docs/SCALE.md).
+
+Usage: python tools/scale_memory.py [out.json]
+         (default docs/SCALE_MEM_r05.json; GRAFT_SCALE_TOKENS overrides the
+          big leg's token target, default 1.1e10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+# -- RSS sampling ------------------------------------------------------------
+
+def _vm_hwm_kb(pid: int | str) -> int:
+    """Peak resident set (VmHWM) of a pid in kB; 0 if gone/unreadable."""
+    try:
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmHWM:"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return 0
+
+
+def _ray_worker_pids() -> list[int]:
+    """Pids of live ray worker processes (cmdline contains 'ray::' while a
+    task runs, or the default_worker entrypoint between tasks)."""
+    pids = []
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/cmdline", "rb") as f:
+                cmd = f.read()
+        except OSError:
+            continue
+        if b"ray::" in cmd or b"default_worker.py" in cmd:
+            pids.append(int(d))
+    return pids
+
+
+class PeakSampler:
+    """Polls driver + ray-worker VmHWM on a thread; VmHWM is kernel-side
+    monotone per process, so sampling every 0.5 s cannot miss a peak of a
+    process that survives >= one interval (short-lived workers are bounded
+    by their last observed value)."""
+
+    def __init__(self, interval: float = 0.5):
+        self._interval = interval
+        self._stop = threading.Event()
+        self.driver_kb = 0
+        self.worker_kb = 0            # max over all workers
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        me = os.getpid()
+        while not self._stop.is_set():
+            self.driver_kb = max(self.driver_kb, _vm_hwm_kb(me))
+            for pid in _ray_worker_pids():
+                self.worker_kb = max(self.worker_kb, _vm_hwm_kb(pid))
+            self._stop.wait(self._interval)
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join()
+
+
+# -- pipelines ---------------------------------------------------------------
+
+def _spec_for_tokens(target_tokens: int):
+    """Bench-shaped TokensTableSpec sized to ~target_tokens total."""
+    from cardinality_estimation_evaluation_framework_ray.sources.datagen import (
+        TokensTableSpec,
+    )
+
+    mean_tok = (16 + 256) / 2.0
+    rows = int(target_tokens / mean_tok / 20)
+    return TokensTableSpec(num_sources=20, rows_per_source=rows, min_tok=16,
+                           max_tok=256, universe_size=2_000_000,
+                           zipf_sources=True, seed=42)
+
+
+def run_build(spec, num_blocks: int) -> dict:
+    """Headline multi-sketch build over the streaming generator."""
+    sys.path.insert(0, REPO)
+    from bench import _multi_specs
+
+    from cardinality_estimation_evaluation_framework_ray.pipelines.reach import (
+        reach_report,
+    )
+    from cardinality_estimation_evaluation_framework_ray.sources.datagen import (
+        tokens_dataset,
+    )
+
+    ds = tokens_dataset(spec, override_num_blocks=num_blocks)
+    df = reach_report(ds, _multi_specs(), batch_size=16384, mode="epoch")
+    return {"rows": len(df)}
+
+
+def run_dedup(spec, num_blocks: int) -> dict:
+    """Exact content-dedup over the same stream: per-row order-sensitive
+    token digest (vectorized reduceat fold), then ONE metadata-only groupby
+    over (digest) — the shuffle moves 16 bytes/row, never tokens."""
+    import pyarrow as pa
+
+    from cardinality_estimation_evaluation_framework_ray.functions.hashing import (
+        hash64,
+    )
+    from cardinality_estimation_evaluation_framework_ray.sources.datagen import (
+        tokens_dataset,
+    )
+
+    def digest(t: pa.Table) -> pa.Table:
+        toks = t.column("tokens")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = np.asarray(toks.flatten(), dtype=np.int64)
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        n = len(offs) - 1
+        lengths = np.diff(offs)
+        # order-sensitive: mix each token with its within-row position
+        within = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            offs[:-1], lengths)
+        h = hash64(flat * np.int64(1_000_003) + within, 7).astype(np.int64)
+        # per-row XOR fold + length mix (reduceat handles empty rows via
+        # equal offsets only when guarded — datagen rows are never empty)
+        row_x = np.bitwise_xor.reduceat(h, offs[:-1])
+        d = hash64(row_x ^ (lengths * np.int64(0x9E3779B1)), 11).astype(
+            np.int64)
+        return pa.table({"digest": pa.array(d),
+                         "one": pa.array(np.ones(n, np.int64))})
+
+    ds = tokens_dataset(spec, override_num_blocks=num_blocks)
+    dup = (ds.map_batches(digest, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("digest").count())
+    import pyarrow.compute as pc
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("count()"), 1))
+
+    n_dup_groups = dup.map_batches(only_dups,
+                                   batch_format="pyarrow").count()
+    return {"dup_groups": int(n_dup_groups)}
+
+
+def measure(leg: str, target_tokens: int, num_blocks: int) -> dict:
+    spec = _spec_for_tokens(target_tokens)
+    n_tokens_est = int(spec.total_rows * (16 + 256) / 2)
+    out = {"leg": leg, "rows": spec.total_rows,
+           "approx_tokens": n_tokens_est, "num_blocks": num_blocks}
+    for name, fn in (("build_multi", run_build), ("dedup_exact", run_dedup)):
+        with PeakSampler() as ps:
+            t0 = time.perf_counter()
+            r = fn(spec, num_blocks)
+            wall = time.perf_counter() - t0
+        out[name] = {
+            **r,
+            "wall_sec": round(wall, 2),
+            "tokens_per_sec": round(n_tokens_est / wall, 1),
+            "driver_peak_rss_mb": round(ps.driver_kb / 1024, 1),
+            "worker_peak_rss_mb": round(ps.worker_kb / 1024, 1),
+        }
+        print(json.dumps({leg: name, **out[name]}), flush=True)
+    return out
+
+
+def main() -> int:
+    import ray
+
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "docs", "SCALE_MEM_r05.json")
+    big = int(float(os.environ.get("GRAFT_SCALE_TOKENS", "1.1e10")))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 logging_level="ERROR",
+                 object_store_memory=8 << 30)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    legs = [measure("1x", big // 10, 64), measure("10x", big, 640)]
+    ray.shutdown()
+    payload = {"design_point": "10^12 sequences (BASELINE.json)",
+               "method": "on-the-fly counter-based generation "
+                         "(sources/datagen.py tokens_dataset); VmHWM "
+                         "sampled 2 Hz across driver + ray workers",
+               "legs": legs}
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps({"out": out_path}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
