@@ -20,12 +20,18 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CACHE_ROOT = os.environ.get("GRAFT_BENCH_CACHE", "/tmp/ceef_bench")
-# "tasks" (stateless partials -> combiner -> groupby) or "epoch"
-# (streaming_split accumulator actors, states serialized once).  ONE shared
-# default for the headline AND the scaling legs, so the published efficiency
-# describes the same physical plan as the published throughput; run_once
-# additionally times build_multi under BOTH plans (build_multi_by_mode).
-BUILD_MODE = os.environ.get("GRAFT_BUILD_MODE", "epoch")
+# "tasks" (stateless partials -> combiner -> groupby), "epoch"
+# (streaming_split accumulator actors, states serialized once), or
+# "epoch_ckpt" (one Ray task per input partition, accumulate + ATOMIC
+# per-partition checkpoint; resumable).  ONE shared default for the
+# headline AND the scaling legs, so the published efficiency describes the
+# same physical plan as the published throughput; run_once additionally
+# times build_multi under ALL THREE plans (build_multi_by_mode).
+# Default epoch_ckpt: measured FASTEST at sf0.1 (14.1 s vs epoch 18.2 /
+# tasks 21.5, BENCH r5) *and* resumable — the checkpoint write is KBs per
+# partition; the plan wins because each partition task reads its parquet
+# directly and accumulates in place.
+BUILD_MODE = os.environ.get("GRAFT_BUILD_MODE", "epoch_ckpt")
 
 
 def _sf_tag() -> str:
@@ -62,19 +68,40 @@ def ensure_tokens_table() -> str:
     return out
 
 
-def q_build_hll(tokens_dir: str) -> dict:
-    """Headline: multi-source HLL++ build + merge tree + union estimate."""
+def _reach(tokens_dir: str, specs: dict, mode: str) -> "object":
+    """Dispatch one reach_report build under the named physical plan."""
+    import glob
+    import shutil
+    import tempfile
+
     import ray.data
 
     from cardinality_estimation_evaluation_framework_ray.pipelines.reach import (
         reach_report,
+        reach_report_resumable,
     )
-    from cardinality_estimation_evaluation_framework_ray.state import HllSpec
 
+    if mode == "epoch_ckpt":
+        files = sorted(glob.glob(os.path.join(tokens_dir, "*.parquet")))
+        ckpt = tempfile.mkdtemp(prefix="bench_ckpt_", dir="/tmp")
+        try:
+            # fresh dir every run: the timed number includes FULL
+            # checkpoint-write cost, never checkpoint reuse
+            return reach_report_resumable(files, specs, ckpt,
+                                          batch_size=16384)
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
     ds = ray.data.read_parquet(tokens_dir, columns=["tokens", "source"],
                                override_num_blocks=32)
-    df = reach_report(ds, {"hll": HllSpec(p=14, seed=42, sparse=False)},
-                      batch_size=16384, mode=BUILD_MODE)
+    return reach_report(ds, specs, batch_size=16384, mode=mode)
+
+
+def q_build_hll(tokens_dir: str) -> dict:
+    """Headline: multi-source HLL++ build + merge tree + union estimate."""
+    from cardinality_estimation_evaluation_framework_ray.state import HllSpec
+
+    df = _reach(tokens_dir, {"hll": HllSpec(p=14, seed=42, sparse=False)},
+                BUILD_MODE)
     return {"rows": len(df)}
 
 
@@ -101,32 +128,12 @@ def q_build_multi(tokens_dir: str, mode: str | None = None) -> dict:
 
     mode="epoch_ckpt" runs the CHECKPOINTED epoch plan (per-partition
     atomic checkpoints + retry; resumable) on a fresh checkpoint dir so
-    the timed number includes full checkpoint-write cost, never reuse."""
-    import glob
-    import shutil
-    import tempfile
-
-    import ray.data
-
-    from cardinality_estimation_evaluation_framework_ray.pipelines.reach import (
-        reach_report,
-        reach_report_resumable,
-    )
-
+    the timed number includes full checkpoint-write cost, never reuse.
+    For tasks/epoch the block count is fixed so the physical job is
+    identical at every parallelism level; epoch_ckpt's unit is the input
+    file partition (32 files) for the same reason."""
     specs = _multi_specs()
-    if (mode or BUILD_MODE) == "epoch_ckpt":
-        files = sorted(glob.glob(os.path.join(tokens_dir, "*.parquet")))
-        ckpt = tempfile.mkdtemp(prefix="bench_ckpt_", dir="/tmp")
-        try:
-            df = reach_report_resumable(files, specs, ckpt,
-                                        batch_size=16384)
-        finally:
-            shutil.rmtree(ckpt, ignore_errors=True)
-        return {"rows": len(df), "sketches": len(specs)}
-    # fixed block count => identical physical job at every parallelism level
-    ds = ray.data.read_parquet(tokens_dir, columns=["tokens", "source"],
-                               override_num_blocks=32)
-    df = reach_report(ds, specs, batch_size=16384, mode=mode or BUILD_MODE)
+    df = _reach(tokens_dir, specs, mode or BUILD_MODE)
     return {"rows": len(df), "sketches": len(specs)}
 
 
@@ -309,11 +316,14 @@ def _warmup(tokens_dir: str) -> None:
     scaling-leg subprocesses (GRAFT_BENCH_ONLY set) keep the 4-file warmup —
     their residual cost lands equally on both legs of the ratio."""
     import glob
+    import shutil
+    import tempfile
 
     import ray.data
 
     from cardinality_estimation_evaluation_framework_ray.pipelines.reach import (
         reach_report,
+        reach_report_resumable,
     )
     from cardinality_estimation_evaluation_framework_ray.state import HllSpec
 
@@ -324,10 +334,17 @@ def _warmup(tokens_dir: str) -> None:
         files = files[:4]
     if not files:
         return
-    ds = ray.data.read_parquet(files, columns=["tokens", "source"],
-                               override_num_blocks=32)
-    reach_report(ds, {"hll": HllSpec(p=14, seed=42, sparse=False)},
-                 batch_size=16384, mode=BUILD_MODE)
+    specs = {"hll": HllSpec(p=14, seed=42, sparse=False)}
+    if BUILD_MODE == "epoch_ckpt":
+        ckpt = tempfile.mkdtemp(prefix="bench_warm_ckpt_", dir="/tmp")
+        try:
+            reach_report_resumable(files, specs, ckpt, batch_size=16384)
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    else:
+        ds = ray.data.read_parquet(files, columns=["tokens", "source"],
+                                   override_num_blocks=32)
+        reach_report(ds, specs, batch_size=16384, mode=BUILD_MODE)
 
 
 def _stale_session_dirs() -> list[str]:
@@ -585,7 +602,7 @@ def run_scaling() -> dict:
     # (tests/test_build_stage.py).
     modes = [m for m in dict.fromkeys(
         [BUILD_MODE] + os.environ.get("GRAFT_SCALING_MODES",
-                                      "epoch,tasks").split(","))]
+                                      "epoch").split(","))]
     per_mode = {m: _scaling_for_mode(m, lo, hi, reps) for m in modes}
     head = per_mode[BUILD_MODE]
     return {

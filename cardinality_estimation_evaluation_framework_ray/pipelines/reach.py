@@ -34,6 +34,13 @@ def _build_per_key(ds, specs, key, tokens_col, batch_size, tree_width, mode):
                 for name, spec in specs.items()}
             for i in range(tbl.num_rows)
         }
+    if mode != "tasks":
+        # loud: "epoch_ckpt" takes FILES, not a Dataset — use
+        # reach_report_resumable; a silent fallthrough here would time the
+        # wrong physical plan in the bench
+        raise ValueError(f"unknown build mode {mode!r}: use 'tasks', "
+                         "'epoch', or reach_report_resumable for the "
+                         "checkpointed plan")
     states_ds = build_sketch_states(ds, specs, key, tokens_col, batch_size,
                                     tree_width)
     return collect_states(states_ds, specs, key)

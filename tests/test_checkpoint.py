@@ -203,3 +203,35 @@ def test_stable_partition_label_root_relative():
     # a root still separates same-basename sibling dirs
     assert (stable_partition_label([files_a[0]], root="/mnt/corpus")
             != stable_partition_label([files_a[1]], root="/mnt/corpus"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_reach_report_resumable_equals_epoch(tokens_files, tmp_path):
+    """The bench's epoch_ckpt plan produces the SAME report as the
+    unresumable epoch plan (associative merges), and a second run over the
+    same checkpoint dir reuses every checkpoint (resumability contract the
+    bench's timed fresh-dir number deliberately excludes)."""
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.pipelines.reach import (
+        reach_report,
+        reach_report_resumable,
+    )
+
+    specs = {"hll": HllSpec(p=10, seed=3)}
+    ck = str(tmp_path / "ckpt_rr")
+    got = reach_report_resumable(tokens_files, specs, ck,
+                                 files_per_partition=2)
+    exp = reach_report(ray.data.read_parquet(tokens_files), specs,
+                       mode="epoch")
+    pd.testing.assert_frame_equal(
+        got.sort_values("source").reset_index(drop=True),
+        exp.sort_values("source").reset_index(drop=True))
+    paths = sorted(glob.glob(os.path.join(ck, "part=*", "states.parquet")))
+    mtimes = {p: os.path.getmtime(p) for p in paths}
+    again = reach_report_resumable(tokens_files, specs, ck,
+                                   files_per_partition=2)
+    pd.testing.assert_frame_equal(
+        again.sort_values("source").reset_index(drop=True),
+        exp.sort_values("source").reset_index(drop=True))
+    assert {p: os.path.getmtime(p) for p in paths} == mtimes
