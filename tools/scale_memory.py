@@ -3,9 +3,22 @@
 dedup pipeline over a >= 10^10-token ON-THE-FLY synthetic corpus (datagen
 is counter-based: `tokens_dataset` generates from ray.data.range, nothing
 touches disk) at 1x and 10x scale, and record wall, tokens/s, peak DRIVER
-RSS and peak per-WORKER RSS.  Flat worker/driver peaks across the 10x step
-are the bounded-heap-at-unbounded-input claim, measured instead of
-asserted (docs/SCALE.md).
+heap and peak per-WORKER heap.
+
+Measurement design (the round-4 artifact got this wrong and looked like a
+leak):
+  * each (leg, pipeline) cell runs in a FRESH SUBPROCESS with its own Ray
+    cluster — VmHWM is kernel-monotone for a process's whole lifetime, so
+    sharing one driver across legs makes every later leg inherit every
+    earlier peak;
+  * RssAnon (private heap) is reported separately from RssShmem (plasma
+    /dev/shm pages mapped into the process) — shuffle blocks living in the
+    object store are the DESIGN (spillable, shared, bounded by
+    object_store_memory), not process heap, and folding them into one RSS
+    number makes the bounded-heap claim unfalsifiable.
+
+Flat anon peaks across the 10x step are the bounded-heap-at-unbounded-input
+claim, measured instead of asserted (docs/SCALE.md).
 
 Usage: python tools/scale_memory.py [out.json]
          (default docs/SCALE_MEM_r05.json; GRAFT_SCALE_TOKENS overrides the
@@ -16,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import threading
 import time
@@ -29,16 +43,21 @@ if REPO not in sys.path:
 
 # -- RSS sampling ------------------------------------------------------------
 
-def _vm_hwm_kb(pid: int | str) -> int:
-    """Peak resident set (VmHWM) of a pid in kB; 0 if gone/unreadable."""
+_FIELDS = ("VmHWM", "RssAnon", "RssShmem")
+
+
+def _mem_kb(pid: int | str) -> dict[str, int]:
+    """VmHWM / RssAnon / RssShmem of a pid in kB; {} if gone/unreadable."""
+    out: dict[str, int] = {}
     try:
         with open(f"/proc/{pid}/status") as f:
             for line in f:
-                if line.startswith("VmHWM:"):
-                    return int(line.split()[1])
+                k = line.split(":", 1)[0]
+                if k in _FIELDS:
+                    out[k] = int(line.split()[1])
     except OSError:
         pass
-    return 0
+    return out
 
 
 def _ray_worker_pids() -> list[int]:
@@ -59,24 +78,29 @@ def _ray_worker_pids() -> list[int]:
 
 
 class PeakSampler:
-    """Polls driver + ray-worker VmHWM on a thread; VmHWM is kernel-side
+    """Polls driver + ray-worker memory on a thread.  VmHWM is kernel-side
     monotone per process, so sampling every 0.5 s cannot miss a peak of a
-    process that survives >= one interval (short-lived workers are bounded
-    by their last observed value)."""
+    process that survives >= one interval; RssAnon/RssShmem are
+    point-in-time, so their peaks are sampled maxima (lower bounds)."""
 
     def __init__(self, interval: float = 0.5):
         self._interval = interval
         self._stop = threading.Event()
-        self.driver_kb = 0
-        self.worker_kb = 0            # max over all workers
+        self.driver = dict.fromkeys(_FIELDS, 0)
+        self.worker = dict.fromkeys(_FIELDS, 0)   # max over all workers
         self._t = threading.Thread(target=self._run, daemon=True)
+
+    def _fold(self, acc: dict, cur: dict) -> None:
+        for k, v in cur.items():
+            if v > acc[k]:
+                acc[k] = v
 
     def _run(self):
         me = os.getpid()
         while not self._stop.is_set():
-            self.driver_kb = max(self.driver_kb, _vm_hwm_kb(me))
+            self._fold(self.driver, _mem_kb(me))
             for pid in _ray_worker_pids():
-                self.worker_kb = max(self.worker_kb, _vm_hwm_kb(pid))
+                self._fold(self.worker, _mem_kb(pid))
             self._stop.wait(self._interval)
 
     def __enter__(self):
@@ -167,47 +191,84 @@ def run_dedup(spec, num_blocks: int) -> dict:
     return {"dup_groups": int(n_dup_groups)}
 
 
-def measure(leg: str, target_tokens: int, num_blocks: int) -> dict:
+_PIPELINES = {"build_multi": run_build, "dedup_exact": run_dedup}
+
+
+def run_cell(pipeline: str, target_tokens: int, num_blocks: int) -> dict:
+    """One (leg, pipeline) measurement inside a fresh process + Ray cluster."""
+    import ray
+
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR", object_store_memory=8 << 30)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
     spec = _spec_for_tokens(target_tokens)
     n_tokens_est = int(spec.total_rows * (16 + 256) / 2)
-    out = {"leg": leg, "rows": spec.total_rows,
-           "approx_tokens": n_tokens_est, "num_blocks": num_blocks}
-    for name, fn in (("build_multi", run_build), ("dedup_exact", run_dedup)):
-        with PeakSampler() as ps:
-            t0 = time.perf_counter()
-            r = fn(spec, num_blocks)
-            wall = time.perf_counter() - t0
-        out[name] = {
-            **r,
-            "wall_sec": round(wall, 2),
-            "tokens_per_sec": round(n_tokens_est / wall, 1),
-            "driver_peak_rss_mb": round(ps.driver_kb / 1024, 1),
-            "worker_peak_rss_mb": round(ps.worker_kb / 1024, 1),
-        }
-        print(json.dumps({leg: name, **out[name]}), flush=True)
-    return out
+    fn = _PIPELINES[pipeline]
+    # warm the cluster (worker startup, plasma map) outside the timed window
+    fn(_spec_for_tokens(2_000_000), 4)
+    with PeakSampler() as ps:
+        t0 = time.perf_counter()
+        r = fn(spec, num_blocks)
+        wall = time.perf_counter() - t0
+    ray.shutdown()
+    return {
+        **r,
+        "rows": spec.total_rows,
+        "approx_tokens": n_tokens_est,
+        "wall_sec": round(wall, 2),
+        "tokens_per_sec": round(n_tokens_est / wall, 1),
+        "driver_peak_anon_mb": round(ps.driver["RssAnon"] / 1024, 1),
+        "driver_peak_shmem_mb": round(ps.driver["RssShmem"] / 1024, 1),
+        "driver_peak_rss_mb": round(ps.driver["VmHWM"] / 1024, 1),
+        "worker_peak_anon_mb": round(ps.worker["RssAnon"] / 1024, 1),
+        "worker_peak_shmem_mb": round(ps.worker["RssShmem"] / 1024, 1),
+        "worker_peak_rss_mb": round(ps.worker["VmHWM"] / 1024, 1),
+    }
 
 
 def main() -> int:
-    import ray
+    if len(sys.argv) >= 2 and sys.argv[1] == "--cell":
+        # child mode: --cell <pipeline> <tokens> <blocks>
+        res = run_cell(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+        print("CELL_JSON " + json.dumps(res), flush=True)
+        return 0
 
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         REPO, "docs", "SCALE_MEM_r05.json")
     big = int(float(os.environ.get("GRAFT_SCALE_TOKENS", "1.1e10")))
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=32, include_dashboard=False,
-                 logging_level="ERROR",
-                 object_store_memory=8 << 30)
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
-    legs = [measure("1x", big // 10, 64), measure("10x", big, 640)]
-    ray.shutdown()
-    payload = {"design_point": "10^12 sequences (BASELINE.json)",
-               "method": "on-the-fly counter-based generation "
-                         "(sources/datagen.py tokens_dataset); VmHWM "
-                         "sampled 2 Hz across driver + ray workers",
-               "legs": legs}
+    legs = []
+    for leg, tokens, blocks in (("1x", big // 10, 64), ("10x", big, 640)):
+        row: dict = {"leg": leg, "num_blocks": blocks}
+        for pipeline in _PIPELINES:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cell",
+                 pipeline, str(tokens), str(blocks)],
+                capture_output=True, text=True, cwd=REPO)
+            cell = None
+            for line in proc.stdout.splitlines():
+                if line.startswith("CELL_JSON "):
+                    cell = json.loads(line[len("CELL_JSON "):])
+            if cell is None:
+                cell = {"error": (proc.stderr or proc.stdout)[-2000:],
+                        "rc": proc.returncode}
+            row[pipeline] = cell
+            print(json.dumps({leg: pipeline, **cell}), flush=True)
+        row["rows"] = row[next(iter(_PIPELINES))].get("rows")
+        row["approx_tokens"] = row[next(iter(_PIPELINES))].get(
+            "approx_tokens")
+        legs.append(row)
+    payload = {
+        "design_point": "10^12 sequences (BASELINE.json)",
+        "method": "on-the-fly counter-based generation "
+                  "(sources/datagen.py tokens_dataset); each (leg, pipeline) "
+                  "cell in a fresh subprocess + fresh Ray cluster (per-cell "
+                  "VmHWM honesty); RssAnon (private heap) vs RssShmem "
+                  "(mapped plasma /dev/shm pages) sampled 2 Hz across "
+                  "driver + ray workers; warmup run before each timed cell",
+        "legs": legs,
+    }
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps({"out": out_path}))
