@@ -2682,12 +2682,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "word_jaccard_pairs": _q_word_jaccard_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
-        "neardup_edit_distance": _q_neardup_edit_distance,
-        "cross_doc_dup": _q_cross_doc_dup,
         # ANN / clustering
         "ann_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
-        "pq_ann_topk": _q_pq_ann_topk,
         "kmeans_clusters": _q_kmeans_clusters,
         "pca_projection": _q_pca_projection,
         "label_centroids": _q_label_centroids,
@@ -2699,7 +2696,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_order": _q_asof_last_order,
         "events_range_join": _q_events_range_join,
         "bloom_filtered_semi_join": _q_bloom_filtered_semi_join,
-        "customers_no_urgent_order": _q_customers_no_urgent_order,
         "asia_nation_revenue": _q_asia_nation_revenue,
         # windows / time series
         "events_windowed_1h": _q_events_windowed_1h,
@@ -2721,6 +2717,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": _q_quality_stats,
         "lang_id_counts": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
+        # search / retrieval representative
+        "bm25_search": _q_bm25_search,
+        # LM / packing representative
+        "pack_sequences": _q_pack_sequences,
+        # sampling representative
+        "weighted_sample": _q_weighted_sample,
+        # multimodal representative
+        "image_decode_stats": _q_image_decode_stats,
         # -- slot 50 ends above; families continue with more depth ------
         "scrub_pii": _q_scrub_pii,
         "token_stats": _q_token_stats,
@@ -2734,11 +2738,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_text": _q_normalized_text,
         "repetition_stats": _q_repetition_stats,
         # search / retrieval
-        "bm25_search": _q_bm25_search,
         "tfidf_keywords": _q_tfidf_keywords,
         "boolean_search": _q_boolean_search,
         # LM / packing / curation
-        "pack_sequences": _q_pack_sequences,
         "lm_perplexity": _q_lm_perplexity,
         "decontaminate": _q_decontaminate,
         "oov_rate": _q_oov_rate,
@@ -2746,13 +2748,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         # sampling
         "global_sample": _q_global_sample,
-        "weighted_sample": _q_weighted_sample,
         "per_key_sample": _q_per_key_sample,
         "train_test_split": _q_train_test_split,
         "mixture_sample": _q_mixture_sample,
         "mixture_sample_bucketed": _q_mixture_sample_bucketed,
         # multimodal plumbing
-        "image_decode_stats": _q_image_decode_stats,
         "audio_decode_stats": _q_audio_decode_stats,
         "video_frame_stats": _q_video_frame_stats,
         # remaining sketch / theta variants
@@ -2762,12 +2762,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_by_source": _q_heavy_hitters_by_source,
         "reach_users_by_type": _q_reach_users_by_type,
         "windowed_reach": _q_windowed_reach,
-        # remaining dedup / graph variants
+        # remaining dedup / graph / ANN variants
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "minhash_near_dups": _q_minhash_near_dups,
+        "neardup_edit_distance": _q_neardup_edit_distance,
+        "cross_doc_dup": _q_cross_doc_dup,
+        "pq_ann_topk": _q_pq_ann_topk,
         "source_overlap": _q_source_overlap,
         # remaining join variants
         "orders_customer_join_salted": _q_orders_customer_join_salted,
+        "customers_no_urgent_order": _q_customers_no_urgent_order,
         "customer_order_left_join": _q_customer_order_left_join,
         "customers_semi_urgent": _q_customers_semi_urgent,
         "sessions_bucketed": _q_sessions_bucketed,

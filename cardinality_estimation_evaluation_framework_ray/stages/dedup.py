@@ -37,13 +37,73 @@ _POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 # exact dedup
 # ---------------------------------------------------------------------------
 
+_SHUFFLE_PLANS = ("sort", "hash", "coalesce")
+
+
+def _check_shuffle(shuffle: str, narrow_bytes_hint: int | None) -> None:
+    """Validate the narrow-groupby shuffle plan args (LOUD contract).
+
+    Plans (measured head-to-head in docs/SCALE_MEM_r05.json; mechanism in
+    functions/shuffleopt.py):
+
+    * ``"sort"`` (default) — Ray Data's plan as validated by the oracle
+      gate.  UNSAFE for narrow tables at scale: sub-100 KB (map, reduce)
+      cells are inlined into the DRIVER's in-process store (unspillable;
+      measured 450 MB -> 4.97 GB driver heap at 1.1e9 -> 1.1e10 tokens).
+    * ``"coalesce"`` — the scale default: keep the sort shuffle but
+      ``repartition(shuffle=False)`` the narrow intermediate to
+      ``narrow_shuffle_blocks(narrow_bytes_hint)`` blocks first, making
+      every shuffle cell ~1 MB (plasma-backed, spillable).  Requires
+      ``narrow_bytes_hint`` ~= rows x bytes/row of the narrow table; an
+      order-of-magnitude estimate is fine (cells land 10x over the inline
+      threshold).
+    * ``"hash"`` — hash-shuffle aggregator actors; driver heap flat but
+      ~2x slower end-to-end in Ray 2.49 (per-row aggregator finalize).
+    """
+    if shuffle not in _SHUFFLE_PLANS:
+        raise ValueError(
+            f"shuffle must be one of {_SHUFFLE_PLANS}, got {shuffle!r}")
+    if shuffle == "coalesce" and not narrow_bytes_hint:
+        raise ValueError(
+            "shuffle='coalesce' needs narrow_bytes_hint (approx rows x "
+            "bytes/row of the narrow shuffled table) to size its blocks — "
+            "see functions/shuffleopt.narrow_shuffle_blocks")
+
+
+def _narrow_plan(narrow: "ray.data.Dataset", shuffle: str,
+                 narrow_bytes_hint: int | None):
+    """'coalesce' repartitions the NARROW intermediate so sort-shuffle
+    cells clear the inline threshold ('hash' is applied to the SOURCE
+    lineage by the caller before building).  Returns the dataset to
+    group by."""
+    if shuffle == "coalesce":
+        from ..functions.shuffleopt import narrow_shuffle_blocks
+
+        return narrow.repartition(narrow_shuffle_blocks(narrow_bytes_hint),
+                                  shuffle=False)
+    return narrow
+
+
 def exact_distinct_tokens(ds: "ray.data.Dataset", key: str = "source",
-                          tokens_col: str = "tokens") -> "ray.data.Dataset":
+                          tokens_col: str = "tokens", *,
+                          shuffle: str = "sort",
+                          narrow_bytes_hint: int | None = None
+                          ) -> "ray.data.Dataset":
     """Distinct (key, token) pairs: hash-partition + per-group first.
 
     Feeds VectorOfCounts (one-shot contract) and the exact oracle. Map-side
     batch dedup shrinks the shuffle; the groupby is the wide op.
+
+    The (key, token) rows are ~24 B each — a NARROW shuffle; pick the
+    ``shuffle`` plan per ``_check_shuffle`` ("coalesce" at scale: the
+    default sort plan pins the whole shuffled table in driver heap,
+    docs/SCALE_MEM_r05.json).
     """
+    _check_shuffle(shuffle, narrow_bytes_hint)
+    if shuffle == "hash":
+        from ..functions.shuffleopt import use_hash_shuffle
+
+        ds = use_hash_shuffle(ds)
 
     def batch_dedup(batch: pa.Table) -> pa.Table:
         keys, toks = [], []
@@ -58,17 +118,35 @@ def exact_distinct_tokens(ds: "ray.data.Dataset", key: str = "source",
                          "token": pa.array(np.concatenate(toks).astype(np.int64))})
 
     dd = ds.map_batches(batch_dedup, batch_format="pyarrow", zero_copy_batch=True)
+    dd = _narrow_plan(dd, shuffle, narrow_bytes_hint)
     out = dd.groupby([key, "token"]).count()
     return out.select_columns([key, "token"])
 
 
 def dedup_exact_texts(ds: "ray.data.Dataset", text_col: str = "text",
-                      id_col: str = "doc_id", seed: int = 1291) -> "ray.data.Dataset":
+                      id_col: str = "doc_id", seed: int = 1291, *,
+                      shuffle: str = "sort",
+                      narrow_bytes_hint: int | None = None
+                      ) -> "ray.data.Dataset":
     """Exact-content dedup: content-hash -> keep min(id), count copies.
 
     Output: (kept_doc_id, n_copies).  Only 16-byte hash + id cross the
     shuffle; document bodies never leave the map stage.
+
+    That narrowness is exactly what makes the DEFAULT sort shuffle unsafe
+    at scale: sub-100 KB (map, reduce) cells are inlined into the
+    driver-owned in-process store and cannot spill (driver RssAnon grew
+    450 MB -> 4.97 GB across a 1.1e9 -> 1.1e10-token run,
+    docs/SCALE_MEM_r05.json).  At scale pass ``shuffle="coalesce"`` with
+    ``narrow_bytes_hint`` ~= n_docs x 16 (see ``_check_shuffle``); kept
+    opt-in so small oracle-gated runs keep the plan they were validated
+    under.
     """
+    _check_shuffle(shuffle, narrow_bytes_hint)
+    if shuffle == "hash":
+        from ..functions.shuffleopt import use_hash_shuffle
+
+        ds = use_hash_shuffle(ds)
     from ..functions.hashing import hash_strings
 
     def to_hashes(batch: pa.Table) -> pa.Table:
@@ -79,6 +157,7 @@ def dedup_exact_texts(ds: "ray.data.Dataset", text_col: str = "text",
 
     hashed = ds.select_columns([id_col, text_col]).map_batches(
         to_hashes, batch_format="pyarrow", zero_copy_batch=True)
+    hashed = _narrow_plan(hashed, shuffle, narrow_bytes_hint)
 
     def keep_first(tbl: pa.Table) -> pa.Table:
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
