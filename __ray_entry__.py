@@ -386,6 +386,24 @@ def _q_dedup_exact(sf_dir: str):
     return df
 
 
+def _q_dedup_exact_coalesce(sf_dir: str):
+    """Same contract as dedup_exact under the scale plan: the narrow
+    content-hash table is coalesced so every sort-shuffle cell clears the
+    raylet inline threshold (driver heap stays bounded,
+    docs/SCALE_MEM_r05.json).  Oracle-identical output proves the plan is
+    a physical choice, not a semantic one."""
+    from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
+        dedup_exact_texts,
+    )
+
+    docs = _read(sf_dir, "documents")
+    hint = max(1, docs.count()) * 16  # (hash, id) rows ~16 B each
+    df = dedup_exact_texts(docs, shuffle="coalesce",
+                           narrow_bytes_hint=hint).to_pandas()
+    df["n_copies"] = df["n_copies"].astype("int64")
+    return df
+
+
 def _q_quality_stats(sf_dir: str):
     from cardinality_estimation_evaluation_framework_ray.stages.text import (
         quality_stats,
@@ -2765,6 +2783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # remaining dedup / graph / ANN variants
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "minhash_near_dups": _q_minhash_near_dups,
+        "dedup_exact_coalesce": _q_dedup_exact_coalesce,
         "neardup_edit_distance": _q_neardup_edit_distance,
         "cross_doc_dup": _q_cross_doc_dup,
         "pq_ann_topk": _q_pq_ann_topk,
@@ -2843,6 +2862,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
         """,
         "dedup_exact": """
+            SELECT min(doc_id) AS kept_doc_id,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "dedup_exact_coalesce": """
             SELECT min(doc_id) AS kept_doc_id,
                    CAST(count(*) AS BIGINT) AS n_copies
             FROM documents GROUP BY text

@@ -269,10 +269,10 @@ def main() -> int:
         REPO, "docs", "SCALE_MEM_r05.json")
     big = int(float(os.environ.get("GRAFT_SCALE_TOKENS", "1.1e10")))
     legs = []
-    # dedup_exact runs under BOTH shuffle strategies: the default sort
+    # dedup_exact runs under ALL THREE shuffle plans: the default sort
     # shuffle exhibits the narrow-shuffle driver-inline pathology (the
-    # round-5 finding) and the hash strategy is its fix — see
-    # functions/shuffleopt.py for the mechanism.
+    # round-5 finding); coalesce and hash are its two fixes — see
+    # functions/shuffleopt.py for the mechanism and tradeoff.
     cells = [("build_multi", ""), ("dedup_exact", ""),
              ("dedup_exact_coalesce_fix", "coalesce"),
              ("dedup_exact_hash_fix", "hash")]
