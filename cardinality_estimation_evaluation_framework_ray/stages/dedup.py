@@ -550,8 +550,17 @@ def label_propagation_clusters(pairs: "ray.data.Dataset", *,
     O(log diameter) rounds instead of O(diameter) — the difference between
     ~5 and ~1000 all-to-alls on a long chain.  Per round: two hash joins and
     one groupby-min over two-int64-column tables.
+
+    The groupby-min input is exactly the 16 B/row narrow-shuffle shape that
+    inlines into driver heap under the default sort shuffle
+    (docs/SCALE_MEM_r05.json), and it recurs EVERY iteration — so the label
+    tables are auto-coalesced via ``narrow_shuffle_blocks`` sized from the
+    (already materialized, metadata-cheap) edge count.  Self-sizing, not a
+    caller knob: unlike ``dedup_exact_texts`` the row count is known here.
     """
     from ray.data.aggregate import Min
+
+    from ..functions.shuffleopt import narrow_shuffle_blocks
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         a = batch.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -561,12 +570,15 @@ def label_propagation_clusters(pairs: "ray.data.Dataset", *,
 
     edges = pairs.select_columns([a_col, b_col]).map_batches(
         both_dirs, batch_format="pyarrow").materialize()
+    # per-iteration groupby input is <= (2E msgs + N labels) 16 B rows
+    n_blocks = narrow_shuffle_blocks(3 * edges.count() * 16)
 
     def init_labels(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch.column("src"),
                          "label": batch.column("src")})
 
     labels = (edges.map_batches(init_labels, batch_format="pyarrow")
+              .repartition(n_blocks, shuffle=False)
               .groupby("node").aggregate(Min("label", alias_name="label"))
               .materialize())
     prev_sum = labels.sum("label")
@@ -580,6 +592,7 @@ def label_propagation_clusters(pairs: "ray.data.Dataset", *,
 
         l1 = msgs.map_batches(msg_rows, batch_format="pyarrow") \
             .union(labels) \
+            .repartition(n_blocks, shuffle=False) \
             .groupby("node").aggregate(Min("label", alias_name="label")) \
             .materialize()
         # pointer jump: label(v) <- label(label(v)); label(v) is itself a
