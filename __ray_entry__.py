@@ -2305,6 +2305,30 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(docs, bench, n=8).to_pandas()
 
 
+def _q_fuzzy_decontaminate(sf_dir: str):
+    """NEAR-duplicate contamination (fuzzy decontamination): corpus docs
+    whose word-bigram SET has Jaccard >= 0.08 against any doc of the
+    held-out 'src0' benchmark slice.  Broadcast inverted-index probe with
+    full exact verification (recall 1.0 by construction) — the corpus
+    streams, the benchmark is the small side."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        fuzzy_decontaminate,
+    )
+
+    docs = _read(sf_dir, "documents")
+    bench = docs.map_batches(
+        lambda t: t.filter(pc.equal(t.column("source"), "src0")),
+        batch_format="pyarrow")
+    corpus = docs.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t.column("source"), "src0"))),
+        batch_format="pyarrow")
+    df = fuzzy_decontaminate(corpus, bench, n=2, threshold=0.08).to_pandas()
+    return df.sort_values(["doc_id", "bench_id"]).reset_index(drop=True)
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style within-doc duplicate-bigram fraction per document."""
     from cardinality_estimation_evaluation_framework_ray.stages.filters import (
@@ -2761,6 +2785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LM / packing / curation
         "lm_perplexity": _q_lm_perplexity,
         "decontaminate": _q_decontaminate,
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "oov_rate": _q_oov_rate,
         "quality_quantile_filter": _q_quality_quantile_filter,
         "doc_chunks": _q_doc_chunks,
@@ -3178,6 +3203,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(h.nc, 0) AS BIGINT) AS n_contaminated,
                    coalesce(h.nc, 0) > 0 AS contaminated
             FROM words w LEFT JOIN hits h USING (doc_id)
+        """,
+        "fuzzy_decontaminate": """
+            WITH words AS (
+              SELECT doc_id, source,
+                     list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                 '[^a-z0-9]+'), x -> x <> '') AS w
+              FROM documents),
+            grams AS (
+              SELECT doc_id, source,
+                     unnest(list_distinct(CASE WHEN len(w) >= 2
+                            THEN [array_to_string(w[i:i+1], ' ')
+                                  for i in range(1, len(w))]
+                            ELSE [array_to_string(w, ' ')] END)) AS g
+              FROM words),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+            common AS (
+              SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+                     count(*) AS nc
+              FROM grams c JOIN grams b ON c.g = b.g
+              WHERE c.source <> 'src0' AND b.source = 'src0'
+              GROUP BY 1, 2)
+            SELECT cm.doc_id, cm.bench_id,
+                   CAST(cm.nc AS BIGINT) AS n_common,
+                   round(CAST(cm.nc AS DOUBLE) / (sa.sz + sb.sz - cm.nc), 6)
+                       AS jaccard
+            FROM common cm
+            JOIN sizes sa ON sa.doc_id = cm.doc_id
+            JOIN sizes sb ON sb.doc_id = cm.bench_id
+            WHERE CAST(cm.nc AS DOUBLE) / (sa.sz + sb.sz - cm.nc) >= 0.08
         """,
         "repetition_stats": """
             WITH words AS (

@@ -39,7 +39,8 @@ import ray.data
 from ..functions.segments import segment_sums
 from .dedup import _doc_word_hashes, _shingle_hashes
 
-__all__ = ["benchmark_gram_hashes", "decontaminate", "repetition_stats",
+__all__ = ["benchmark_gram_hashes", "decontaminate", "fuzzy_decontaminate",
+           "repetition_stats",
            "cross_doc_dup_stats",
            "scrub_pii", "PII_PATTERNS", "quantile_threshold_filter",
            "build_top_vocab", "oov_rate", "source_overlap_matrix",
@@ -112,6 +113,134 @@ def decontaminate(ds: "ray.data.Dataset", benchmark: "ray.data.Dataset", *,
             "n_grams": pa.array(counts.astype(np.int64)),
             "n_contaminated": pa.array(n_cont),
             "contaminated": pa.array(n_cont > 0),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fuzzy_decontaminate(ds: "ray.data.Dataset",
+                        benchmark: "ray.data.Dataset", *,
+                        n: int = 2, threshold: float = 0.5, seed: int = 101,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_id_col: str = "doc_id",
+                        max_bench_postings: int = 50_000_000
+                        ) -> "ray.data.Dataset":
+    """NEAR-duplicate benchmark contamination: corpus docs whose word
+    n-gram SET has Jaccard >= ``threshold`` against any benchmark doc
+    (Brown et al. 2020 GPT-3 appendix C / Touvron et al. 2023 use fuzzy
+    overlap, not exact membership, because paraphrased eval items share
+    most-but-not-all grams with their source).
+
+    Output: one row per contaminated (corpus doc, bench doc) pair —
+    (doc_id, bench_id, n_common, jaccard) with jaccard rounded to 6 dp
+    (same contract as ``ngram_jaccard_pairs``).  Callers drop
+    ``SELECT DISTINCT doc_id`` from the result before training.
+
+    EXACT by construction, not LSH-probable: the benchmark's gram->doc
+    inverted index is broadcast (``ray.put`` once), and every corpus doc's
+    intersection with every CANDIDATE bench doc (one sharing >= 1 gram) is
+    counted in full — a pair below any-gram overlap has Jaccard 0 and can
+    never pass a positive threshold, so recall is 1.0 and the SQL oracle
+    match is unconditional (up to 64-bit gram-hash collisions, the
+    ``minhash_exact_dups`` digest caveat).
+
+    100-TB shape: the corpus STREAMS (no shuffle, no corpus-side state);
+    the benchmark is the small side by contract (test sets are MBs).  The
+    broadcast index is O(benchmark postings) — guarded loudly by
+    ``max_bench_postings``; for big-big near-dup joins use
+    ``ngram_jaccard_pairs`` / ``minhash_near_dups`` over the union instead.
+    The per-batch probe is fully vectorized: one ``searchsorted`` per batch
+    for gram membership, ``np.repeat`` posting expansion, and one
+    ``np.unique`` over (doc, bench) pair keys for intersection counts — no
+    per-row loop.
+    """
+    # ---- build the broadcast index from the (small) benchmark ----------
+    def bench_pairs(batch: pa.Table) -> pa.Table:
+        g, counts = _doc_gram_hashes(batch, text_col, n, seed)
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        key = np.stack([doc_of, g.astype(np.int64)], axis=1)
+        _, first = np.unique(key, axis=0, return_index=True)
+        ids = batch.column(bench_id_col).to_numpy(zero_copy_only=False)
+        return pa.table({"bench_id": pa.array(ids[doc_of[first]]),
+                         "gram": pa.array(g.astype(np.int64)[first])})
+
+    parts = benchmark.select_columns([bench_id_col, text_col]).map_batches(
+        bench_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    tbls = [b for b in parts.iter_batches(batch_format="pyarrow")]
+    pairs_tbl = (pa.concat_tables(tbls) if tbls
+                 else pa.table({"bench_id": pa.array([], pa.int64()),
+                                "gram": pa.array([], pa.int64())}))
+    if pairs_tbl.num_rows > max_bench_postings:
+        raise ValueError(
+            f"benchmark has {pairs_tbl.num_rows} (doc, gram) postings > "
+            f"max_bench_postings={max_bench_postings}: fuzzy_decontaminate "
+            "broadcasts the benchmark index and is for a SMALL benchmark "
+            "side; use ngram_jaccard_pairs/minhash_near_dups over the "
+            "union for big-big near-dup joins")
+    bid = pairs_tbl.column("bench_id").to_numpy(zero_copy_only=False)
+    grams = pairs_tbl.column("gram").to_numpy(
+        zero_copy_only=False).astype(np.int64).view(np.uint64)
+    # bench-doc codes + per-doc set sizes
+    bench_ids, bcodes = np.unique(bid, return_inverse=True)
+    bench_sizes = np.bincount(bcodes, minlength=len(bench_ids))
+    # postings grouped by gram: sorted unique grams + offsets + bench codes
+    order = np.argsort(grams, kind="stable")
+    g_sorted, b_sorted = grams[order], bcodes[order]
+    uniq_grams, starts = np.unique(g_sorted, return_index=True)
+    offsets = np.append(starts, len(g_sorted)).astype(np.int64)
+    n_bench = len(bench_ids)
+    index_ref = ray.put((uniq_grams, offsets, b_sorted.astype(np.int64),
+                         bench_ids.astype(np.int64),
+                         bench_sizes.astype(np.int64)))
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "bench_id": pa.array([], pa.int64()),
+                      "n_common": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ug, off, post, b_ids, b_sz = ray.get(index_ref)
+        if len(ug) == 0:
+            return empty
+        g, counts = _doc_gram_hashes(batch, text_col, n, seed)
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        # per-doc SET semantics, same dedup as the benchmark side
+        key = np.stack([doc_of, g.astype(np.int64)], axis=1)
+        _, first = np.unique(key, axis=0, return_index=True)
+        doc_of, g = doc_of[first], g[first].astype(np.int64).view(np.uint64)
+        doc_sizes = np.bincount(doc_of, minlength=len(counts))
+        pos = np.searchsorted(ug, g)
+        pos = np.minimum(pos, len(ug) - 1)
+        hit = ug[pos] == g
+        if not hit.any():
+            return empty
+        d_h, p_h = doc_of[hit], pos[hit]
+        reps = (off[p_h + 1] - off[p_h]).astype(np.int64)
+        # expand posting lists without a Python loop: flat index =
+        # repeated start + within-list offset (ramp minus segment base)
+        starts_rep = np.repeat(off[p_h], reps)
+        within = np.arange(int(reps.sum())) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        bench_hits = post[starts_rep + within]
+        pair_doc = np.repeat(d_h, reps)
+        # intersection per (doc, bench): each (doc-unique gram, posting)
+        # contributes exactly 1
+        pair_key = pair_doc * n_bench + bench_hits
+        uniq_pairs, inter = np.unique(pair_key, return_counts=True)
+        pd_idx = (uniq_pairs // n_bench).astype(np.int64)
+        pb_idx = (uniq_pairs % n_bench).astype(np.int64)
+        union = doc_sizes[pd_idx] + b_sz[pb_idx] - inter
+        jac = inter / union
+        keep = jac >= threshold
+        if not keep.any():
+            return empty
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids[pd_idx[keep]].astype(np.int64)),
+            "bench_id": pa.array(b_ids[pb_idx[keep]]),
+            "n_common": pa.array(inter[keep].astype(np.int64)),
+            "jaccard": pa.array(np.round(jac[keep], 6)),
         })
 
     return ds.select_columns([id_col, text_col]).map_batches(

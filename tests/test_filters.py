@@ -312,3 +312,70 @@ def test_bloom_membership_no_false_negatives_and_bounded_fpr(ray_session):
         key_col="k", how="anti").to_pandas()
     assert kept_set.isdisjoint(set(dropped["k"]))
     assert len(kept) + len(dropped) == len(probe)
+
+
+def test_fuzzy_decontaminate_exact_jaccard(ray_session):
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        fuzzy_decontaminate,
+    )
+
+    # word (n=1) sets: A={a,b,c,d}, bench B1={a,b,c,e} -> J = 3/5 = 0.6;
+    # B2={x,y,z} disjoint from A; doc2={x,y} vs B2 -> J = 2/3
+    bench = _docs(["a b c e", "x y z"], ids=[10, 11])
+    corpus = _docs(["a b c d", "x y", "q r s t u"], ids=[0, 1, 2])
+    out = fuzzy_decontaminate(corpus, bench, n=1, threshold=0.5) \
+        .to_pandas().sort_values(["doc_id", "bench_id"]).reset_index(drop=True)
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["bench_id"].tolist() == [10, 11]
+    assert out["n_common"].tolist() == [3, 2]
+    assert np.allclose(out["jaccard"], [0.6, round(2 / 3, 6)])
+    # recall bound: threshold above both -> empty, never a missed pair
+    none = fuzzy_decontaminate(corpus, bench, n=1, threshold=0.7).to_pandas()
+    assert none.empty
+
+
+def test_fuzzy_decontaminate_set_semantics_and_empty_bench(ray_session):
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        fuzzy_decontaminate,
+    )
+
+    # repeated words collapse to SETS on both sides: {a,b} vs {a,b} -> J=1
+    bench = _docs(["a a b b a"], ids=[5])
+    corpus = _docs(["b a b a"], ids=[0])
+    out = fuzzy_decontaminate(corpus, bench, n=1, threshold=0.99).to_pandas()
+    assert out["n_common"].tolist() == [2]
+    assert out["jaccard"].tolist() == [1.0]
+    # empty benchmark -> empty result; Dataset schema keeps the contract
+    # columns (to_pandas() on an all-empty Dataset drops columns, a Ray
+    # quirk, so assert on the Dataset schema)
+    empty = fuzzy_decontaminate(corpus, _docs([], ids=[]), n=1,
+                                threshold=0.1)
+    assert empty.schema().names == ["doc_id", "bench_id", "n_common",
+                                    "jaccard"]
+    assert empty.count() == 0
+
+
+def test_fuzzy_decontaminate_postings_guard_and_partition_invariance(
+        ray_session):
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        fuzzy_decontaminate,
+    )
+
+    bench = _docs(["a b c d e f", "c d e f g h"], ids=[7, 8])
+    corpus_texts = [f"w{i} c d e f extra{i % 3}" for i in range(40)]
+    with pytest.raises(ValueError, match="max_bench_postings"):
+        fuzzy_decontaminate(_docs(corpus_texts), bench, n=1,
+                            max_bench_postings=3)
+    one = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(corpus_texts, pa.string())}))
+    a = fuzzy_decontaminate(one, bench, n=1, threshold=0.3) \
+        .to_pandas().sort_values(["doc_id", "bench_id"]).reset_index(drop=True)
+    many = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(corpus_texts, pa.string())})) \
+        .repartition(8)
+    b = fuzzy_decontaminate(many, bench, n=1, threshold=0.3) \
+        .to_pandas().sort_values(["doc_id", "bench_id"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) > 0
