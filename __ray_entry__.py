@@ -2433,6 +2433,43 @@ def _q_lm_perplexity(sf_dir: str):
     return lm_perplexity(_read(sf_dir, "documents")).to_pandas()
 
 
+def _q_bpe_merges(sf_dir: str):
+    """Rows-only (the merge loop is iterative state, not SQL-expressible;
+    exactness pinned by tests/test_bpe.py vs an independent reference):
+    BPE merge rules trained on the corpus word-count table — one
+    distributed corpus pass, driver loop over <= max_vocab word types."""
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.bpe import (
+        train_bpe,
+        word_count_table,
+    )
+
+    wc = word_count_table(_read(sf_dir, "documents"), max_vocab=100_000)
+    merges = train_bpe(wc, num_merges=32)
+    return pd.DataFrame({
+        "rank": pd.Series(range(len(merges)), dtype="int64"),
+        "left": [p[0] for p in merges],
+        "right": [p[1] for p in merges],
+    })
+
+
+def _q_bpe_encode_stats(sf_dir: str):
+    """Rows-only (depends on the trained merges above): per-doc token
+    counts and chars/token compression under the learned BPE."""
+    from cardinality_estimation_evaluation_framework_ray.stages.bpe import (
+        bpe_encode_stats,
+        train_bpe,
+        word_count_table,
+    )
+
+    docs = _read(sf_dir, "documents")
+    merges = train_bpe(word_count_table(docs, max_vocab=100_000),
+                       num_merges=32)
+    return bpe_encode_stats(docs, merges).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Rows-only (iterative, non-SQL-expressible): full-corpus Lloyd's
     k-means over the embeddings table -> per-cluster sizes."""
@@ -2784,6 +2821,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_search": _q_boolean_search,
         # LM / packing / curation
         "lm_perplexity": _q_lm_perplexity,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_encode_stats": _q_bpe_encode_stats,
         "decontaminate": _q_decontaminate,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "oov_rate": _q_oov_rate,
