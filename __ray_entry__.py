@@ -2758,9 +2758,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup
         "dedup_exact": _q_dedup_exact,
         "minhash_exact_wordset_dups": _q_minhash_exact_wordset_dups,
-        "simhash_near_dups": _q_simhash_near_dups,
-        "word_jaccard_pairs": _q_word_jaccard_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
+        # filters / decontamination (family reps inside the driver's
+        # truncated first-50 gate; more dedup variants follow later)
+        "decontaminate": _q_decontaminate,
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         # ANN / clustering
         "ann_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -2823,8 +2825,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": _q_lm_perplexity,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_stats": _q_bpe_encode_stats,
-        "decontaminate": _q_decontaminate,
-        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "word_jaccard_pairs": _q_word_jaccard_pairs,
         "oov_rate": _q_oov_rate,
         "quality_quantile_filter": _q_quality_quantile_filter,
         "doc_chunks": _q_doc_chunks,
