@@ -2470,6 +2470,23 @@ def _q_bpe_encode_stats(sf_dir: str):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_logistic_scores(sf_dir: str):
+    """Rows-only (Newton/IRLS is iterative state; exactness pinned by
+    tests/test_cluster.py equality vs an independent single-process IRLS):
+    one-vs-rest logistic regression P(label == 0) over the embeddings
+    table — per-iteration exchange is one (d+1) gradient + (d+1)^2 Hessian
+    partial per block; scores micro-quantized for stable output."""
+    from cardinality_estimation_evaluation_framework_ray.stages.cluster import (
+        logistic_fit,
+        logistic_predict,
+    )
+
+    ds = _read(sf_dir, "embeddings")
+    w, b, _ = logistic_fit(ds, positive=0, iters=12, l2=1e-3)
+    return logistic_predict(ds, w, b).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Rows-only (iterative, non-SQL-expressible): full-corpus Lloyd's
     k-means over the embeddings table -> per-cluster sizes."""
@@ -2767,6 +2784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "kmeans_clusters": _q_kmeans_clusters,
+        "logistic_scores": _q_logistic_scores,
         "pca_projection": _q_pca_projection,
         "label_centroids": _q_label_centroids,
         # graph

@@ -31,7 +31,8 @@ import ray.data
 from .ann import _emb_matrix
 from .sampling import knuth_priority
 
-__all__ = ["kmeans", "assign_clusters", "pca_fit", "pca_transform"]
+__all__ = ["kmeans", "assign_clusters", "pca_fit", "pca_transform",
+           "logistic_fit", "logistic_predict"]
 
 
 def _init_centroids(ds: "ray.data.Dataset", k: int, emb_col: str,
@@ -277,3 +278,113 @@ def grouped_centroids(ds: "ray.data.Dataset", *, key: str,
     out["s"] = out["s"].astype("int64")
     out["n"] = out["n"].astype("int64")
     return (out.sort_values([key, "dim"]).reset_index(drop=True))
+
+
+def logistic_fit(ds: "ray.data.Dataset", *, emb_col: str = "embedding",
+                 label_col: str = "label", positive: int = 0,
+                 iters: int = 12, l2: float = 1e-3,
+                 tol: float = 1e-8) -> tuple[np.ndarray, float, int]:
+    """Distributed binary logistic regression (one-vs-rest on
+    ``label == positive``) by Newton / IRLS.
+
+    Returns (weights (d,), intercept, iterations run).  Each Newton step is
+    ONE streaming pass: every task emits its block's gradient (d+1,) and
+    Hessian ((d+1)^2,) partials — a few KB per BLOCK regardless of corpus
+    size — the driver folds them, solves the (d+1) system, and
+    re-broadcasts.  Same exchange shape as ``kmeans``/``pca_fit``: the
+    corpus never shuffles, never materializes; cost per iteration = one
+    read + one matmul per batch.  L2 ridge (never on the intercept) keeps
+    the Hessian PD on separable data, where unregularized logistic
+    diverges.
+
+    Determinism: identical reruns need a fixed float64 partial-fold order —
+    the same ``preserve_order`` treatment as ``kmeans``.
+    """
+    first = ds.take(1)
+    if not first:
+        raise ValueError("logistic_fit: empty dataset")
+    d = len(first[0][emb_col])
+    beta = np.zeros(d + 1, dtype=np.float64)  # [w, b]
+    cols = ds.select_columns([emb_col, label_col])
+    try:
+        opts = cols.context.execution_options
+        prev_preserve = opts.preserve_order
+        opts.preserve_order = True
+    except AttributeError:
+        opts = prev_preserve = None
+    try:
+        return _newton_loop(cols, beta, positive, iters, l2, tol,
+                            emb_col, label_col)
+    finally:
+        if opts is not None:
+            opts.preserve_order = prev_preserve
+
+
+def _newton_loop(cols, beta, positive, iters, l2, tol, emb_col, label_col):
+    d = len(beta) - 1
+    n_it = 0
+    for _ in range(iters):
+        b_ref = ray.put(beta)
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            bt = ray.get(b_ref)
+            m = _emb_matrix(tbl, emb_col).astype(np.float64)
+            y = (tbl.column(label_col).to_numpy(zero_copy_only=False)
+                 == positive).astype(np.float64)
+            x = np.concatenate([m, np.ones((len(m), 1))], axis=1)
+            eta = np.clip(x @ bt, -30.0, 30.0)  # sigmoid saturates; no overflow
+            p = 1.0 / (1.0 + np.exp(-eta))
+            g = x.T @ (y - p)                   # (d+1,) gradient partial
+            w = p * (1.0 - p)
+            h = x.T @ (x * w[:, None])          # (d+1, d+1) Hessian partial
+            return pa.table({
+                "g": pa.array([g.tolist()], pa.list_(pa.float64())),
+                "h": pa.array([h.ravel().tolist()], pa.list_(pa.float64())),
+            })
+
+        grad = np.zeros(d + 1)
+        hess = np.zeros((d + 1, d + 1))
+        for b in cols.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True).iter_batches(
+                                      batch_format="pyarrow"):
+            for gv, hv in zip(b.column("g").to_pylist(),
+                              b.column("h").to_pylist()):
+                grad += np.asarray(gv)
+                hess += np.asarray(hv).reshape(d + 1, d + 1)
+        # ridge on weights only; intercept unpenalized
+        reg = np.full(d + 1, l2)
+        reg[d] = 0.0
+        grad -= reg * beta
+        hess += np.diag(reg)
+        step = np.linalg.solve(hess, grad)
+        beta = beta + step
+        n_it += 1
+        if float(np.abs(step).max()) < tol:
+            break
+    return beta[:d], float(beta[d]), n_it
+
+
+def logistic_predict(ds: "ray.data.Dataset", weights: np.ndarray,
+                     intercept: float, *, emb_col: str = "embedding",
+                     id_col: str = "vec_id",
+                     quant: float = 1e6) -> "ray.data.Dataset":
+    """Scoring pass: (id, score, predicted) per row; score = P(positive)
+    micro-quantized to ``1/quant`` for order-independent, hashable output
+    (the ``label_centroids`` trick)."""
+    w_ref = ray.put(np.asarray(weights, dtype=np.float64))
+    b = float(intercept)
+
+    def score(tbl: pa.Table) -> pa.Table:
+        w = ray.get(w_ref)
+        m = _emb_matrix(tbl, emb_col).astype(np.float64)
+        eta = np.clip(m @ w + b, -30.0, 30.0)
+        p = 1.0 / (1.0 + np.exp(-eta))
+        pq = np.floor(p * quant + 0.5) / quant
+        return pa.table({
+            id_col: tbl.column(id_col),
+            "score": pa.array(pq),
+            "predicted": pa.array(p >= 0.5),
+        })
+
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True)

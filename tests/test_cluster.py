@@ -135,3 +135,111 @@ def test_grouped_centroids_exact_sums(ray_session):
         mean = got["s"].to_numpy() / (got["n"].to_numpy() * 1e6)
         np.testing.assert_allclose(mean, emb[lab == g].mean(axis=0),
                                    atol=1e-5)
+
+
+# -- logistic regression -----------------------------------------------------
+
+def _logit_ref(X, y, iters, l2, tol=1e-8):
+    """Independent single-process IRLS transcription (ridge on weights,
+    not intercept) — written from the textbook update, not the engine."""
+    import numpy as np
+
+    n, d = X.shape
+    Xb = np.concatenate([X, np.ones((n, 1))], axis=1)
+    beta = np.zeros(d + 1)
+    reg = np.concatenate([np.full(d, l2), [0.0]])
+    for _ in range(iters):
+        eta = np.clip(Xb @ beta, -30, 30)
+        p = 1 / (1 + np.exp(-eta))
+        g = Xb.T @ (y - p) - reg * beta
+        H = Xb.T @ (Xb * (p * (1 - p))[:, None]) + np.diag(reg)
+        step = np.linalg.solve(H, g)
+        beta = beta + step
+        if np.abs(step).max() < tol:
+            break
+    return beta[:d], beta[d]
+
+
+def _logit_data(n=400, d=6):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(n, d)
+    w_true = np.linspace(-2, 2, d)
+    y = (X @ w_true + 0.3 * rng.randn(n) > 0).astype(np.float64)
+    return X, y
+
+
+def _logit_ds(X, labels, blocks=1):
+    import pyarrow as pa
+
+    import ray.data
+
+    t = pa.table({
+        "vec_id": pa.array(range(len(X)), pa.int64()),
+        "embedding": pa.array([row.tolist() for row in X],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels.astype("int32"), pa.int32()),
+    })
+    ds = ray.data.from_arrow(t)
+    return ds.repartition(blocks) if blocks > 1 else ds
+
+
+def test_logistic_fit_matches_reference(ray_session):
+    import numpy as np
+
+    from cardinality_estimation_evaluation_framework_ray.stages.cluster import (
+        logistic_fit,
+    )
+
+    X, y = _logit_data()
+    labels = np.where(y == 1, 0, 5)  # positive class encoded as label 0
+    ds = _logit_ds(X, labels, blocks=5)
+    w, b, n_it = logistic_fit(ds, positive=0, iters=12, l2=1e-3)
+    # the engine reads float32 embeddings; reference must see the same
+    w_ref, b_ref = _logit_ref(X.astype(np.float32).astype(np.float64),
+                              y, iters=12, l2=1e-3)
+    assert n_it <= 12
+    assert np.allclose(w, w_ref, rtol=1e-6, atol=1e-8)
+    assert np.isclose(b, b_ref, rtol=1e-6, atol=1e-8)
+
+
+def test_logistic_fit_partition_invariance_and_accuracy(ray_session):
+    import numpy as np
+
+    from cardinality_estimation_evaluation_framework_ray.stages.cluster import (
+        logistic_fit,
+        logistic_predict,
+    )
+
+    X, y = _logit_data()
+    labels = np.where(y == 1, 0, 3)
+    w1, b1, _ = logistic_fit(_logit_ds(X, labels, blocks=1), positive=0)
+    w7, b7, _ = logistic_fit(_logit_ds(X, labels, blocks=7), positive=0)
+    # float fold order differs across partitionings -> ulp-level drift only
+    assert np.allclose(w1, w7, rtol=1e-9, atol=1e-12)
+    assert np.isclose(b1, b7, rtol=1e-9, atol=1e-12)
+    scored = logistic_predict(_logit_ds(X, labels, blocks=7), w1, b1) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    acc = ((scored["predicted"].to_numpy()) == (y == 1)).mean()
+    assert acc > 0.9          # separable-with-noise synthetic
+    assert ((scored["score"] >= 0) & (scored["score"] <= 1)).all()
+    # micro-quantized scores: exact multiples of 1e-6
+    q = (scored["score"] * 1e6).to_numpy()
+    assert np.allclose(q, np.round(q))
+
+
+def test_logistic_fit_empty_raises(ray_session):
+    import numpy as np
+
+    import pytest
+
+    from cardinality_estimation_evaluation_framework_ray.stages.cluster import (
+        logistic_fit,
+    )
+
+    X, y = _logit_data(n=4)
+    ds = _logit_ds(X, np.zeros(4), blocks=1).filter(
+        lambda r: r["vec_id"] < 0)
+    with pytest.raises(ValueError, match="empty"):
+        logistic_fit(ds)
