@@ -1992,6 +1992,21 @@ def _q_events_hourly_resample(sf_dir: str):
                            ts_col="ts", unit="hour")
 
 
+def _q_events_ewma(sf_dir: str):
+    """Per-user EWMA of event values in (ts, event_id) order — one shuffle
+    on the key, Hillis-Steele doubling scan per group (log2 n vectorized
+    passes, no per-row loop).  Oracle: the recurrence's closed power-sum
+    form per position."""
+    from cardinality_estimation_evaluation_framework_ray.stages.windows import (
+        ewma_by_key,
+    )
+
+    df = ewma_by_key(_read(sf_dir, "events"), key_col="user_id",
+                     ts_col="ts", value_col="value", id_col="event_id",
+                     alpha=0.2).to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_custkey_overlap_theta(sf_dir: str):
     """Join-key overlap diagnostics via theta sketches over TWO tables:
     distinct custkeys of customer vs orders, their intersection (the
@@ -2801,6 +2816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_orders": _q_rolling_orders,
         "sliding_reach_6h": _q_sliding_reach_6h,
         "events_hourly_resample": _q_events_hourly_resample,
+        "events_ewma": _q_events_ewma,
         # sessions / funnels
         "sessions": _q_sessions,
         "event_funnel": _q_event_funnel,
@@ -3789,6 +3805,24 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN b ON b.event_type = k.event_type
                        AND b.bucket = s.bucket
             ORDER BY k.event_type, s.bucket
+        """,
+        "events_ewma": """
+            -- closed power-sum form of s_1 = v_1;
+            -- s_i = 0.8*s_{i-1} + 0.2*v_i:
+            --   s_i = 0.8^(i-1)*v_1 + 0.2 * sum_{j=2..i} 0.8^(i-j)*v_j
+            WITH e AS (
+              SELECT event_id, user_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS pos
+              FROM events)
+            SELECT i.event_id, i.user_id,
+                   round(sum(CASE WHEN j.pos = 1
+                             THEN power(0.8, i.pos - 1) * j.value
+                             ELSE 0.2 * power(0.8, i.pos - j.pos) * j.value
+                             END), 6) AS ewma
+            FROM e i JOIN e j
+              ON j.user_id = i.user_id AND j.pos <= i.pos
+            GROUP BY i.event_id, i.user_id
         """,
         "custkey_overlap_theta": """
             WITH c AS (SELECT DISTINCT c_custkey AS k FROM customer),

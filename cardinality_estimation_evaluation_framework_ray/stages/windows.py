@@ -29,7 +29,7 @@ import pyarrow as pa
 import ray.data
 
 __all__ = ["windowed_agg", "rolling_agg", "resample_counts",
-           "sliding_window_distinct"]
+           "sliding_window_distinct", "ewma_by_key"]
 
 _BUCKET = "__win_bucket__"
 _OWNER = "__win_owner__"
@@ -352,3 +352,52 @@ def resample_counts(ds: "ray.data.Dataset", *, key_col: str, ts_col: str,
     out["n"] = out["n"].fillna(0).astype("int64")
     out["bucket"] = out["bucket"].astype("datetime64[us]")
     return (out.sort_values([key_col, "bucket"]).reset_index(drop=True))
+
+
+def ewma_by_key(ds: "ray.data.Dataset", *, key_col: str, ts_col: str,
+                value_col: str, id_col: str, alpha: float
+                ) -> "ray.data.Dataset":
+    """Per-key exponentially weighted moving average over event order:
+    ``s_0 = v_0; s_i = (1 - alpha) * s_{i-1} + alpha * v_i`` (the pandas
+    ``ewm(adjust=False)`` recurrence) with rows ordered by
+    ``(ts, id)`` within a key — the id tiebreak makes same-timestamp
+    events deterministic and the output oracle-hashable.
+
+    Output: (id, key, ewma) per input row, ewma rounded to 6 dp.
+
+    Distributed shape: ONE shuffle on the key, then a per-group
+    HILLIS-STEELE DOUBLING SCAN — the recurrence is a composition of
+    affine maps ``s -> c*s + b`` (c = 1-alpha), which is associative, so
+    the scan closes in ceil(log2 n) fully vectorized passes instead of a
+    per-row Python loop.  Numerically benign: the composed multipliers are
+    powers of c < 1 and only shrink.  A key's full history co-groups in
+    one task (same contract as ``sessions``/``rolling_agg``: key
+    cardinality x history must fit a task; use ``windowed_agg``'s
+    bucket_span pattern if a single key's history outgrows one).
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    c = 1.0 - alpha
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, id_col], kind="stable")
+        v = df[value_col].to_numpy(dtype=np.float64)
+        n = len(v)
+        s = alpha * v
+        m = np.full(n, c)
+        if n:
+            s[0] = v[0]   # adjust=False seed
+            m[0] = 0.0
+        d = 1
+        while d < n:
+            s[d:] = s[d:] + m[d:] * s[:-d]
+            m[d:] = m[d:] * m[:-d]
+            d *= 2
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            key_col: df[key_col].to_numpy(),
+            "ewma": np.round(s, 6),
+        })
+
+    return (ds.select_columns([id_col, key_col, ts_col, value_col])
+            .groupby(key_col).map_groups(scan, batch_format="pandas"))

@@ -303,3 +303,55 @@ def test_sliding_fold_matches_naive_and_is_linear():
     bad[9] = 5
     with pytest.raises(ValueError, match="non-decreasing"):
         list(_sliding_fold(spec, blobs, bad))
+
+
+def test_ewma_by_key_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.windows import (
+        ewma_by_key,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 7, n).astype(np.int64),
+        "ts": rng.randint(0, 200, n).astype(np.int64),  # many ts ties
+        "value": rng.randn(n) * 50,
+    })
+    out = ewma_by_key(ray.data.from_pandas(df).repartition(5),
+                      key_col="user_id", ts_col="ts", value_col="value",
+                      id_col="event_id", alpha=0.3).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    ref = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    ref["ewma"] = ref.groupby("user_id")["value"] \
+        .transform(lambda s: s.ewm(alpha=0.3, adjust=False).mean())
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    assert out["event_id"].tolist() == ref["event_id"].tolist()
+    assert np.allclose(out["ewma"], np.round(ref["ewma"], 6), atol=2e-6)
+
+
+def test_ewma_by_key_validates_alpha_and_single_row(ray_session):
+    import pandas as pd
+    import pytest
+
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.windows import (
+        ewma_by_key,
+    )
+
+    one = ray.data.from_pandas(pd.DataFrame(
+        {"event_id": [1], "user_id": [9], "ts": [0], "value": [42.5]}))
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_by_key(one, key_col="user_id", ts_col="ts",
+                    value_col="value", id_col="event_id", alpha=0.0)
+    out = ewma_by_key(one, key_col="user_id", ts_col="ts",
+                      value_col="value", id_col="event_id",
+                      alpha=0.5).to_pandas()
+    assert out["ewma"].tolist() == [42.5]  # s_0 = v_0 seed
