@@ -45,6 +45,7 @@ import pyarrow as pa
 
 import ray.data
 
+from ..functions.rounding import micro_round
 from .text import _split_lists
 
 __all__ = ["word_count_table", "train_bpe", "bpe_encode_stats",
@@ -201,7 +202,7 @@ def bpe_encode_stats(ds: "ray.data.Dataset",
                 id_col: batch.column(id_col),
                 "n_words": pa.array(lengths.astype(np.int64)),
                 "n_tokens": pa.array(n_tokens),
-                "compression": pa.array(np.round(comp, 6)),
+                "compression": pa.array(micro_round(comp)),
             })
 
     return ds.select_columns([id_col, text_col]).map_batches(

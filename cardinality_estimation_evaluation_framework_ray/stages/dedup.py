@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..functions.hashing import hash64, seed_offset, _mix
+from ..functions.rounding import micro_round
 from .build import iter_key_tokens
 from .text import _split_lists
 
@@ -815,7 +816,7 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", *, n: int = 1,
         j = nc / (sa + sb - nc)
         keep = j >= threshold
         return pa.table({"doc_a": pa.array(da[keep]), "doc_b": pa.array(db[keep]),
-                         "jaccard": pa.array(np.round(j[keep], 6))})
+                         "jaccard": pa.array(micro_round(j[keep]))})
 
     return j2.map_batches(jaccard, batch_format="pyarrow")
 

@@ -36,6 +36,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..functions.rounding import micro_round
 from ..functions.segments import segment_sums
 from .dedup import _doc_word_hashes, _shingle_hashes
 
@@ -240,7 +241,7 @@ def fuzzy_decontaminate(ds: "ray.data.Dataset",
             id_col: pa.array(ids[pd_idx[keep]].astype(np.int64)),
             "bench_id": pa.array(b_ids[pb_idx[keep]]),
             "n_common": pa.array(inter[keep].astype(np.int64)),
-            "jaccard": pa.array(np.round(jac[keep], 6)),
+            "jaccard": pa.array(micro_round(jac[keep])),
         })
 
     return ds.select_columns([id_col, text_col]).map_batches(
@@ -277,7 +278,7 @@ def repetition_stats(ds: "ray.data.Dataset", *, n: int = 2, seed: int = 101,
             id_col: batch.column(id_col),
             "n_grams": pa.array(total),
             "n_distinct": pa.array(n_distinct),
-            "dup_frac": pa.array(np.round(dup, 6)),
+            "dup_frac": pa.array(micro_round(dup)),
         })
 
     return ds.select_columns([id_col, text_col]).map_batches(
@@ -534,7 +535,7 @@ def oov_rate(ds: "ray.data.Dataset", vocab: np.ndarray, *,
             id_col: batch.column(id_col).filter(pa.array(keep)),
             "n_words": pa.array(lengths[keep].astype(np.int64)),
             "oov_rate": pa.array(
-                np.round(oov[keep] / lengths[keep], 6)),
+                micro_round(oov[keep] / lengths[keep])),
         })
 
     return ds.select_columns([id_col, text_col]).map_batches(

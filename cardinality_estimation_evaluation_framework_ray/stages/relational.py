@@ -431,8 +431,12 @@ _EXACT_BATCH = 65536
 def _micro_round(v):
     """Half-away-from-zero rounding to 1e-6 (SQL ROUND tie semantics —
     np.round's half-even ties disagree on exactly-rational values) with
-    -0.0 normalized; mirrored literally in the oracle SQL expressions."""
-    return np.floor(np.abs(v) * 1e6 + 0.5) * np.sign(v) / 1e6 + 0.0
+    -0.0 normalized; mirrored literally in the oracle SQL expressions.
+    Now the shared ``functions/rounding.micro_round`` (kept as an alias
+    for this module's many call sites)."""
+    from ..functions.rounding import micro_round
+
+    return micro_round(v)
 
 
 def _grouped_int_moments(ds: "ray.data.Dataset", key: str, cols: list[str],

@@ -27,6 +27,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..functions.hashing import hash_strings
+from ..functions.rounding import micro_round
 from ..functions.segments import segment_sums
 
 TOKEN_PATTERN = "[^a-z0-9]+"
@@ -129,7 +130,7 @@ def quality_stats(ds: "ray.data.Dataset", text_col: str = "text",
             "n_chars_text": pa.array(n_chars.astype(np.int64)),
             "n_punct": pa.array(punct.astype(np.int64)),
             "n_upper": pa.array(upper.astype(np.int64)),
-            "mean_word_len": pa.array(np.round(mean_wl, 6)),
+            "mean_word_len": pa.array(micro_round(mean_wl)),
         })
 
     return ds.select_columns([id_col, text_col]).map_batches(

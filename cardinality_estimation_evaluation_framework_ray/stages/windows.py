@@ -28,6 +28,8 @@ import pyarrow as pa
 
 import ray.data
 
+from ..functions.rounding import micro_round
+
 __all__ = ["windowed_agg", "rolling_agg", "resample_counts",
            "sliding_window_distinct", "ewma_by_key"]
 
@@ -396,7 +398,7 @@ def ewma_by_key(ds: "ray.data.Dataset", *, key_col: str, ts_col: str,
         return pd.DataFrame({
             id_col: df[id_col].to_numpy(),
             key_col: df[key_col].to_numpy(),
-            "ewma": np.round(s, 6),
+            "ewma": micro_round(s),
         })
 
     return (ds.select_columns([id_col, key_col, ts_col, value_col])
