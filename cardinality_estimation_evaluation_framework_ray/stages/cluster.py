@@ -367,10 +367,12 @@ def _newton_loop(cols, beta, positive, iters, l2, tol, emb_col, label_col):
 def logistic_predict(ds: "ray.data.Dataset", weights: np.ndarray,
                      intercept: float, *, emb_col: str = "embedding",
                      id_col: str = "vec_id",
-                     quant: float = 1e6) -> "ray.data.Dataset":
+                     decimals: int = 6) -> "ray.data.Dataset":
     """Scoring pass: (id, score, predicted) per row; score = P(positive)
-    micro-quantized to ``1/quant`` for order-independent, hashable output
-    (the ``label_centroids`` trick)."""
+    rounded to ``decimals`` with the shared SQL-tie-semantics helper for
+    order-independent, hashable output."""
+    from ..functions.rounding import micro_round
+
     w_ref = ray.put(np.asarray(weights, dtype=np.float64))
     b = float(intercept)
 
@@ -379,7 +381,7 @@ def logistic_predict(ds: "ray.data.Dataset", weights: np.ndarray,
         m = _emb_matrix(tbl, emb_col).astype(np.float64)
         eta = np.clip(m @ w + b, -30.0, 30.0)
         p = 1.0 / (1.0 + np.exp(-eta))
-        pq = np.floor(p * quant + 0.5) / quant
+        pq = micro_round(p, decimals)
         return pa.table({
             id_col: tbl.column(id_col),
             "score": pa.array(pq),

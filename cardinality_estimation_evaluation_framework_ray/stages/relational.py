@@ -19,6 +19,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..functions.rounding import micro_round
+
 
 def relative_error_columns(ds: "ray.data.Dataset", est_prefix: str = "estimated_cardinality_",
                            true_prefix: str = "true_cardinality_") -> "ray.data.Dataset":
@@ -428,15 +430,10 @@ def group_zscore(ds: "ray.data.Dataset", key: str, value_col: str, *,
 _EXACT_BATCH = 65536
 
 
-def _micro_round(v):
-    """Half-away-from-zero rounding to 1e-6 (SQL ROUND tie semantics —
-    np.round's half-even ties disagree on exactly-rational values) with
-    -0.0 normalized; mirrored literally in the oracle SQL expressions.
-    Now the shared ``functions/rounding.micro_round`` (kept as an alias
-    for this module's many call sites)."""
-    from ..functions.rounding import micro_round
-
-    return micro_round(v)
+# Half-away-from-zero rounding to 1e-6 (SQL ROUND tie semantics), shared
+# engine-wide; kept under this module's historical name for its many call
+# sites.  Mirror ``round(x, 6)`` literally in the oracle SQL expressions.
+_micro_round = micro_round
 
 
 def _grouped_int_moments(ds: "ray.data.Dataset", key: str, cols: list[str],
