@@ -2797,7 +2797,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         # ANN / clustering
         "ann_topk": _q_ann_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
         "kmeans_clusters": _q_kmeans_clusters,
         "logistic_scores": _q_logistic_scores,
         "pca_projection": _q_pca_projection,
@@ -2815,7 +2814,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed_1h": _q_events_windowed_1h,
         "rolling_orders": _q_rolling_orders,
         "sliding_reach_6h": _q_sliding_reach_6h,
-        "events_hourly_resample": _q_events_hourly_resample,
         "events_ewma": _q_events_ewma,
         # sessions / funnels
         "sessions": _q_sessions,
@@ -2880,6 +2878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_by_source": _q_heavy_hitters_by_source,
         "reach_users_by_type": _q_reach_users_by_type,
         "windowed_reach": _q_windowed_reach,
+        "events_hourly_resample": _q_events_hourly_resample,
         # remaining dedup / graph / ANN variants
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "minhash_near_dups": _q_minhash_near_dups,
@@ -2887,6 +2886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_edit_distance": _q_neardup_edit_distance,
         "cross_doc_dup": _q_cross_doc_dup,
         "pq_ann_topk": _q_pq_ann_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "source_overlap": _q_source_overlap,
         # remaining join variants
         "orders_customer_join_salted": _q_orders_customer_join_salted,

@@ -83,6 +83,13 @@ def word_count_table(ds: "ray.data.Dataset", *, text_col: str = "text",
                                     preserve_index=False)
 
     tops = counts.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    if tops.empty:
+        # all-empty corpus: to_pandas() on an all-empty Dataset drops the
+        # columns (the Ray quirk tests/test_filters.py documents) — return
+        # the contract schema explicitly so train_bpe gets its documented
+        # empty-input behavior (no merges)
+        return pd.DataFrame({"word": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64")})
     tops = tops.sort_values(["n", "word"], ascending=[False, True],
                             kind="stable").head(max_vocab)
     return tops.reset_index(drop=True).astype({"n": "int64"})

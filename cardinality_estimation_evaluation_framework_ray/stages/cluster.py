@@ -22,6 +22,8 @@ per-iteration exchange stays KB-scale regardless of corpus size.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import numpy as np
 import pyarrow as pa
 
@@ -33,6 +35,26 @@ from .sampling import knuth_priority
 
 __all__ = ["kmeans", "assign_clusters", "pca_fit", "pca_transform",
            "logistic_fit", "logistic_predict"]
+
+
+@contextmanager
+def _preserved_order(ds: "ray.data.Dataset"):
+    """Pin the streaming executor's block delivery order for the enclosed
+    iteration (identical reruns need a fixed float64 partial-fold order),
+    then RESTORE the caller-shared DataContext flag — leaking it would
+    silently slow every later pipeline in the session.  No-op on older Ray
+    without Dataset.context."""
+    try:
+        opts = ds.context.execution_options
+        prev = opts.preserve_order
+        opts.preserve_order = True
+    except AttributeError:
+        opts = prev = None
+    try:
+        yield
+    finally:
+        if opts is not None:
+            opts.preserve_order = prev
 
 
 def _init_centroids(ds: "ray.data.Dataset", k: int, emb_col: str,
@@ -63,21 +85,8 @@ def kmeans(ds: "ray.data.Dataset", k: int, *, iters: int = 20,
     Empty clusters keep their previous centroid (standard fallback)."""
     centroids = _init_centroids(ds, k, emb_col, id_col)
     vecs = ds.select_columns([emb_col])
-    # identical reruns need a fixed float64 partial-fold order; block order
-    # out of the streaming executor is only guaranteed under preserve_order.
-    # The flag lives on the caller-shared DataContext, so restore it after —
-    # leaking it would silently slow every later pipeline in the session.
-    try:
-        opts = vecs.context.execution_options
-        prev_preserve = opts.preserve_order
-        opts.preserve_order = True
-    except AttributeError:  # older Ray without Dataset.context
-        opts = prev_preserve = None
-    try:
+    with _preserved_order(vecs):
         return _lloyd_loop(vecs, centroids, iters, early_stop_shift, emb_col)
-    finally:
-        if opts is not None:
-            opts.preserve_order = prev_preserve
 
 
 def _lloyd_loop(vecs, centroids, iters, early_stop_shift, emb_col):
@@ -160,13 +169,7 @@ def pca_fit(ds: "ray.data.Dataset", *, k: int, emb_col: str = "embedding"
     reruns and the transform stage agree.
     """
     vecs = ds.select_columns([emb_col])
-    try:
-        opts = vecs.context.execution_options
-        prev_preserve = opts.preserve_order
-        opts.preserve_order = True
-    except AttributeError:
-        opts = prev_preserve = None
-    try:
+    with _preserved_order(vecs):
         def partial(tbl: pa.Table) -> pa.Table:
             m = _emb_matrix(tbl, emb_col).astype(np.float64)
             return pa.table({
@@ -188,9 +191,6 @@ def pca_fit(ds: "ray.data.Dataset", *, k: int, emb_col: str = "embedding"
                 s_tot = np.asarray(s) if s_tot is None else s_tot + np.asarray(s)
                 ss_tot = (np.asarray(ss) if ss_tot is None
                           else ss_tot + np.asarray(ss))
-    finally:
-        if opts is not None:
-            opts.preserve_order = prev_preserve
     d = len(s_tot)
     mu = s_tot / n_tot
     cov = ss_tot.reshape(d, d) / n_tot - np.outer(mu, mu)
@@ -306,18 +306,9 @@ def logistic_fit(ds: "ray.data.Dataset", *, emb_col: str = "embedding",
     d = len(first[0][emb_col])
     beta = np.zeros(d + 1, dtype=np.float64)  # [w, b]
     cols = ds.select_columns([emb_col, label_col])
-    try:
-        opts = cols.context.execution_options
-        prev_preserve = opts.preserve_order
-        opts.preserve_order = True
-    except AttributeError:
-        opts = prev_preserve = None
-    try:
+    with _preserved_order(cols):
         return _newton_loop(cols, beta, positive, iters, l2, tol,
                             emb_col, label_col)
-    finally:
-        if opts is not None:
-            opts.preserve_order = prev_preserve
 
 
 def _newton_loop(cols, beta, positive, iters, l2, tol, emb_col, label_col):
@@ -382,10 +373,12 @@ def logistic_predict(ds: "ray.data.Dataset", weights: np.ndarray,
         eta = np.clip(m @ w + b, -30.0, 30.0)
         p = 1.0 / (1.0 + np.exp(-eta))
         pq = micro_round(p, decimals)
+        # predicted derives from the EMITTED score, not raw p: a consumer
+        # re-deriving the class as score >= 0.5 must agree with the flag
         return pa.table({
             id_col: tbl.column(id_col),
             "score": pa.array(pq),
-            "predicted": pa.array(p >= 0.5),
+            "predicted": pa.array(pq >= 0.5),
         })
 
     return ds.select_columns([id_col, emb_col]).map_batches(

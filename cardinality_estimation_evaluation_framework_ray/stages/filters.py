@@ -125,7 +125,8 @@ def fuzzy_decontaminate(ds: "ray.data.Dataset",
                         n: int = 2, threshold: float = 0.5, seed: int = 101,
                         text_col: str = "text", id_col: str = "doc_id",
                         bench_id_col: str = "doc_id",
-                        max_bench_postings: int = 50_000_000
+                        max_bench_postings: int = 50_000_000,
+                        expand_chunk: int = 4_000_000
                         ) -> "ray.data.Dataset":
     """NEAR-duplicate benchmark contamination: corpus docs whose word
     n-gram SET has Jaccard >= ``threshold`` against any benchmark doc
@@ -152,9 +153,14 @@ def fuzzy_decontaminate(ds: "ray.data.Dataset",
     ``max_bench_postings``; for big-big near-dup joins use
     ``ngram_jaccard_pairs`` / ``minhash_near_dups`` over the union instead.
     The per-batch probe is fully vectorized: one ``searchsorted`` per batch
-    for gram membership, ``np.repeat`` posting expansion, and one
-    ``np.unique`` over (doc, bench) pair keys for intersection counts — no
-    per-row loop.
+    for gram membership, ``np.repeat`` posting expansion, and ``np.unique``
+    over (doc, bench) pair keys for intersection counts — no per-row loop.
+    The expansion is processed in slices of <= ``expand_chunk`` expanded
+    rows (a stop-word gram shared by most bench AND corpus docs can expand
+    to batch_docs x n_bench rows — far past the index-size guard), so task
+    temporaries stay ~``8 x expand_chunk`` bytes; only the DEDUPED
+    per-chunk (pair, count) rows accumulate, bounded by true candidate-pair
+    density.
     """
     # ---- build the broadcast index from the (small) benchmark ----------
     def bench_pairs(batch: pa.Table) -> pa.Table:
@@ -218,17 +224,33 @@ def fuzzy_decontaminate(ds: "ray.data.Dataset",
             return empty
         d_h, p_h = doc_of[hit], pos[hit]
         reps = (off[p_h + 1] - off[p_h]).astype(np.int64)
-        # expand posting lists without a Python loop: flat index =
-        # repeated start + within-list offset (ramp minus segment base)
-        starts_rep = np.repeat(off[p_h], reps)
-        within = np.arange(int(reps.sum())) - np.repeat(
-            np.cumsum(reps) - reps, reps)
-        bench_hits = post[starts_rep + within]
-        pair_doc = np.repeat(d_h, reps)
-        # intersection per (doc, bench): each (doc-unique gram, posting)
-        # contributes exactly 1
-        pair_key = pair_doc * n_bench + bench_hits
-        uniq_pairs, inter = np.unique(pair_key, return_counts=True)
+        # expand posting lists in bounded chunks (each (doc-unique gram,
+        # posting) contributes exactly 1 to its pair's intersection);
+        # within a chunk the expansion is loop-free: flat index = repeated
+        # start + within-list offset (ramp minus segment base)
+        csum = np.cumsum(reps)
+        keys_parts, cnts_parts = [], []
+        start = 0
+        while start < len(reps):
+            base = int(csum[start - 1]) if start else 0
+            stop = int(np.searchsorted(csum, base + expand_chunk,
+                                       side="left")) + 1
+            stop = min(max(stop, start + 1), len(reps))
+            r = reps[start:stop]
+            starts_rep = np.repeat(off[p_h[start:stop]], r)
+            within = np.arange(int(r.sum())) - np.repeat(
+                np.cumsum(r) - r, r)
+            pair_key = (np.repeat(d_h[start:stop], r) * n_bench
+                        + post[starts_rep + within])
+            uk, uc = np.unique(pair_key, return_counts=True)
+            keys_parts.append(uk)
+            cnts_parts.append(uc)
+            start = stop
+        all_k = np.concatenate(keys_parts)
+        all_c = np.concatenate(cnts_parts)
+        uniq_pairs, inv = np.unique(all_k, return_inverse=True)
+        inter = np.zeros(len(uniq_pairs), dtype=np.int64)
+        np.add.at(inter, inv, all_c)
         pd_idx = (uniq_pairs // n_bench).astype(np.int64)
         pb_idx = (uniq_pairs % n_bench).astype(np.int64)
         union = doc_sizes[pd_idx] + b_sz[pb_idx] - inter

@@ -40,7 +40,6 @@ def _ref_bpe(word_counts: dict[str, int], num_merges: int):
         top = max(pairs.values())
         best = min(p for p, c in pairs.items() if c == top)
         merges.append(best)
-        old = " ".join(best)
         new = "".join(best)
         out = {}
         for w, n in vocab.items():
@@ -56,7 +55,6 @@ def _ref_bpe(word_counts: dict[str, int], num_merges: int):
                     i += 1
             out[" ".join(res)] = n
         vocab = out
-        del old
     return merges
 
 
@@ -123,3 +121,10 @@ def test_bpe_encode_stats_counts(ray_session):
     nc = len("lowlowerlowest")
     assert np.isclose(out.loc[0, "compression"],
                       round(nc / out.loc[0, "n_tokens"], 6))
+
+
+def test_word_count_table_empty_corpus(ray_session):
+    empty = _docs(["", "   ", ""])
+    wc = word_count_table(empty, max_vocab=5)
+    assert list(wc.columns) == ["word", "n"] and wc.empty
+    assert train_bpe(wc, num_merges=3) == []

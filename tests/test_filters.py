@@ -379,3 +379,19 @@ def test_fuzzy_decontaminate_postings_guard_and_partition_invariance(
         .to_pandas().sort_values(["doc_id", "bench_id"]).reset_index(drop=True)
     assert a.equals(b)
     assert len(a) > 0
+
+
+def test_fuzzy_decontaminate_chunked_expansion_invariance(ray_session):
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        fuzzy_decontaminate,
+    )
+
+    bench = _docs(["a b c d e", "c d e f g", "x y z w v"], ids=[10, 11, 12])
+    corpus = _docs([f"a b c d extra{i % 4} x y" for i in range(30)])
+    big = fuzzy_decontaminate(corpus, bench, n=1, threshold=0.2) \
+        .to_pandas().sort_values(["doc_id", "bench_id"]).reset_index(drop=True)
+    tiny = fuzzy_decontaminate(corpus, bench, n=1, threshold=0.2,
+                               expand_chunk=3) \
+        .to_pandas().sort_values(["doc_id", "bench_id"]).reset_index(drop=True)
+    assert len(big) > 0
+    assert big.equals(tiny)  # a 3-row chunk forces many slices; same output
