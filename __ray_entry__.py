@@ -331,6 +331,42 @@ def _q_word_freq_histogram(sf_dir: str):
     })
 
 
+def _q_countsketch_f2_words(sf_dir: str):
+    """Exact second frequency moment (self-join size) of the corpus word
+    distribution, PLUS a genuine Count-Sketch bound assertion: the AMS/
+    count-sketch F2 estimate (state/countsketch.py, built through the same
+    groupby merge tree as every sketch) must land within 3 per-row standard
+    deviations (sqrt(2/width)*F2) of the exact value — the oracle asserts
+    ``f2_within_bound`` TRUE, so a sketch regression fails the hash gate.
+    ``f2_exact`` itself is fully SQL-mirrored (SUM(f^2) over word counts)."""
+    import numpy as np
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.build import (
+        build_sketch_states,
+        collect_states,
+        union_across_keys,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import (
+        CountSketchSpec,
+        ExactMultiSetSpec,
+    )
+
+    specs = {"cs": CountSketchSpec(depth=9, width=8192, seed=42),
+             "exact": ExactMultiSetSpec()}
+    states = build_sketch_states(_tokens_ds(sf_dir), specs)
+    union = union_across_keys(collect_states(states, specs), specs)
+    exact = union["exact"]
+    f2_exact = int((exact.counts.astype(np.int64) ** 2).sum())
+    n_tokens = int(exact.counts.sum())
+    f2_est = union["cs"].f2()
+    # 3 per-row sigmas; the median over 9 rows is strictly tighter
+    band = 3.0 * np.sqrt(2.0 / 8192) * f2_exact
+    ok = bool(abs(f2_est - f2_exact) <= band)
+    return pd.DataFrame({"f2_exact": [f2_exact], "n_tokens": [n_tokens],
+                         "f2_within_bound": [ok]})
+
+
 def _q_lineitem_agg(sf_dir: str):
     """Relational layer: grouped aggregate (the analyzer's df_agg shape)."""
     import pyarrow.compute as pc
@@ -1260,6 +1296,21 @@ def _q_mixture_sample_bucketed(sf_dir: str):
     """Two-level mixture sample (priority range partition + bucket-total
     scan + cut-bucket rescan) — output-identical, shares the oracle."""
     return _q_mixture_sample(sf_dir, n_buckets=8)
+
+
+def _q_temperature_mixture(sf_dir: str):
+    """alpha-smoothed (temperature) domain mixing: one global char budget
+    split across sources proportional to sqrt(source char total) —
+    integer-exact derivation (floor(sqrt(w)*1e6) int weights, Python-int
+    floor division), so the DuckDB mirror agrees bitwise."""
+    from cardinality_estimation_evaluation_framework_ray.stages.sampling import (
+        temperature_mixture_sample,
+    )
+
+    out = temperature_mixture_sample(
+        _read(sf_dir, "documents"), total_budget=60_000,
+        alpha=0.5).to_pandas()
+    return out.astype({"doc_id": "int64", "n_chars": "int64"})
 
 
 def _q_price_range_buckets(sf_dir: str):
@@ -2842,6 +2893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_pii": _q_scrub_pii,
         "token_stats": _q_token_stats,
         "word_freq_histogram": _q_word_freq_histogram,
+        "countsketch_f2_words": _q_countsketch_f2_words,
         "token_count_per_doc": _q_token_count_per_doc,
         "word_entropy": _q_word_entropy,
         "zipf_slope": _q_zipf_slope,
@@ -2868,6 +2920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": _q_train_test_split,
         "mixture_sample": _q_mixture_sample,
         "mixture_sample_bucketed": _q_mixture_sample_bucketed,
+        "temperature_mixture": _q_temperature_mixture,
         # multimodal plumbing
         "audio_decode_stats": _q_audio_decode_stats,
         "video_frame_stats": _q_video_frame_stats,
@@ -2951,6 +3004,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT count(*) FROM wf WHERE wf.f >= l.f) AS BIGINT)
                        AS k_plus_count
             FROM levels l
+        """,
+        # f2_exact is pure SQL; f2_within_bound is the sketch-side bound
+        # assertion the oracle pins to TRUE (a count-sketch regression
+        # flips it and fails the hash compare)
+        "countsketch_f2_words": f"""
+            {_TOKS_CTE}, wf AS (
+              SELECT tok, count(*) AS f FROM toks GROUP BY tok)
+            SELECT CAST(SUM(CAST(f AS HUGEINT) * f) AS BIGINT) AS f2_exact,
+                   CAST(SUM(f) AS BIGINT) AS n_tokens,
+                   TRUE AS f2_within_bound
+            FROM wf
         """,
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
@@ -4353,6 +4417,36 @@ def oracle_sql() -> dict[str, str]:
                        2000 * ((CAST(substr(source, 4) AS BIGINT) % 4) + 1)
                            AS budget
                 FROM (SELECT DISTINCT source FROM documents))
+            SELECT r.doc_id, r.source, CAST(r.n_chars AS BIGINT) AS n_chars
+            FROM ranked r JOIN budgets b USING (source)
+            WHERE COALESCE(r.cumb, 0) < b.budget
+        """,
+        # temperature mixing, alpha=0.5: budgets = 60000 * s_k // sum(s)
+        # with s_k = floor(sqrt(per-source char total) * 1e6) — sqrt is
+        # IEEE correctly rounded, so numpy and DuckDB agree bitwise; the
+        # split is exact HUGEINT floor division on both sides
+        "temperature_mixture": """
+            WITH tot AS (
+                SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS w
+                FROM documents GROUP BY source),
+            s AS (
+                SELECT source,
+                       CAST(floor(sqrt(w) * 1000000.0) AS HUGEINT) AS sk
+                FROM tot),
+            budgets AS (
+                SELECT source,
+                       (CAST(60000 AS HUGEINT) * sk)
+                           // (SELECT SUM(sk) FROM s) AS budget
+                FROM s),
+            ranked AS (
+                SELECT doc_id, source, n_chars,
+                       SUM(n_chars) OVER (
+                           PARTITION BY source
+                           ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761)
+                                    % 4294967296, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS cumb
+                FROM documents)
             SELECT r.doc_id, r.source, CAST(r.n_chars AS BIGINT) AS n_chars
             FROM ranked r JOIN budgets b USING (source)
             WHERE COALESCE(r.cumb, 0) < b.budget

@@ -27,7 +27,8 @@ import pyarrow as pa
 import ray.data
 
 __all__ = ["knuth_priority", "per_key_sample", "hash_split",
-           "mixture_sample", "global_sample", "weighted_sample"]
+           "mixture_sample", "global_sample", "weighted_sample",
+           "temperature_budgets", "temperature_mixture_sample"]
 
 _KNUTH = np.uint64(2654435761)
 _MOD32 = np.uint64(0xFFFFFFFF)
@@ -318,3 +319,81 @@ def weighted_sample(ds: "ray.data.Dataset", *, n: int, weight_col: str,
         return tbl.select(cols).filter(pa.array(hit))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def temperature_budgets(ds: "ray.data.Dataset", *, total_budget: int,
+                        alpha: float = 0.5, key_col: str = "source",
+                        weight_col: str = "n_chars",
+                        quant: int = 1_000_000,
+                        max_keys: int = 100_000) -> dict[str, int]:
+    """Per-key budgets proportional to (key weight total)^alpha — the
+    temperature-smoothed mixing rule of multilingual-LM pipelines
+    (alpha=1 keeps the natural mix, alpha=0 is uniform, 0.3–0.7 upweights
+    the tail; cf. the sampling exponent in the mBERT/XLM-R recipes).
+
+    Exact-integer derivation so reruns AND a SQL oracle agree bitwise:
+    s_k = floor(w_k^alpha * quant) as an integer, then
+    budget_k = total_budget * s_k // sum(s)  (Python ints — no float
+    division).  For alpha=0.5 the float step is a single IEEE
+    correctly-rounded sqrt + one multiply, so DuckDB's
+    ``floor(sqrt(w) * quant)`` reproduces s_k bit-for-bit; other alphas
+    use ``pow``, which is not guaranteed correctly rounded across libms —
+    fine for production, use 0.5 when an exact oracle must mirror it.
+    Requires w_k < 2^53 (exact int64→float64; ~9 PB of chars per key).
+
+    One small groupby (K = #keys rows) lands on the driver — bounded-key
+    contract, guarded by ``max_keys`` like ``group_zscore``.  Floor-based
+    splitting under-allocates by < K rows of ``quant`` rounding; callers
+    who need the total exactly should distribute the remainder themselves.
+    """
+    from ray.data.aggregate import Sum
+
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    totals = (ds.select_columns([key_col, weight_col])
+              .groupby(key_col).aggregate(
+                  Sum(weight_col, alias_name="__w")).to_pandas())
+    totals = totals[totals[key_col].notna()]
+    if len(totals) > max_keys:
+        raise ValueError(
+            f"temperature_budgets: {len(totals)} distinct {key_col!r} keys "
+            f"> max_keys={max_keys}; the bounded-key contract does not "
+            f"hold — raise max_keys knowingly or pre-aggregate the key")
+    w = totals["__w"].to_numpy().astype(np.float64)
+    if (w >= 2.0 ** 53).any():
+        raise ValueError("per-key weight total >= 2^53: int64->float64 is "
+                         "no longer exact, the bitwise-deterministic "
+                         "contract breaks")
+    if alpha == 0.5:
+        s_f = np.floor(np.sqrt(w) * float(quant))
+    else:
+        with np.errstate(divide="ignore"):
+            s_f = np.floor(np.power(w, alpha) * float(quant))
+    s = [int(x) for x in s_f]
+    S = sum(s)
+    if S <= 0:
+        return {k: 0 for k in totals[key_col]}
+    return {k: int(total_budget) * sk // S
+            for k, sk in zip(totals[key_col], s)}
+
+
+def temperature_mixture_sample(ds: "ray.data.Dataset", *, total_budget: int,
+                               alpha: float = 0.5,
+                               key_col: str = "source",
+                               id_col: str = "doc_id",
+                               weight_col: str = "n_chars",
+                               n_buckets: int | None = None,
+                               max_keys: int = 100_000
+                               ) -> "ray.data.Dataset":
+    """``mixture_sample`` with budgets derived by ``temperature_budgets``:
+    one global weight budget split across keys proportional to
+    (key total)^alpha, then the deterministic Knuth-priority greedy fill
+    per key.  Two passes over the corpus metadata (one tiny groupby for
+    the budgets, one for the fill); documents never shuffle.  Same
+    two-level ``n_buckets`` hot-key path as ``mixture_sample``."""
+    budgets = temperature_budgets(
+        ds, total_budget=total_budget, alpha=alpha, key_col=key_col,
+        weight_col=weight_col, max_keys=max_keys)
+    return mixture_sample(ds, budgets=budgets, key_col=key_col,
+                          id_col=id_col, weight_col=weight_col,
+                          n_buckets=n_buckets)

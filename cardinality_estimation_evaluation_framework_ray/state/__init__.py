@@ -19,6 +19,7 @@ from .composite import (  # noqa: F401
     MetaVectorOfCountsEstimator,
 )
 from .countmin import CountMinSketch, CountMinSpec  # noqa: F401
+from .countsketch import CountSketch, CountSketchSpec  # noqa: F401
 from .exact import (  # noqa: F401
     AddRandomElementsNoiser,
     ExactMultiSetSketch,

@@ -205,3 +205,90 @@ def test_weighted_sample_excludes_nonpositive_weights(ray_session):
     out = weighted_sample(ray.data.from_pandas(df), n=15,
                           weight_col="w").to_pandas()
     assert set(out["doc_id"]) == set(range(10, 20))
+
+
+def _temp_tbl(n=400):
+    rng = np.random.default_rng(9)
+    w = rng.integers(10, 500, size=n).astype(np.int64)
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "source": pa.array(rng.choice(["a", "b", "c", "d"], size=n).tolist()),
+        "n_chars": pa.array(w),
+    })
+
+
+def test_temperature_budgets_alpha_extremes(ray_session):
+    from cardinality_estimation_evaluation_framework_ray.stages.sampling import (
+        temperature_budgets,
+    )
+
+    t = _temp_tbl()
+    ds = ray.data.from_arrow(t)
+    src = np.array(t.column("source").to_pylist())
+    w = t.column("n_chars").to_numpy()
+    totals = {k: int(w[src == k].sum()) for k in np.unique(src)}
+    total_w = sum(totals.values())
+
+    # alpha=1: proportional to key totals (up to quantized-floor rounding)
+    b1 = temperature_budgets(ds, total_budget=100_000, alpha=1.0)
+    for k, v in b1.items():
+        assert abs(v - 100_000 * totals[k] / total_w) <= 2
+    # alpha=0: uniform split
+    b0 = temperature_budgets(ds, total_budget=100_000, alpha=0.0)
+    assert len(set(b0.values())) == 1
+    # floor split never over-allocates, under-allocates < K units
+    for b in (b0, b1):
+        assert 100_000 - len(b) < sum(b.values()) <= 100_000
+
+
+def test_temperature_budgets_sqrt_exact_integer_path(ray_session):
+    from cardinality_estimation_evaluation_framework_ray.stages.sampling import (
+        temperature_budgets,
+    )
+
+    t = _temp_tbl()
+    ds = ray.data.from_arrow(t)
+    src = np.array(t.column("source").to_pylist())
+    w = t.column("n_chars").to_numpy()
+    got = temperature_budgets(ds, total_budget=50_000, alpha=0.5)
+    s = {k: int(np.floor(np.sqrt(float(w[src == k].sum())) * 1e6))
+         for k in np.unique(src)}
+    S = sum(s.values())
+    assert got == {k: 50_000 * sk // S for k, sk in s.items()}
+
+
+def test_temperature_mixture_sample_equals_manual_budgets(ray_session):
+    from cardinality_estimation_evaluation_framework_ray.stages.sampling import (
+        mixture_sample,
+        temperature_budgets,
+        temperature_mixture_sample,
+    )
+
+    t = _temp_tbl()
+    ds = ray.data.from_arrow(t)
+    budgets = temperature_budgets(ds, total_budget=20_000, alpha=0.5)
+    a = temperature_mixture_sample(
+        ray.data.from_arrow(t), total_budget=20_000, alpha=0.5).to_pandas()
+    b = mixture_sample(ray.data.from_arrow(t), budgets=budgets).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    # two-level path identical
+    c = temperature_mixture_sample(
+        ray.data.from_arrow(t), total_budget=20_000, alpha=0.5,
+        n_buckets=4).to_pandas()
+    assert sorted(c["doc_id"]) == sorted(b["doc_id"])
+
+
+def test_temperature_budgets_guards(ray_session):
+    import pytest as _pytest
+
+    from cardinality_estimation_evaluation_framework_ray.stages.sampling import (
+        temperature_budgets,
+    )
+
+    t = _temp_tbl(50)
+    ds = ray.data.from_arrow(t)
+    with _pytest.raises(ValueError, match="max_keys"):
+        temperature_budgets(ds, total_budget=100, key_col="doc_id",
+                            weight_col="n_chars", max_keys=10)
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_budgets(ds, total_budget=100, alpha=1.5)
