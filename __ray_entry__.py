@@ -464,6 +464,28 @@ def _q_median_nchars_by_lang(sf_dir: str):
     return grouped_quantile_disc(_read(sf_dir, "documents"), "lang", "n_chars", 0.5)
 
 
+def _q_weighted_median_chars(sf_dir: str):
+    """Mass-weighted median doc length per source: the length L such that
+    half the source's CHARACTERS live in docs of length <= L (distinct
+    (source, length) pairs shuffle; never raw rows)."""
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_weighted_quantile_disc,
+    )
+
+    return grouped_weighted_quantile_disc(
+        _read(sf_dir, "documents"), "source", "n_chars", "n_chars", 0.5)
+
+
+def _q_robust_center_by_lang(sf_dir: str):
+    """Per-lang median + MAD of doc length (robust outlier-cut stats);
+    one distinct-pair groupby feeds both."""
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_median_mad,
+    )
+
+    return grouped_median_mad(_read(sf_dir, "documents"), "lang", "n_chars")
+
+
 def _q_ann_topk(sf_dir: str):
     import duckdb
 
@@ -2894,6 +2916,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "word_freq_histogram": _q_word_freq_histogram,
         "countsketch_f2_words": _q_countsketch_f2_words,
+        "weighted_median_chars": _q_weighted_median_chars,
+        "robust_center_by_lang": _q_robust_center_by_lang,
         "token_count_per_doc": _q_token_count_per_doc,
         "word_entropy": _q_word_entropy,
         "zipf_slope": _q_zipf_slope,
@@ -3134,6 +3158,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
                        AS p50_n_chars
             FROM documents GROUP BY lang
+        """,
+        "weighted_median_chars": """
+            WITH agg AS (
+              SELECT source, n_chars AS v, CAST(SUM(n_chars) AS BIGINT) AS w
+              FROM documents GROUP BY source, n_chars),
+            scan AS (
+              SELECT source, v,
+                     SUM(w) OVER (PARTITION BY source ORDER BY v) AS cum,
+                     SUM(w) OVER (PARTITION BY source) AS tot
+              FROM agg)
+            SELECT source, CAST(MIN(v) AS BIGINT) AS wp50_n_chars
+            FROM scan WHERE cum >= 0.5 * tot GROUP BY source
+        """,
+        "robust_center_by_lang": """
+            WITH med AS (
+              SELECT lang,
+                     percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+                         AS m
+              FROM documents GROUP BY lang)
+            SELECT d.lang,
+                   CAST(ANY_VALUE(m.m) AS BIGINT) AS med_n_chars,
+                   CAST(percentile_disc(0.5) WITHIN GROUP (
+                       ORDER BY abs(d.n_chars - m.m)) AS BIGINT)
+                       AS mad_n_chars
+            FROM documents d JOIN med m USING (lang)
+            GROUP BY d.lang
         """,
         "ann_topk": """
             WITH q AS (

@@ -60,15 +60,90 @@ def grouped_quantile_disc(ds: "ray.data.Dataset", key: str, value_col: str,
 
     def scan(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(value_col)
-        cum = g["count()"].cumsum()
-        total = cum.iloc[-1]
-        idx = int(np.searchsorted(cum.values, q * total, side="left"))
-        if cum.values[idx] < q * total:  # strict >= semantics
-            idx += 1
-        return pd.DataFrame({key: [g[key].iloc[0]],
-                             out_col: [g[value_col].iloc[idx]]})
+        v = _disc_from_counts(g[value_col].to_numpy(),
+                              g["count()"].to_numpy(), q)
+        return pd.DataFrame({key: [g[key].iloc[0]], out_col: [v]})
 
     out = (ds.groupby([key, value_col]).count()
+           .groupby(key).map_groups(scan, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def _disc_from_counts(vals: np.ndarray, counts: np.ndarray,
+                      q: float) -> float:
+    """percentile_disc over a (sorted values, counts) run-length encoding:
+    smallest value whose cumulative count reaches ``q * total`` (same
+    strict->= convention as ``grouped_quantile_disc``)."""
+    cum = np.cumsum(counts)
+    total = cum[-1]
+    idx = int(np.searchsorted(cum, q * total, side="left"))
+    if cum[idx] < q * total:
+        idx += 1
+    return vals[idx]
+
+
+def grouped_weighted_quantile_disc(ds: "ray.data.Dataset", key: str,
+                                   value_col: str, weight_col: str,
+                                   q: float = 0.5) -> pd.DataFrame:
+    """Exact per-group WEIGHTED discrete quantile: smallest value whose
+    cumulative weight reaches ``q`` of the group's total weight (e.g. the
+    doc length at which half of all CHARACTERS live in shorter-or-equal
+    docs — the mass-weighted median of a corpus-length distribution).
+
+    Same 100-TB shape as ``grouped_quantile_disc``: one groupby over
+    DISTINCT (key, value) pairs with summed weights — never the raw rows —
+    then a per-key cumulative scan via map_groups.  Exact when weights are
+    integers (int64 cumsum; only the q*total comparison is float, which
+    the SQL window mirror computes identically)."""
+    from ray.data.aggregate import Sum
+
+    out_col = f"wp{int(q * 100)}_{value_col}"
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_col)
+        v = _disc_from_counts(g[value_col].to_numpy(),
+                              g["__w"].to_numpy(), q)
+        return pd.DataFrame({key: [g[key].iloc[0]], out_col: [v]})
+
+    cols = list(dict.fromkeys([key, value_col, weight_col]))
+    out = (ds.select_columns(cols)
+           .groupby([key, value_col])
+           .aggregate(Sum(weight_col, alias_name="__w"))
+           .groupby(key).map_groups(scan, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def grouped_median_mad(ds: "ray.data.Dataset", key: str,
+                       value_col: str) -> pd.DataFrame:
+    """Per-group median and MAD (median absolute deviation) — the robust
+    center/spread pair behind outlier cuts that survive heavy tails where
+    mean/std (``group_zscore``) get dragged.  Returns (key, med_<col>,
+    mad_<col>); compose with a broadcast attach to flag rows at
+    |x − med| > k·MAD.
+
+    ONE groupby over distinct (key, value) pairs feeds both statistics:
+    the per-key scan computes the median from the run-length counts, then
+    re-sorts the SAME counts by |value − median| for the MAD — no second
+    pass over the corpus, no raw rows in any group.  Exact for integer
+    values (the percentile_disc convention of ``grouped_quantile_disc``,
+    which the SQL oracle mirrors)."""
+    med_col, mad_col = f"med_{value_col}", f"mad_{value_col}"
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_col)
+        v = g[value_col].to_numpy()
+        c = g["count()"].to_numpy()
+        med = _disc_from_counts(v, c, 0.5)
+        dev = np.abs(v - med)
+        order = np.argsort(dev, kind="stable")
+        mad = _disc_from_counts(dev[order], c[order], 0.5)
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             med_col: [med], mad_col: [mad]})
+
+    out = (ds.select_columns([key, value_col])
+           .groupby([key, value_col]).count()
            .groupby(key).map_groups(scan, batch_format="pandas")
            .to_pandas())
     return out.sort_values(key).reset_index(drop=True)

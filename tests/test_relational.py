@@ -848,3 +848,85 @@ def test_grouped_value_histogram_guards_and_nonfinite(ray_session):
     # NaN/inf rows excluded: 1.0, 5.0 -> bin 0/1, 9.0 -> bin 1
     assert out["n_rows"].sum() == 3
     assert out.set_index("bin")["n_rows"].to_dict() == {0: 1, 1: 2}
+
+
+def _wq_tbl(n=600, seed=11):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], size=n),
+        "v": rng.integers(1, 80, size=n).astype(np.int64),
+        "w": rng.integers(1, 9, size=n).astype(np.int64),
+    })
+
+
+def _wq_brute(df, q):
+    out = {}
+    for k, g in df.groupby("k"):
+        g = g.sort_values(["v"])
+        # expand by weight: percentile_disc over the weighted multiset
+        expanded = np.repeat(g["v"].to_numpy(), g["w"].to_numpy())
+        rank = int(np.ceil(q * len(expanded)))
+        out[k] = int(np.sort(expanded)[rank - 1])
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_weighted_quantile_matches_expanded_multiset():
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_weighted_quantile_disc,
+    )
+
+    df = _wq_tbl()
+    for q in (0.25, 0.5, 0.9):
+        got = grouped_weighted_quantile_disc(
+            ray.data.from_pandas(df).repartition(7), "k", "v", "w", q)
+        exp = _wq_brute(df, q)
+        col = f"wp{int(q * 100)}_v"
+        assert {r["k"]: int(r[col]) for _, r in got.iterrows()} == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_weighted_quantile_weight_one_equals_unweighted():
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_weighted_quantile_disc,
+    )
+
+    df = _wq_tbl()
+    df["one"] = np.int64(1)
+    a = grouped_weighted_quantile_disc(
+        ray.data.from_pandas(df), "k", "v", "one", 0.5)
+    b = grouped_quantile_disc(ray.data.from_pandas(df), "k", "v", 0.5)
+    assert a["wp50_v"].tolist() == b["p50_v"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_weighted_quantile_value_as_weight():
+    """weight_col == value_col (the mass-weighted median) is legal."""
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_weighted_quantile_disc,
+    )
+
+    df = _wq_tbl()
+    got = grouped_weighted_quantile_disc(
+        ray.data.from_pandas(df), "k", "v", "v", 0.5)
+    df2 = df.assign(w=df["v"])
+    assert {r["k"]: int(r["wp50_v"]) for _, r in got.iterrows()} == \
+        _wq_brute(df2, 0.5)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_median_mad_matches_bruteforce():
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_median_mad,
+    )
+
+    df = _wq_tbl(seed=13)
+    got = grouped_median_mad(ray.data.from_pandas(df).repartition(5),
+                             "k", "v")
+    for _, row in got.iterrows():
+        vals = np.sort(df[df["k"] == row["k"]]["v"].to_numpy())
+        med = vals[int(np.ceil(0.5 * len(vals))) - 1]  # percentile_disc
+        dev = np.sort(np.abs(vals - med))
+        mad = dev[int(np.ceil(0.5 * len(dev))) - 1]
+        assert int(row["med_v"]) == int(med)
+        assert int(row["mad_v"]) == int(mad)
