@@ -367,6 +367,105 @@ def _q_countsketch_f2_words(sf_dir: str):
                          "f2_within_bound": [ok]})
 
 
+def _dd_rank_element(vals, counts, q: float) -> float:
+    """Exact order statistic at the DDSketch rank convention — the sorted
+    element at 0-based index floor(q * (n - 1)) — from a (sorted distinct
+    value, count) run-length encoding.  This is the x_q of the published
+    guarantee |est - x_q| <= alpha * x_q (Masson et al. VLDB'19, Def. 1),
+    distinct from SQL percentile_disc's rank ceil(q * n)."""
+    import numpy as np
+
+    cum = np.cumsum(counts)
+    rank = int(q * (cum[-1] - 1))
+    return float(vals[int(np.searchsorted(cum, rank, side="right"))])
+
+
+def _q_price_ddsketch(sf_dir: str):
+    """DDSketch (relative-error quantile sketch, Masson et al. VLDB'19,
+    ``state/ddsketch.py``) over lineitem extended price, built as per-block
+    partial states folded through the associative merge tree — PLUS the
+    published guarantee asserted exactly: the sketch's p50/p90/p99 must
+    land within ``alpha`` relative error of the order statistic at the
+    sketch's own rank (``_dd_rank_element``; guaranteed by construction,
+    so this holds at EVERY sf).  ``price_exact`` (SQL percentile_disc) is
+    the fully SQL-mirrored column; a sketch regression flips
+    ``within_alpha`` and fails the hash gate (the ``countsketch_f2_words``
+    bound-assert pattern)."""
+    import numpy as np
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.build import (
+        column_sketch_state,
+    )
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        quantiles_disc,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import (
+        DDSketchSpec,
+    )
+
+    spec = DDSketchSpec(alpha=0.01)
+    li = _read(sf_dir, "lineitem")
+    sk = column_sketch_state(li, spec, "l_extendedprice")
+    qs = np.array([0.5, 0.9, 0.99])
+    exact_disc = quantiles_disc(li, "l_extendedprice", qs)
+    counts = (li.groupby("l_extendedprice").count().to_pandas()
+              .sort_values("l_extendedprice"))
+    cvals = counts["l_extendedprice"].to_numpy(dtype=np.float64)
+    ccnts = counts["count()"].to_numpy()
+    ok = []
+    for q in qs:
+        x_q = _dd_rank_element(cvals, ccnts, float(q))
+        ok.append(bool(abs(sk.quantile(float(q)) - x_q) <= spec.alpha * x_q))
+    return pd.DataFrame({"q": qs, "price_exact": np.round(exact_disc, 4),
+                         "within_alpha": ok})
+
+
+def _q_nchars_ddsketch_by_lang(sf_dir: str):
+    """Per-group DDSketch through the NATIVE AggregateFn UDAF face
+    (``stages/build.py:sketch_aggregation``): groupby(lang) folds one
+    DDSketch state per language over n_chars, then each group's p90 is
+    bound-asserted against the exact per-group percentile_disc (the
+    distinct-value count scan, ``grouped_quantile_disc``).  Exercises a
+    sketch family end-to-end on the groupby merge tree with a hash-gated
+    oracle."""
+    import pickle
+
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.build import (
+        sketch_aggregation,
+    )
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        grouped_quantile_disc,
+    )
+    from cardinality_estimation_evaluation_framework_ray.state import (
+        DDSketchSpec,
+    )
+
+    spec = DDSketchSpec(alpha=0.01)
+    docs = _read(sf_dir, "documents").select_columns(["lang", "n_chars"])
+    agg = sketch_aggregation(spec, tokens_col="n_chars", name="dd",
+                             output="state")
+    states = docs.groupby("lang").aggregate(agg).to_pandas()
+    exact = grouped_quantile_disc(docs, "lang", "n_chars", q=0.9)
+    # per-lang distinct-value counts for the guarantee's exact rank element
+    pairs = docs.groupby(["lang", "n_chars"]).count().to_pandas()
+    out = states.merge(exact, on="lang").sort_values("lang")
+    ok = []
+    for lang, blob in zip(out["lang"], out["dd"]):
+        s = spec.new()
+        s.load_state(pickle.loads(blob))
+        g = pairs[pairs["lang"] == lang].sort_values("n_chars")
+        x_q = _dd_rank_element(g["n_chars"].to_numpy(dtype="float64"),
+                               g["count()"].to_numpy(), 0.9)
+        ok.append(bool(abs(s.quantile(0.9) - x_q) <= spec.alpha * x_q))
+    out["p90_n_chars"] = out["p90_n_chars"].astype("int64")
+    out["within_alpha"] = ok
+    return (out[["lang", "p90_n_chars", "within_alpha"]]
+            .reset_index(drop=True))
+
+
 def _q_lineitem_agg(sf_dir: str):
     """Relational layer: grouped aggregate (the analyzer's df_agg shape)."""
     import pyarrow.compute as pc
@@ -2857,6 +2956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reach_by_lang_udaf": _q_reach_by_lang_udaf,      # native AggregateFn UDAF face
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,    # Misra-Gries
         "distinct_users_exact": _q_distinct_users_exact,  # exact count-distinct per key
+        "nchars_ddsketch_by_lang": _q_nchars_ddsketch_by_lang,  # DDSketch UDAF, bound-asserted
         # evaluation harness (reference pipelines)
         "smoke_eval": _q_smoke_eval,                      # evaluator/simulator sweep
         "reach_curve": _q_reach_curve,                    # prefix-union reach curve
@@ -2887,7 +2987,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed_1h": _q_events_windowed_1h,
         "rolling_orders": _q_rolling_orders,
         "sliding_reach_6h": _q_sliding_reach_6h,
-        "events_ewma": _q_events_ewma,
         # sessions / funnels
         "sessions": _q_sessions,
         "event_funnel": _q_event_funnel,
@@ -2912,6 +3011,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal representative
         "image_decode_stats": _q_image_decode_stats,
         # -- slot 50 ends above; families continue with more depth ------
+        "events_ewma": _q_events_ewma,
+        "price_ddsketch": _q_price_ddsketch,
         "scrub_pii": _q_scrub_pii,
         "token_stats": _q_token_stats,
         "word_freq_histogram": _q_word_freq_histogram,
@@ -3153,6 +3254,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                             x -> x <> '')) AS BIGINT) AS n_tok
             FROM documents
+        """,
+        "nchars_ddsketch_by_lang": """
+            SELECT lang,
+                   percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)
+                       AS p90_n_chars,
+                   TRUE AS within_alpha
+            FROM documents GROUP BY lang
+        """,
+        "price_ddsketch": """
+            SELECT 0.5 AS q, round(percentile_disc(0.5) WITHIN GROUP
+                   (ORDER BY l_extendedprice), 4) AS price_exact,
+                   TRUE AS within_alpha FROM lineitem
+            UNION ALL
+            SELECT 0.9, round(percentile_disc(0.9) WITHIN GROUP
+                   (ORDER BY l_extendedprice), 4), TRUE FROM lineitem
+            UNION ALL
+            SELECT 0.99, round(percentile_disc(0.99) WITHIN GROUP
+                   (ORDER BY l_extendedprice), 4), TRUE FROM lineitem
         """,
         "median_nchars_by_lang": """
             SELECT lang, percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)

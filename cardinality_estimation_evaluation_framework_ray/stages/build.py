@@ -393,3 +393,28 @@ def sketch_aggregation(spec, *, tokens_col: str = "tokens",
 
     return AggregateFn(init=init, merge=merge, name=agg_name,
                        accumulate_block=accumulate_block, finalize=finalize)
+
+
+def column_sketch_state(ds: "ray.data.Dataset", spec: SketchSpec,
+                        col: str) -> Sketch:
+    """Build ONE merged sketch over a numeric column (scalar or list):
+    each block folds into a per-block partial state (one vectorized
+    ``update_tokens``), only the KB-scale serialized states travel to the
+    driver, and an associative fold merges them — the global (un-keyed)
+    counterpart of ``build_sketch_states``.  The corpus itself never
+    leaves the workers; driver cost is O(#blocks) KB blobs.
+    """
+    import pickle
+
+    def partial(t: pa.Table) -> dict:
+        s = spec.new()
+        vals, _ = flat_tokens(t, col)
+        if len(vals):
+            s.update_tokens(vals)
+        return {"state": np.array([pickle.dumps(s.state_dict())],
+                                  dtype=object)}
+
+    blobs = (ds.select_columns([col])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas()["state"])
+    return merge_many(spec, blobs)
