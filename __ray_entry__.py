@@ -2384,6 +2384,72 @@ def _q_bloom_filtered_semi_join(sf_dir: str):
             .sort_values("c_custkey").reset_index(drop=True))
 
 
+def _q_cuckoo_filtered_semi_join(sf_dir: str):
+    """Filter-then-verify semi join through a CUCKOO filter
+    (``state/cuckoo.py``), exercising the one thing Bloom cannot do:
+    DELETION.  The filter ingests the DISTINCT (custkey, is_urgent)
+    composite keys of the orders table — a cuckoo filter stores at most
+    2*bucket_size copies per bucket pair, so raw per-row inserts of a hot
+    custkey (TPC-H customers average ~10 orders) would overflow; distinct
+    keys are the idiomatic usage — then every urgent composite key streams
+    back OUT as a delete.  Probing at key = 2*c_custkey then answers
+    'custkey has >= 1 non-urgent order' with NO false negatives (matched
+    insert/delete streams; see the fungibility note in
+    ``state/cuckoo.py``).  The broadcast probe prunes customers without a
+    shuffle; the exact semi join on the survivors strips the ~FPR extras,
+    so the output EXACTLY equals the plain semi join and shares its
+    oracle shape."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        build_cuckoo_membership,
+        filter_by_cuckoo,
+    )
+    from cardinality_estimation_evaluation_framework_ray.stages.joins import (
+        hash_join,
+    )
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderpriority"])
+
+    def composite(t: pa.Table) -> pa.Table:
+        urgent = pc.equal(t.column("o_orderpriority"), "1-URGENT")
+        return pa.table({"k": pc.add(pc.multiply(t.column("o_custkey"), 2),
+                                     pc.cast(urgent, pa.int64()))})
+
+    # distinct composite keys (map-side combined groupby — the shuffle
+    # moves distinct pairs, not order rows), pinned once: feeds the
+    # sizing count, the insert pass, and the urgent delete stream
+    distinct = (orders.map_batches(composite, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                .groupby("k").count().select_columns(["k"]).materialize())
+    urgent_keys = distinct.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("k"), 1), 1)),
+        batch_format="pyarrow")
+    cf = build_cuckoo_membership(distinct, key_col="k",
+                                 delete_ds=urgent_keys)
+
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_name", "c_mktsegment"])
+
+    def with_probe_key(t: pa.Table) -> pa.Table:
+        return t.append_column("k", pc.multiply(t.column("c_custkey"), 2))
+
+    candidates = filter_by_cuckoo(
+        cust.map_batches(with_probe_key, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        cf, key_col="k", how="semi").drop_columns(["k"])
+    non_urgent = orders.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("o_orderpriority"),
+                                        "1-URGENT")),
+        batch_format="pyarrow")
+    out = hash_join(candidates, non_urgent, on="c_custkey",
+                    right_key="o_custkey", how="semi").to_pandas()
+    return (out.astype({"c_custkey": "int64"})
+            .sort_values("c_custkey").reset_index(drop=True))
+
+
 def _q_customers_no_urgent_order(sf_dir: str):
     """Anti-join variant of `customers_semi_urgent` (NOT EXISTS)."""
     return _q_customers_semi_anti(sf_dir, how="anti")
@@ -2973,7 +3039,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "logistic_scores": _q_logistic_scores,
         "pca_projection": _q_pca_projection,
-        "label_centroids": _q_label_centroids,
         # graph
         "neardup_pagerank": _q_neardup_pagerank,
         "neardup_triangles": _q_neardup_triangles,
@@ -2982,6 +3047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_order": _q_asof_last_order,
         "events_range_join": _q_events_range_join,
         "bloom_filtered_semi_join": _q_bloom_filtered_semi_join,
+        "cuckoo_filtered_semi_join": _q_cuckoo_filtered_semi_join,  # deletable filter
         "asia_nation_revenue": _q_asia_nation_revenue,
         # windows / time series
         "events_windowed_1h": _q_events_windowed_1h,
@@ -3013,6 +3079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- slot 50 ends above; families continue with more depth ------
         "events_ewma": _q_events_ewma,
         "price_ddsketch": _q_price_ddsketch,
+        "label_centroids": _q_label_centroids,
         "scrub_pii": _q_scrub_pii,
         "token_stats": _q_token_stats,
         "word_freq_histogram": _q_word_freq_histogram,
@@ -4537,6 +4604,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderpriority = '1-URGENT')
+        """,
+        "cuckoo_filtered_semi_join": """
+            SELECT c.c_custkey, c.c_name, c.c_mktsegment
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority <> '1-URGENT')
         """,
         "customers_no_urgent_order": """
             SELECT c.c_custkey, c.c_name, c.c_mktsegment

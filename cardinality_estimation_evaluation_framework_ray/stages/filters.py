@@ -717,3 +717,88 @@ def filter_by_bloom(ds: "ray.data.Dataset", bloom, *, key_col: str,
 
     return ds.map_batches(probe, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def build_cuckoo_membership(keys_ds: "ray.data.Dataset", *, key_col: str,
+                            spec=None, delete_ds: "ray.data.Dataset" = None
+                            ) -> "object":
+    """Fold a cuckoo filter (`state/cuckoo.py`) over ``keys_ds``'s key
+    column — the deletable counterpart of ``build_bloom_membership``:
+    each block builds a local filter and emits only its OCCUPIED
+    (bucket, fingerprint) pairs (~10 bytes per key, never the full table),
+    which the driver re-inserts through partial-key hashing.
+
+    ``delete_ds`` optionally streams a multiset of keys to REMOVE from the
+    merged filter (e.g. the revoked / filtered-out subset of the same key
+    stream).  Deletion is a driver-side fold (inserts commute with each
+    other but not with deletes, so deletes apply AFTER the merge — same
+    non-associative-tail pattern as the VoC pairwise ops); the delete
+    stream iterates in batches, never materializing.  Every deleted key
+    must have been inserted; because copies of a colliding fingerprint are
+    fungible WITHIN a bucket pair, matched insert/delete streams can never
+    push another key's count to zero — no false negatives, by multiset
+    accounting (see the module docstring of ``state/cuckoo.py``).
+
+    Default spec sizes ``log2_buckets`` from ``keys_ds.count()`` for
+    <= ~70% load (b=4 kicks stay rare; the paper allows 95%).
+    """
+    from ..state.cuckoo import CuckooFilterSpec
+
+    if spec is None:
+        n = keys_ds.count()
+        log2 = max(4, int(np.ceil(np.log2(max(n, 1) / (4 * 0.7)))))
+        spec = CuckooFilterSpec(log2_buckets=log2)
+
+    def partial(t: pa.Table):
+        sk = spec.new()
+        sk.update_tokens(t.column(key_col).to_numpy(zero_copy_only=False))
+        rows, _ = np.nonzero(sk.table)
+        fps = sk.table[sk.table != 0]
+        return {"idx": np.array([rows.astype(np.int64).tobytes()], dtype=object),
+                "fp": np.array([fps.tobytes()], dtype=object)}
+
+    merged = spec.new()
+    for b in (keys_ds.select_columns([key_col])
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .iter_batches(batch_format="pandas")):
+        for idx_b, fp_b in zip(b["idx"], b["fp"]):
+            idx = np.frombuffer(idx_b, dtype=np.int64)
+            fps = np.frombuffer(fp_b, dtype=np.uint16)
+            if len(idx):
+                merged._insert_fps(fps, idx, merged._alt_index(idx, fps))
+    if delete_ds is not None:
+        for b in (delete_ds.select_columns([key_col])
+                  .iter_batches(batch_format="pyarrow")):
+            merged.delete_tokens(
+                b.column(key_col).to_numpy(zero_copy_only=False))
+    return merged
+
+
+def filter_by_cuckoo(ds: "ray.data.Dataset", cf, *, key_col: str,
+                     how: str = "semi") -> "ray.data.Dataset":
+    """Approximate semi/anti join against a broadcast cuckoo filter —
+    ``filter_by_bloom`` with deletion-aware membership: rows survive
+    (``semi``) / are dropped (``anti``) when the key's remaining multiset
+    count in the filter is > 0.  No false negatives; ~``spec.fpr_bound``
+    false positives, so compose ``semi`` with an exact verify join for
+    exactness.  The table (2^log2_buckets x bucket_size uint16) is
+    ``ray.put`` once; probes are two vectorized gather+compare rounds per
+    batch."""
+    from ..state.cuckoo import CuckooFilter
+
+    if how not in ("semi", "anti"):
+        raise ValueError("how must be 'semi' or 'anti'")
+    spec = cf.spec
+    table_ref = ray.put(cf.table)
+
+    def probe(t: pa.Table) -> pa.Table:
+        # zero-copy read-only view over the plasma-shared table
+        view = CuckooFilter.view(spec, ray.get(table_ref))
+        hit = view.contains(t.column(key_col).to_numpy(zero_copy_only=False))
+        if how == "anti":
+            hit = ~hit
+        return t.filter(pa.array(hit))
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -20,6 +20,7 @@ from .composite import (  # noqa: F401
 )
 from .countmin import CountMinSketch, CountMinSpec  # noqa: F401
 from .countsketch import CountSketch, CountSketchSpec  # noqa: F401
+from .cuckoo import CuckooFilter, CuckooFilterSpec  # noqa: F401
 from .ddsketch import DDSketch, DDSketchSpec  # noqa: F401
 from .exact import (  # noqa: F401
     AddRandomElementsNoiser,

@@ -395,3 +395,44 @@ def test_fuzzy_decontaminate_chunked_expansion_invariance(ray_session):
         .to_pandas().sort_values(["doc_id", "bench_id"]).reset_index(drop=True)
     assert len(big) > 0
     assert big.equals(tiny)  # a 3-row chunk forces many slices; same output
+
+
+def test_cuckoo_membership_build_delete_probe(ray_session):
+    """Distributed cuckoo build + driver-fold delete stream + broadcast
+    probe: survivors = inserted-minus-deleted keys exactly (no false
+    negatives), plus <= FPR-bounded extras."""
+    import pandas as pd
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.filters import (
+        build_cuckoo_membership,
+        filter_by_cuckoo,
+    )
+
+    rng = np.random.RandomState(43)
+    members = np.unique(rng.randint(0, 10**9, size=4000)).astype(np.int64)
+    revoked = members[::4]
+    alive = np.setdiff1d(members, revoked)
+    non_members = np.setdiff1d(
+        np.unique(rng.randint(10**9, 2 * 10**9, size=4000)), members)
+    keys_ds = ray.data.from_pandas(
+        pd.DataFrame({"k": members}), override_num_blocks=5)
+    del_ds = ray.data.from_pandas(
+        pd.DataFrame({"k": revoked}), override_num_blocks=3)
+    cf = build_cuckoo_membership(keys_ds, key_col="k", delete_ds=del_ds)
+    assert cf.n == len(alive)
+
+    probe = pd.DataFrame({"k": np.concatenate([alive, non_members])})
+    kept = filter_by_cuckoo(
+        ray.data.from_pandas(probe, override_num_blocks=7), cf,
+        key_col="k", how="semi").to_pandas()
+    kept_set = set(kept["k"])
+    assert set(alive) <= kept_set            # no false negatives
+    fpr = (len(kept_set) - len(alive)) / len(non_members)
+    assert fpr <= 3.0 * cf.spec.fpr_bound(cf.load_factor) + 1e-9
+
+    dropped = filter_by_cuckoo(
+        ray.data.from_pandas(probe, override_num_blocks=7), cf,
+        key_col="k", how="anti").to_pandas()
+    assert kept_set.isdisjoint(set(dropped["k"]))
+    assert len(kept) + len(dropped) == len(probe)
