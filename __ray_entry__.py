@@ -2450,6 +2450,21 @@ def _q_cuckoo_filtered_semi_join(sf_dir: str):
             .sort_values("c_custkey").reset_index(drop=True))
 
 
+def _q_event_transitions(sf_dir: str):
+    """Markov transition counts over per-user event sequences
+    (``stages/sessions.py:transition_counts``): how often each event_type
+    follows each other event_type, user-ordered by (ts, event_id)."""
+    from cardinality_estimation_evaluation_framework_ray.stages.sessions import (
+        transition_counts,
+    )
+
+    return transition_counts(
+        _read(sf_dir, "events").select_columns(
+            ["user_id", "ts", "event_type", "event_id"]),
+        key_col="user_id", ts_col="ts", type_col="event_type",
+        tiebreak=["event_id"])
+
+
 def _q_customers_no_urgent_order(sf_dir: str):
     """Anti-join variant of `customers_semi_urgent` (NOT EXISTS)."""
     return _q_customers_semi_anti(sf_dir, how="anti")
@@ -3079,6 +3094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- slot 50 ends above; families continue with more depth ------
         "events_ewma": _q_events_ewma,
         "price_ddsketch": _q_price_ddsketch,
+        "event_transitions": _q_event_transitions,
         "label_centroids": _q_label_centroids,
         "scrub_pii": _q_scrub_pii,
         "token_stats": _q_token_stats,
@@ -4604,6 +4620,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderpriority = '1-URGENT')
+        """,
+        "event_transitions": """
+            WITH lagged AS (
+              SELECT event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                         AS prev_type
+              FROM events)
+            SELECT prev_type, event_type,
+                   CAST(count(*) AS BIGINT) AS n_transitions
+            FROM lagged WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
         """,
         "cuckoo_filtered_semi_join": """
             SELECT c.c_custkey, c.c_name, c.c_mktsegment

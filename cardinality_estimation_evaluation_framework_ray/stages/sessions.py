@@ -256,3 +256,47 @@ def cohort_retention(ds: "ray.data.Dataset", *, key_col: str, ts_col: str,
     res["cohort"] = res["cohort"].astype("datetime64[us]")
     res["bucket"] = res["bucket"].astype("datetime64[us]")
     return (res.sort_values(["cohort", "bucket"]).reset_index(drop=True))
+
+
+def transition_counts(ds: "ray.data.Dataset", *, key_col: str, ts_col: str,
+                      type_col: str, tiebreak: list[str] | None = None
+                      ) -> pd.DataFrame:
+    """Markov transition matrix over per-key event sequences: order each
+    key's events by ``ts_col`` (+ tiebreak), count adjacent
+    (prev_type -> type) pairs, fold across keys.  The behavioral-analytics
+    primitive behind next-action models and funnel discovery (the funnel
+    stage checks ONE ordered pattern; this measures ALL adjacent pairs).
+
+    Scale shape: ONE shuffle (groupby key) moves each event row once;
+    each group emits its LOCAL (prev, cur) counts — at most
+    (#distinct types)^2 rows per key, not its event rows — and a KB-scale
+    groupby folds them.  Same single-key-fits-a-task assumption as
+    ``sessionize``/``grouped_lead_lag``; pre-bucket hot keys upstream if
+    violated.
+
+    Output: (prev_type, type_col, n_transitions), sorted.
+    """
+    from ray.data.aggregate import Sum
+
+    sort_cols = [ts_col] + (tiebreak or [])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, kind="stable")
+        t = g[type_col].to_numpy()
+        if len(t) < 2:
+            return pd.DataFrame({"prev_type": [], type_col: [],
+                                 "__n": []})
+        local = (pd.DataFrame({"prev_type": t[:-1], type_col: t[1:]})
+                 .groupby(["prev_type", type_col], as_index=False)
+                 .size().rename(columns={"size": "__n"}))
+        return local
+
+    cols = list(dict.fromkeys([key_col, type_col] + sort_cols))
+    out = (ds.select_columns(cols)
+           .groupby(key_col).map_groups(pairs, batch_format="pandas")
+           .groupby(["prev_type", type_col])
+           .aggregate(Sum("__n", alias_name="n_transitions"))
+           .to_pandas())
+    out["n_transitions"] = out["n_transitions"].astype("int64")
+    return (out.sort_values(["prev_type", type_col])
+            .reset_index(drop=True))

@@ -154,3 +154,58 @@ def test_cohort_retention_matches_bruteforce(ray_session):
     assert out["n_keys"].tolist() == ref["n_keys"].tolist()
     assert out["cohort"].tolist() == ref["cohort"].tolist()
     assert out["bucket"].tolist() == ref["bucket"].tolist()
+
+
+def test_transition_counts_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.sessions import (
+        transition_counts,
+    )
+
+    rs = np.random.RandomState(9)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rs.randint(0, 40, n),
+        "ts": pd.to_datetime(rs.randint(0, 10**6, n), unit="s"),
+        "event_id": np.arange(n),
+        "event_type": rs.choice(list("abcd"), n),
+    })
+    got = transition_counts(
+        ray.data.from_pandas(df, override_num_blocks=7),
+        key_col="user_id", ts_col="ts", type_col="event_type",
+        tiebreak=["event_id"])
+
+    exp = (df.sort_values(["user_id", "ts", "event_id"])
+           .assign(prev_type=lambda d: d.groupby("user_id")["event_type"]
+                   .shift(1))
+           .dropna(subset=["prev_type"])
+           .groupby(["prev_type", "event_type"], as_index=False).size()
+           .rename(columns={"size": "n_transitions"})
+           .sort_values(["prev_type", "event_type"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got, exp.astype({"n_transitions": "int64"}))
+
+
+def test_transition_counts_single_event_keys_drop_out(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.sessions import (
+        transition_counts,
+    )
+
+    df = pd.DataFrame({
+        "user_id": [1, 2, 2],
+        "ts": pd.to_datetime([10, 5, 7], unit="s"),
+        "event_id": [0, 1, 2],
+        "event_type": ["a", "b", "c"],
+    })
+    got = transition_counts(
+        ray.data.from_pandas(df), key_col="user_id", ts_col="ts",
+        type_col="event_type", tiebreak=["event_id"])
+    assert got["prev_type"].tolist() == ["b"]
+    assert got["event_type"].tolist() == ["c"]
+    assert got["n_transitions"].tolist() == [1]
