@@ -2465,6 +2465,36 @@ def _q_event_transitions(sf_dir: str):
         tiebreak=["event_id"])
 
 
+def _q_user_interval_coverage(sf_dir: str):
+    """Interval-union coverage per user (``stages/windows.py:
+    interval_union``): each event spans [ts, ts + (floor(|value|)+1) s];
+    overlapping/touching spans merge into islands; output = per-user
+    island count and exact covered microseconds."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cardinality_estimation_evaluation_framework_ray.stages.windows import (
+        interval_union,
+    )
+
+    def spans(t: pa.Table) -> pa.Table:
+        ts = (t.column("ts").cast(pa.timestamp("us")).combine_chunks()
+              .to_numpy(zero_copy_only=False).astype("datetime64[us]"))
+        dur_s = (np.floor(np.abs(
+            t.column("value").to_numpy(zero_copy_only=False)))
+            .astype(np.int64) + 1)
+        end = ts.view(np.int64) + dur_s * 1_000_000
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "s": pa.array(ts),
+            "e": pa.array(end.view("datetime64[us]")),
+        })
+
+    iv = (_read(sf_dir, "events").select_columns(["user_id", "ts", "value"])
+          .map_batches(spans, batch_format="pyarrow", zero_copy_batch=True))
+    return interval_union(iv, key_col="user_id", start_col="s", end_col="e")
+
+
 def _q_customers_no_urgent_order(sf_dir: str):
     """Anti-join variant of `customers_semi_urgent` (NOT EXISTS)."""
     return _q_customers_semi_anti(sf_dir, how="anti")
@@ -3095,6 +3125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": _q_events_ewma,
         "price_ddsketch": _q_price_ddsketch,
         "event_transitions": _q_event_transitions,
+        "user_interval_coverage": _q_user_interval_coverage,
         "label_centroids": _q_label_centroids,
         "scrub_pii": _q_scrub_pii,
         "token_stats": _q_token_stats,
@@ -4620,6 +4651,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderpriority = '1-URGENT')
+        """,
+        "user_interval_coverage": """
+            WITH iv AS (
+              SELECT user_id, ts AS s,
+                     ts + (CAST(floor(abs(value)) AS BIGINT) + 1)
+                          * INTERVAL 1 SECOND AS e
+              FROM events),
+            m AS (
+              SELECT user_id, s, e,
+                     max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pm
+              FROM iv),
+            g AS (
+              SELECT user_id, s, e,
+                     CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk
+              FROM m),
+            isl AS (
+              SELECT user_id,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e)
+                         AS island,
+                     s, e
+              FROM g),
+            spans AS (
+              SELECT user_id, island, min(s) AS lo, max(e) AS hi
+              FROM isl GROUP BY user_id, island)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+                   CAST(SUM(epoch_us(hi) - epoch_us(lo)) AS BIGINT)
+                       AS covered_us
+            FROM spans GROUP BY user_id
         """,
         "event_transitions": """
             WITH lagged AS (

@@ -403,3 +403,50 @@ def ewma_by_key(ds: "ray.data.Dataset", *, key_col: str, ts_col: str,
 
     return (ds.select_columns([id_col, key_col, ts_col, value_col])
             .groupby(key_col).map_groups(scan, batch_format="pandas"))
+
+
+def interval_union(ds: "ray.data.Dataset", *, key_col: str, start_col: str,
+                   end_col: str) -> pd.DataFrame:
+    """Merge overlapping/touching intervals per key and report coverage —
+    the interval-union (gaps-and-islands over SPANS) primitive behind
+    machine-utilization, user-active-time and availability metrics.
+    ``sessionize`` handles point events + a gap rule; this handles
+    arbitrary, arbitrarily-overlapping [start, end] intervals.
+
+    An island breaks where an interval's start exceeds the running max of
+    previous ends (sorted by (start, end)); touching intervals
+    (start == prev end) merge.  Output per key: (n_islands:int64,
+    covered_us:int64) with covered = sum over islands of
+    (max end - min start) in exact integer microseconds.
+
+    Scale shape: ONE shuffle (groupby key) moves each interval row once;
+    the per-group pass is a vectorized sort + cummax scan (no Python per
+    row).  Single-key-fits-a-task assumption as for sessionize — pre-split
+    hot keys by coarse time bucket upstream if violated (islands crossing
+    bucket edges then need the sessionize-style stitch).
+    """
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[start_col].to_numpy().astype("datetime64[us]").view(np.int64)
+        e = g[end_col].to_numpy().astype("datetime64[us]").view(np.int64)
+        order = np.lexsort((e, s))
+        s, e = s[order], e[order]
+        run_max = np.maximum.accumulate(e)
+        brk = np.ones(len(s), dtype=bool)
+        if len(s) > 1:
+            brk[1:] = s[1:] > run_max[:-1]
+        starts = np.flatnonzero(brk)        # islands are contiguous runs
+        lo = s[starts]                      # sorted by start => island min
+        hi = np.maximum.reduceat(e, starts)
+        return pd.DataFrame({
+            key_col: [g[key_col].iloc[0]],
+            "n_islands": np.int64(len(starts)),
+            "covered_us": np.int64((hi - lo).sum()),
+        })
+
+    out = (ds.select_columns([key_col, start_col, end_col])
+           .groupby(key_col).map_groups(merge, batch_format="pandas")
+           .to_pandas())
+    out["n_islands"] = out["n_islands"].astype("int64")
+    out["covered_us"] = out["covered_us"].astype("int64")
+    return out.sort_values(key_col).reset_index(drop=True)

@@ -355,3 +355,66 @@ def test_ewma_by_key_validates_alpha_and_single_row(ray_session):
                       value_col="value", id_col="event_id",
                       alpha=0.5).to_pandas()
     assert out["ewma"].tolist() == [42.5]  # s_0 = v_0 seed
+
+
+def test_interval_union_merges_overlaps_and_touches(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.windows import (
+        interval_union,
+    )
+
+    def ts(sec):
+        return pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=sec)
+
+    # user 1: [0,10] + [5,20] overlap -> [0,20]; [20,25] touches -> [0,25];
+    #         [40,50] separate.  user 2: nested [0,100] contains [10,20].
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 1, 2, 2],
+        "s": [ts(0), ts(5), ts(20), ts(40), ts(0), ts(10)],
+        "e": [ts(10), ts(20), ts(25), ts(50), ts(100), ts(20)],
+    })
+    out = interval_union(ray.data.from_pandas(df, override_num_blocks=3),
+                         key_col="u", start_col="s", end_col="e")
+    assert out["u"].tolist() == [1, 2]
+    assert out["n_islands"].tolist() == [2, 1]
+    assert out["covered_us"].tolist() == [35 * 10**6, 100 * 10**6]
+
+
+def test_interval_union_matches_bruteforce(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.windows import (
+        interval_union,
+    )
+
+    rs = np.random.RandomState(11)
+    n = 2000
+    start = pd.Timestamp("2024-01-01").value // 1000 + rs.randint(
+        0, 10**6, n) * 1_000_000
+    dur = rs.randint(1, 5000, n) * 1_000_000
+    df = pd.DataFrame({
+        "u": rs.randint(0, 25, n),
+        "s": start.astype("datetime64[us]"),
+        "e": (start + dur).astype("datetime64[us]"),
+    })
+    out = interval_union(ray.data.from_pandas(df, override_num_blocks=6),
+                         key_col="u", start_col="s", end_col="e")
+
+    # brute force: per-user boolean coverage over second-resolution grid
+    for _, row in out.iterrows():
+        g = df[df["u"] == row["u"]]
+        ivs = sorted(zip(g["s"].astype("int64"), g["e"].astype("int64")))
+        islands, cur_lo, cur_hi = [], None, None
+        for s, e in ivs:
+            if cur_hi is None or s > cur_hi:
+                if cur_hi is not None:
+                    islands.append((cur_lo, cur_hi))
+                cur_lo, cur_hi = s, e
+            else:
+                cur_hi = max(cur_hi, e)
+        islands.append((cur_lo, cur_hi))
+        assert row["n_islands"] == len(islands)
+        assert row["covered_us"] == sum(hi - lo for lo, hi in islands)
