@@ -466,6 +466,48 @@ def _q_nchars_ddsketch_by_lang(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _q_lineitem_sketch_profile(sf_dir: str):
+    """One-pass multi-sketch table profile
+    (``stages/build.py:table_sketch_profile``): per column an HLL distinct
+    count (sparse mode => EXACT at these bounded-distinct columns, the
+    ``reach_hll_words`` technique) and a DDSketch whose p50/p99 are
+    bound-asserted against the exact rank element — ONE corpus scan builds
+    every sketch; the exact comparison sides reuse one distinct-count scan
+    per column.  The 'describe' step of a curation pipeline."""
+    import numpy as np
+    import pandas as pd
+
+    from cardinality_estimation_evaluation_framework_ray.stages.build import (
+        table_sketch_profile,
+    )
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        _disc_from_counts,
+    )
+
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    li = _read(sf_dir, "lineitem")
+    prof = table_sketch_profile(li, cols)
+    rows = []
+    for c in cols:
+        counts = li.groupby(c).count().to_pandas().sort_values(c)
+        cv = counts[c].to_numpy(dtype=np.float64)
+        cc = counts["count()"].to_numpy()
+        dd = prof[c]["dd"]
+        ok = True
+        for q in (0.5, 0.99):
+            x_q = _dd_rank_element(cv, cc, q)
+            ok &= bool(abs(dd.quantile(q) - x_q) <= dd.spec.alpha * x_q)
+        rows.append({
+            "column_name": c,
+            "n_rows": int(dd.n),
+            "n_distinct": int(round(prof[c]["hll"].estimate()[0])),
+            "p50_exact": round(_disc_from_counts(cv, cc, 0.5), 6),
+            "p99_exact": round(_disc_from_counts(cv, cc, 0.99), 6),
+            "dd_within_alpha": ok,
+        })
+    return pd.DataFrame(rows)
+
+
 def _q_lineitem_agg(sf_dir: str):
     """Relational layer: grouped aggregate (the analyzer's df_agg shape)."""
     import pyarrow.compute as pc
@@ -3126,6 +3168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_ddsketch": _q_price_ddsketch,
         "event_transitions": _q_event_transitions,
         "user_interval_coverage": _q_user_interval_coverage,
+        "lineitem_sketch_profile": _q_lineitem_sketch_profile,
         "label_centroids": _q_label_centroids,
         "scrub_pii": _q_scrub_pii,
         "token_stats": _q_token_stats,
@@ -4651,6 +4694,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderpriority = '1-URGENT')
+        """,
+        "lineitem_sketch_profile": """
+            SELECT 'l_quantity' AS column_name,
+                   CAST(count(l_quantity) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+                   round(percentile_disc(0.5) WITHIN GROUP
+                         (ORDER BY l_quantity), 6) AS p50_exact,
+                   round(percentile_disc(0.99) WITHIN GROUP
+                         (ORDER BY l_quantity), 6) AS p99_exact,
+                   TRUE AS dd_within_alpha
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', CAST(count(l_discount) AS BIGINT),
+                   CAST(count(DISTINCT l_discount) AS BIGINT),
+                   round(percentile_disc(0.5) WITHIN GROUP
+                         (ORDER BY l_discount), 6),
+                   round(percentile_disc(0.99) WITHIN GROUP
+                         (ORDER BY l_discount), 6), TRUE
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', CAST(count(l_tax) AS BIGINT),
+                   CAST(count(DISTINCT l_tax) AS BIGINT),
+                   round(percentile_disc(0.5) WITHIN GROUP
+                         (ORDER BY l_tax), 6),
+                   round(percentile_disc(0.99) WITHIN GROUP
+                         (ORDER BY l_tax), 6), TRUE
+            FROM lineitem
         """,
         "user_interval_coverage": """
             WITH iv AS (

@@ -156,3 +156,44 @@ def test_sketch_aggregation_native_udaf(ray_session):
 
     with pytest.raises(ValueError):
         sketch_aggregation(spec, output="blob")
+
+
+def test_table_sketch_profile_one_pass_multi_column(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.build import (
+        table_sketch_profile,
+    )
+
+    rs = np.random.RandomState(17)
+    df = pd.DataFrame({
+        "a": rs.randint(1, 40, 5000).astype("float64"),
+        "b": np.round(rs.uniform(0, 1, 5000), 2),
+    })
+    df.loc[::50, "b"] = np.nan  # nulls drop like SQL
+    prof = table_sketch_profile(
+        ray.data.from_pandas(df, override_num_blocks=8), ["a", "b"])
+
+    assert prof["a"]["dd"].n == 5000
+    assert prof["b"]["dd"].n == int(df["b"].notna().sum())
+    # HLL sparse mode is exact below threshold
+    assert round(prof["a"]["hll"].estimate()[0]) == df["a"].nunique()
+    assert round(prof["b"]["hll"].estimate()[0]) == df["b"].nunique()
+    # DDSketch quantiles within alpha of the true rank element
+    for c in ("a", "b"):
+        v = np.sort(df[c].dropna().to_numpy())
+        for q in (0.5, 0.9):
+            true = v[int(q * (len(v) - 1))]
+            est = prof[c]["dd"].quantile(q)
+            assert abs(est - true) <= prof[c]["dd"].spec.alpha * true
+
+    # partition invariance: 1 block == 8 blocks, bit-identical states
+    p1 = table_sketch_profile(
+        ray.data.from_pandas(df, override_num_blocks=1), ["a", "b"])
+    for c in ("a", "b"):
+        np.testing.assert_array_equal(p1[c]["dd"].keys, prof[c]["dd"].keys)
+        np.testing.assert_array_equal(p1[c]["dd"].counts,
+                                      prof[c]["dd"].counts)
+        assert (round(p1[c]["hll"].estimate()[0])
+                == round(prof[c]["hll"].estimate()[0]))
