@@ -398,7 +398,7 @@ def _q_price_ddsketch(sf_dir: str):
         column_sketch_state,
     )
     from cardinality_estimation_evaluation_framework_ray.stages.relational import (
-        quantiles_disc,
+        _disc_from_counts,
     )
     from cardinality_estimation_evaluation_framework_ray.state import (
         DDSketchSpec,
@@ -408,16 +408,19 @@ def _q_price_ddsketch(sf_dir: str):
     li = _read(sf_dir, "lineitem")
     sk = column_sketch_state(li, spec, "l_extendedprice")
     qs = np.array([0.5, 0.9, 0.99])
-    exact_disc = quantiles_disc(li, "l_extendedprice", qs)
+    # ONE distinct-value scan serves both exact sides (percentile_disc
+    # mirror + the guarantee's rank element)
     counts = (li.groupby("l_extendedprice").count().to_pandas()
               .sort_values("l_extendedprice"))
     cvals = counts["l_extendedprice"].to_numpy(dtype=np.float64)
     ccnts = counts["count()"].to_numpy()
-    ok = []
+    exact_disc, ok = [], []
     for q in qs:
+        exact_disc.append(_disc_from_counts(cvals, ccnts, float(q)))
         x_q = _dd_rank_element(cvals, ccnts, float(q))
         ok.append(bool(abs(sk.quantile(float(q)) - x_q) <= spec.alpha * x_q))
-    return pd.DataFrame({"q": qs, "price_exact": np.round(exact_disc, 4),
+    return pd.DataFrame({"q": qs,
+                         "price_exact": np.round(exact_disc, 4),
                          "within_alpha": ok})
 
 

@@ -739,12 +739,17 @@ def build_cuckoo_membership(keys_ds: "ray.data.Dataset", *, key_col: str,
     push another key's count to zero — no false negatives, by multiset
     accounting (see the module docstring of ``state/cuckoo.py``).
 
-    Default spec sizes ``log2_buckets`` from ``keys_ds.count()`` for
-    <= ~70% load (b=4 kicks stay rare; the paper allows 95%).
+    Default spec sizes ``log2_buckets`` from the key count for <= ~70%
+    load (b=4 kicks stay rare; the paper allows 95%); the key column is
+    materialized first so the sizing count and the build pass don't
+    execute a lazy upstream pipeline twice (pass ``spec`` explicitly to
+    keep the build single-pass streaming).
     """
     from ..state.cuckoo import CuckooFilterSpec
 
+    keys_ds = keys_ds.select_columns([key_col])
     if spec is None:
+        keys_ds = keys_ds.materialize()
         n = keys_ds.count()
         log2 = max(4, int(np.ceil(np.log2(max(n, 1) / (4 * 0.7)))))
         spec = CuckooFilterSpec(log2_buckets=log2)
@@ -758,7 +763,7 @@ def build_cuckoo_membership(keys_ds: "ray.data.Dataset", *, key_col: str,
                 "fp": np.array([fps.tobytes()], dtype=object)}
 
     merged = spec.new()
-    for b in (keys_ds.select_columns([key_col])
+    for b in (keys_ds
               .map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
               .iter_batches(batch_format="pandas")):
@@ -780,9 +785,13 @@ def filter_by_cuckoo(ds: "ray.data.Dataset", cf, *, key_col: str,
     """Approximate semi/anti join against a broadcast cuckoo filter —
     ``filter_by_bloom`` with deletion-aware membership: rows survive
     (``semi``) / are dropped (``anti``) when the key's remaining multiset
-    count in the filter is > 0.  No false negatives; ~``spec.fpr_bound``
-    false positives, so compose ``semi`` with an exact verify join for
-    exactness.  The table (2^log2_buckets x bucket_size uint16) is
+    count in the filter is > 0.  ``semi`` has NO false negatives (plus
+    ~``spec.fpr_bound`` extras) — compose with an exact verify join for
+    exactness.  ``anti`` inherits the same asymmetry as ``filter_by_bloom``:
+    it drops every true match, PLUS ~FPR genuinely-absent rows that
+    collide with stored fingerprints — those rows are unrecoverable
+    downstream, so ``anti`` is approximate by nature.  The table
+    (2^log2_buckets x bucket_size uint16) is
     ``ray.put`` once; probes are two vectorized gather+compare rounds per
     batch."""
     from ..state.cuckoo import CuckooFilter

@@ -166,12 +166,17 @@ class CuckooFilter(Sketch):
 
     def delete_tokens(self, tokens: np.ndarray) -> None:
         """Multiset delete: each occurrence removes ONE stored copy of the
-        key's fingerprint; raises if a copy is missing (delete of an item
-        never inserted — modulo the documented fingerprint-collision
-        caveat).  Vectorized per distinct key; buckets stay compacted."""
+        key's fingerprint; raises KeyError if a copy is missing (delete of
+        an item never inserted — modulo the documented
+        fingerprint-collision caveat).  ATOMIC per call: on KeyError the
+        table and count roll back to the pre-call state (one table copy,
+        <= n_buckets * bucket_size * 2 bytes, only on the delete path),
+        so callers that catch the exception keep a consistent filter.
+        Vectorized per distinct key; buckets stay compacted."""
         keys = np.asarray(tokens, dtype=np.int64)
         if len(keys) == 0:
             return
+        snapshot = self.table.copy()
         uk, need = np.unique(keys, return_counts=True)
         fps = self._fingerprints(uk)
         i1 = self._index1(uk)
@@ -190,6 +195,7 @@ class CuckooFilter(Sketch):
                     row[:len(keep)] = keep
                     remaining -= len(hits)
             if remaining:
+                self.table = snapshot  # atomic rollback
                 raise KeyError(
                     f"delete of absent key {int(uk[t])}: "
                     f"{remaining} copies not present")

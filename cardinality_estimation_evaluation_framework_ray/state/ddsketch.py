@@ -16,20 +16,26 @@ bucket's representative ``2 * gamma^i / (gamma + 1)`` (the harmonic midpoint
 of ``(gamma^(i-1), gamma^i]``) is within ``alpha`` of every value in the
 bucket.  The state is a sparse (bucket-index -> count) table held as two
 sorted int64 arrays — merging is exact integer addition of counts, hence
-associative/commutative BY CONSTRUCTION (the merge tree can fold states in
-any order and the resulting state is bit-identical; property-tested in
-``tests/test_ddsketch.py``).  Values below ``min_value`` (including zeros;
-negatives are rejected) land in a dedicated underflow count, as in the
-paper's zero bucket.
+associative/commutative and BIT-IDENTICAL under any merge-tree fold order
+AS LONG AS NO COLLAPSE FIRES (property-tested in ``tests/test_ddsketch.py``;
+at the default alpha=0.01 / max_buckets=4096 the uncollapsed span is
+(1e-9, 1e9) in ~2100 buckets = ~33 KB, so real positive metrics never
+collapse).  Values below ``min_value`` (including zeros; negatives are
+rejected) land in a dedicated underflow count, as in the paper's zero
+bucket.
 
 Memory is bounded by the collapsing-lowest variant (paper §2.3): past
 ``max_buckets`` distinct indices the LOWEST buckets fold into the lowest
-surviving one, trading the guarantee only for the smallest values —
-quantiles whose rank falls above the collapsed mass keep the full
-``alpha`` contract.  At alpha=0.01 one uncollapsed sketch spans
-(1e-9, 1e9) in ~2100 buckets = ~33 KB, so per-(block, key) shuffle
-payloads stay KB-scale on the same groupby merge tree every other sketch
-rides (`stages/build.py:sketch_aggregation`).
+surviving one.  Collapse weakens the merge contract from bit-identical to
+VALUE-level: different fold orders may cut at different low buckets, so
+collapsed states can differ bitwise across runs — but ``n`` is always
+preserved exactly and every quantile whose rank falls above the collapsed
+mass keeps the full ``alpha`` contract in every order (tested).  Pipelines
+that hash-compare outputs must size ``max_buckets`` (or ``alpha``) so
+collapse cannot fire; bound-assert gates (the ``within_alpha`` pattern)
+are safe either way for high quantiles.  Per-(block, key) shuffle payloads
+stay KB-scale on the same groupby merge tree every other sketch rides
+(`stages/build.py:sketch_aggregation`).
 """
 
 from __future__ import annotations

@@ -121,3 +121,20 @@ def test_fp_bits_validation_and_estimate():
     s = SPEC.new()
     s.update_tokens(np.array([1, 2, 3]))
     assert s.estimate() == [3.0]
+
+
+def test_delete_is_atomic_on_failure():
+    """A failing batch delete rolls the table AND count back — catching the
+    documented KeyError must leave a consistent filter."""
+    s = SPEC.new()
+    keys = np.arange(100, 200)
+    s.update_tokens(keys)
+    table_before = s.table.copy()
+    n_before = s.n
+    with pytest.raises(KeyError):
+        s.delete_tokens(np.array([150, 151, 999_999_999]))  # last is absent
+    np.testing.assert_array_equal(s.table, table_before)
+    assert s.n == n_before
+    assert s.contains(keys).all()
+    s.delete_tokens(np.array([150, 151]))  # clean batch still works
+    assert s.n == n_before - 2

@@ -136,3 +136,33 @@ def test_empty_and_validation():
     assert math.isnan(s.quantile(0.5))
     with pytest.raises(ValueError, match="q must be"):
         s.quantile(1.5)
+
+
+def test_collapsed_merges_preserve_counts_and_high_quantiles_any_order():
+    """Once collapse fires, states are no longer bit-identical across fold
+    orders (documented), but n is exact and quantiles above the collapsed
+    mass keep the alpha contract in EVERY order."""
+    spec = DDSketchSpec(alpha=0.01, max_buckets=96)
+    vals = _lognormal(n=60_000, seed=13, sigma=3.0)
+    parts = np.array_split(vals, 6)
+    results = []
+    for order in [[0, 1, 2, 3, 4, 5], [5, 4, 3, 2, 1, 0],
+                  [3, 0, 5, 1, 4, 2]]:
+        states = []
+        for p in parts:
+            st = spec.new()
+            st.update_tokens(p)
+            states.append(st)
+        acc = states[order[0]]
+        for i in order[1:]:
+            acc.merge_in(states[i])
+        assert acc.n == len(vals)
+        assert len(acc.keys) <= 96
+        lo_edge = spec.gamma ** int(acc.keys[0])
+        for q in [0.99, 0.999, 1.0]:
+            true = _true_quantile(vals, q)
+            if true > lo_edge:
+                assert abs(acc.quantile(q) - true) <= spec.alpha * true
+        results.append(acc.quantile(0.999))
+    # the high-quantile answers agree across orders to within the bound
+    assert max(results) - min(results) <= 2 * spec.alpha * max(results)
