@@ -409,6 +409,8 @@ def column_sketch_state(ds: "ray.data.Dataset", spec: SketchSpec,
     def partial(t: pa.Table) -> dict:
         s = spec.new()
         vals, _ = flat_tokens(t, col)
+        if vals.dtype.kind == "f":   # nulls surface as NaN: drop like SQL
+            vals = vals[~np.isnan(vals)]
         if len(vals):
             s.update_tokens(vals)
         return {"state": np.array([pickle.dumps(s.state_dict())],

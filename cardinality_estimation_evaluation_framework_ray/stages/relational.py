@@ -221,37 +221,24 @@ def quantiles_disc(ds: "ray.data.Dataset", col: str, qs: np.ndarray,
                    mode: str = "exact") -> np.ndarray:
     """Discrete quantiles of ``col`` at each fraction in ``qs``
     (percentile_disc semantics: smallest value whose cumulative count
-    reaches rank ``ceil(n * q)``).  Same two paths as ``range_cutpoints``
-    — exact distinct-value groupby or a one-pass KLL sketch.  Null values
-    are excluded from the population (SQL percentile semantics)."""
+    reaches rank ``ceil(n * q)``).  Three paths, same shape as
+    ``range_cutpoints``: exact distinct-value groupby; a one-pass KLL
+    sketch (RANK-error bound ~2.3/k); or a one-pass DDSketch
+    (``mode='ddsketch'``, VALUE-error bound — every estimate within 1%
+    relative error of the true order statistic; positive columns only).
+    Null values are excluded from the population (SQL percentile
+    semantics)."""
     qs = np.asarray(qs, np.float64)
-    if mode == "kll":
-        import pickle
+    if mode in ("kll", "ddsketch"):
+        from ..state import DDSketchSpec, KllSpec
+        from .build import column_sketch_state
 
-        from ..state import KllSpec
-
-        spec = KllSpec(k=200, seed=42)
-        sk = spec.new()
-
-        def partial(t: pa.Table):
-            import pyarrow.compute as pc
-
-            s = spec.new()
-            s.update_tokens(pc.drop_null(t.column(col))
-                            .to_numpy(zero_copy_only=False))
-            return {"state": np.array([pickle.dumps(s.state_dict())],
-                                      dtype=object)}
-
-        for b in (ds.select_columns([col])
-                  .map_batches(partial, batch_format="pyarrow")
-                  .iter_batches(batch_format="pandas")):
-            for blob in b["state"]:
-                other = spec.new()
-                other.load_state(pickle.loads(blob))
-                sk.merge_in(other)
+        spec = (KllSpec(k=200, seed=42) if mode == "kll"
+                else DDSketchSpec(alpha=0.01))
+        sk = column_sketch_state(ds, spec, col)
         return np.asarray([sk.quantile(q) for q in qs], np.float64)
     if mode != "exact":
-        raise ValueError("mode must be 'exact' or 'kll'")
+        raise ValueError("mode must be 'exact', 'kll' or 'ddsketch'")
     counts = ds.groupby(col).count().to_pandas()
     counts = counts[counts[col].notna()].sort_values(col)
     vals = counts[col].to_numpy()

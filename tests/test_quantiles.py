@@ -86,3 +86,27 @@ def test_bounded_size():
     for i in range(50):
         td.update_tokens(np.random.RandomState(i).uniform(0, 1, 20_000))
     assert len(td.means) < 200
+
+
+def test_quantiles_disc_ddsketch_mode_value_error_bound(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.relational import (
+        quantiles_disc,
+    )
+
+    rs = np.random.RandomState(21)
+    v = np.exp(rs.normal(3.0, 1.5, size=20_000))
+    v[::97] = np.nan                      # nulls drop like SQL
+    ds = ray.data.from_pandas(pd.DataFrame({"x": v}),
+                              override_num_blocks=9)
+    qs = np.array([0.1, 0.5, 0.9, 0.99])
+    got = quantiles_disc(ds, "x", qs, mode="ddsketch")
+    clean = np.sort(v[~np.isnan(v)])
+    for q, est in zip(qs, got):
+        true = clean[int(q * (len(clean) - 1))]
+        assert abs(est - true) <= 0.01 * true
+
+    with pytest.raises(ValueError, match="mode must be"):
+        quantiles_disc(ds, "x", qs, mode="bogus")
