@@ -855,6 +855,21 @@ def _q_minhash_exact_wordset_dups(sf_dir: str):
                          "doc_b": df.doc_b.astype("int64")})
 
 
+def _q_dedup_keep_best(sf_dir: str):
+    """Keep-best-of-cluster dedup policy
+    (``stages/dedup.py:keep_best_per_duplicate_set``): docs with identical
+    word SETS cluster by digest; each cluster of >= 2 keeps its longest
+    member (ties -> smallest doc_id)."""
+    from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
+        keep_best_per_duplicate_set,
+    )
+
+    out = keep_best_per_duplicate_set(
+        _read(sf_dir, "documents"), score_col="n_chars")
+    out["best_n_chars"] = out["best_n_chars"].astype("int64")
+    return out
+
+
 def _q_simhash_near_dups(sf_dir: str):
     from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
         simhash_near_dups,
@@ -3171,6 +3186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_ddsketch": _q_price_ddsketch,
         "event_transitions": _q_event_transitions,
         "user_interval_coverage": _q_user_interval_coverage,
+        "dedup_keep_best": _q_dedup_keep_best,
         "lineitem_sketch_profile": _q_lineitem_sketch_profile,
         "label_centroids": _q_label_centroids,
         "scrub_pii": _q_scrub_pii,
@@ -3505,6 +3521,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = c.doc_a
             JOIN sizes sb ON sb.doc_id = c.doc_b
             WHERE CAST(c.nc AS DOUBLE) / (sa.sz + sb.sz - c.nc) >= 0.8
+        """,
+        "dedup_keep_best": """
+            WITH ws AS (
+              SELECT doc_id, n_chars,
+                     list_sort(list_distinct(list_filter(
+                         regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> ''))) AS wordset
+              FROM documents),
+            g AS (
+              SELECT wordset, CAST(count(*) AS BIGINT) AS n_members,
+                     CAST(max(n_chars) AS BIGINT) AS best_n_chars
+              FROM ws GROUP BY wordset HAVING count(*) >= 2),
+            r AS (
+              SELECT w.wordset, w.doc_id,
+                     row_number() OVER (PARTITION BY w.wordset
+                                        ORDER BY w.n_chars DESC, w.doc_id)
+                         AS rk
+              FROM ws w JOIN g USING (wordset))
+            SELECT r.doc_id AS kept_doc_id, g.n_members, g.best_n_chars
+            FROM r JOIN g USING (wordset) WHERE r.rk = 1
         """,
         "minhash_exact_wordset_dups": """
             WITH ws AS (

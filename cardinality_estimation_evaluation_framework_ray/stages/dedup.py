@@ -20,6 +20,7 @@ from __future__ import annotations
 
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -364,11 +365,13 @@ def minhash_near_dups(ds: "ray.data.Dataset", *, num_perm: int = 64,
 
 def shingle_set_digests(ds: "ray.data.Dataset", *, shingle: int = 1,
                         seed: int = 77, text_col: str = "text",
-                        id_col: str = "doc_id") -> "ray.data.Dataset":
+                        id_col: str = "doc_id",
+                        carry_cols: tuple = ()) -> "ray.data.Dataset":
     """(doc_id, digest): order-invariant digest (wrapping sum of distinct
     shingle hashes) of each doc's shingle SET.  Equal sets => equal digests;
     unequal sets collide w.p. ~2^-64 — the exact-verification side-channel
-    for LSH candidate pairs."""
+    for LSH candidate pairs.  ``carry_cols`` pass through unchanged (e.g. a
+    quality score for downstream keep-best selection)."""
 
     def dig(batch: pa.Table) -> pa.Table:
         word_h, lengths = _doc_word_hashes(batch, text_col, seed)
@@ -380,10 +383,53 @@ def shingle_set_digests(ds: "ray.data.Dataset", *, shingle: int = 1,
         digest = np.zeros(len(counts), dtype=np.uint64)
         with np.errstate(over="ignore"):
             np.add.at(digest, d_doc, d_sh)
-        return pa.table({id_col: batch.column(id_col),
-                         "digest": pa.array(digest.view(np.int64))})
+        cols = {id_col: batch.column(id_col),
+                "digest": pa.array(digest.view(np.int64))}
+        for c in carry_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
 
     return ds.map_batches(dig, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def keep_best_per_duplicate_set(ds: "ray.data.Dataset", *, score_col: str,
+                                shingle: int = 1, seed: int = 77,
+                                text_col: str = "text",
+                                id_col: str = "doc_id") -> pd.DataFrame:
+    """Canonical-document selection over exact duplicate SETS: docs whose
+    shingle sets are identical (digest equality — the
+    ``minhash_exact_dups`` verification key; distinct sets collide w.p.
+    ~2^-64, documented) group together, and every group of >= 2 keeps its
+    best member by (``score_col`` desc, ``id_col`` asc) — the
+    keep-best-of-cluster dedup policy of a curation pipeline (vs
+    ``dedup_exact_texts``'s keep-first).
+
+    Output: (kept_<id_col>, n_members, best_<score_col>), one row per
+    duplicate group.  Scale shape: ONE shuffle over (id, digest, score)
+    triples — never the texts; per-group work is bounded by the dup-group
+    size (small by construction).  Singleton groups drop out map-side
+    after the groupby (the task sees one digest's rows only).
+    """
+    trip = shingle_set_digests(
+        ds.select_columns([id_col, text_col, score_col]), shingle=shingle,
+        seed=seed, text_col=text_col, id_col=id_col,
+        carry_cols=(score_col,))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({f"kept_{id_col}": [], "n_members": [],
+                                 f"best_{score_col}": []})
+        g = g.sort_values([score_col, id_col], ascending=[False, True],
+                          kind="stable")
+        return pd.DataFrame({f"kept_{id_col}": [g[id_col].iloc[0]],
+                             "n_members": [len(g)],
+                             f"best_{score_col}": [g[score_col].iloc[0]]})
+
+    out = (trip.groupby("digest").map_groups(pick, batch_format="pandas")
+           .to_pandas())
+    out[f"kept_{id_col}"] = out[f"kept_{id_col}"].astype("int64")
+    out["n_members"] = out["n_members"].astype("int64")
+    return out.sort_values(f"kept_{id_col}").reset_index(drop=True)
 
 
 def minhash_exact_dups(ds: "ray.data.Dataset", *, num_perm: int = 64,

@@ -278,3 +278,26 @@ def test_edit_distance_pairs_end_to_end(ray_session):
     assert out["edit_distance"].tolist()[0] == 1          # fox -> fix
     assert out["edit_distance"].tolist()[1] == 13
     assert list(out.columns) == ["doc_a", "doc_b", "edit_distance"]
+
+
+def test_keep_best_per_duplicate_set(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cardinality_estimation_evaluation_framework_ray.stages.dedup import (
+        keep_best_per_duplicate_set,
+    )
+
+    # docs 0/1/2 share a word set (different order/repeats -> lengths
+    # differ); 3/4 share another; 5 is a singleton (drops out)
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "text": ["a b c", "c b a a", "b a c", "x y", "y x y", "solo doc"],
+        "n_chars": [5, 7, 5, 3, 5, 8],
+    })
+    out = keep_best_per_duplicate_set(
+        ray.data.from_pandas(df, override_num_blocks=3),
+        score_col="n_chars")
+    assert out["kept_doc_id"].tolist() == [1, 4]   # longest; tie -> min id
+    assert out["n_members"].tolist() == [3, 2]
+    assert out["best_n_chars"].tolist() == [7, 5]
